@@ -1,0 +1,35 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The test-suite exercises multi-chip sharding (mesh collectives, distributed
+NTT/MSM) without TPU hardware by running JAX's CPU backend with 8 virtual
+devices, mirroring how the reference's CI would have needed multi-process
+runs (it never had them, SURVEY.md §4).  Real-TPU benchmarking happens in
+``bench.py``, not here.
+
+This must run before any module imports trigger JAX backend initialisation.
+The sandbox's sitecustomize force-registers a TPU tunnel backend ("axon"),
+so we override the platform selection in-process.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, f"expected 8 virtual devices, got {devs.size}"
+    return Mesh(devs.reshape(8), ("d",))
