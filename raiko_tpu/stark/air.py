@@ -1,0 +1,114 @@
+"""AIR (algebraic intermediate representation) interface.
+
+An AIR describes a computation as a trace matrix (n rows x width columns
+over BabyBear) plus polynomial constraints.  Constraints are written once
+against an abstract algebra and evaluated twice:
+
+- by the **prover**, vectorized over the whole LDE domain with base-field
+  jnp arrays (raiko_tpu.stark.prover), and
+- by the **verifier**, at the single out-of-domain point with host
+  extension-field scalars (raiko_tpu.stark.verifier).
+
+Constraint kinds and their divisors (SURVEY.md §7 step 6 quotient scheme):
+
+- ``transition(expr)``: must vanish on every row except the last
+  (divisor Z_H(x) / (x - g^{n-1})).
+- ``first_row(expr)``: must vanish on row 0 (divisor x - 1).
+- ``last_row(expr)``: must vanish on row n-1 (divisor x - g^{n-1}).
+
+Max constraint degree 3 (blowup 4 leaves quotient degree < 2n < m).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class Constraint:
+    kind: str  # "transition" | "first_row" | "last_row"
+    expr: Any
+
+
+class ConstraintBuilder:
+    """Collects constraints during Air.eval.
+
+    ``algebra`` supplies add/sub/mul/constant plus row accessors; the same
+    Air.eval drives both vectorized prover evaluation and scalar verifier
+    evaluation.
+    """
+
+    def __init__(self, algebra):
+        self.alg = algebra
+        self.constraints: list[Constraint] = []
+
+    # row access -------------------------------------------------------
+    def local(self, col: int):
+        return self.alg.local(col)
+
+    def next(self, col: int):
+        return self.alg.next(col)
+
+    def public(self, i: int):
+        return self.alg.public(i)
+
+    def constant(self, v: int):
+        return self.alg.constant(v)
+
+    # algebra ----------------------------------------------------------
+    def add(self, a, b):
+        return self.alg.add(a, b)
+
+    def sub(self, a, b):
+        return self.alg.sub(a, b)
+
+    def mul(self, a, b):
+        return self.alg.mul(a, b)
+
+    # constraint registration ------------------------------------------
+    def transition(self, expr) -> None:
+        self.constraints.append(Constraint("transition", expr))
+
+    def first_row(self, expr) -> None:
+        self.constraints.append(Constraint("first_row", expr))
+
+    def last_row(self, expr) -> None:
+        self.constraints.append(Constraint("last_row", expr))
+
+
+class Air:
+    """Base class.  Subclasses set ``width`` and implement ``eval`` (and
+    typically a trace generator used by the calling prover pipeline)."""
+
+    width: int = 0
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        raise NotImplementedError
+
+    def num_constraints(self) -> int:
+        class _Probe:
+            def local(self, c):
+                return 0
+
+            def next(self, c):
+                return 0
+
+            def public(self, i):
+                return 0
+
+            def constant(self, v):
+                return 0
+
+            def add(self, a, b):
+                return 0
+
+            def sub(self, a, b):
+                return 0
+
+            def mul(self, a, b):
+                return 0
+
+        b = ConstraintBuilder(_Probe())
+        self.eval(b)
+        return len(b.constraints)

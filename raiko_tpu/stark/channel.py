@@ -1,0 +1,94 @@
+"""Fiat-Shamir channel over a Poseidon2 sponge.
+
+Both prover and verifier drive an identical transcript; every commitment /
+sent value is absorbed before the next challenge is squeezed, making the
+protocol non-interactive.  The sponge state is a width-16 Poseidon2 state;
+absorption XOR-free (field addition into the rate), squeezing reads rate
+elements, permuting between blocks — the standard duplex construction.
+
+Query-index sampling uses rejection to stay unbiased.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+from ..ops import poseidon2 as p2
+
+
+class Channel:
+    def __init__(self):
+        self._state = np.zeros(16, dtype=np.uint32)  # Montgomery domain
+        self._pending: list[int] = []  # standard-form field elems to absorb
+
+    # -- absorbing ------------------------------------------------------
+    def absorb_elems(self, elems) -> None:
+        """Absorb standard-form BabyBear ints."""
+        for e in elems:
+            self._pending.append(int(e) % bb.P)
+
+    def absorb_digest(self, digest) -> None:
+        """Absorb a Montgomery-form (8,) digest (Merkle root)."""
+        vals = np.asarray(bb.from_mont(jnp.asarray(digest))).tolist()
+        self.absorb_elems(vals)
+
+    def absorb_ef(self, x: tuple) -> None:
+        self.absorb_elems(list(x))
+
+    def absorb_bytes(self, data: bytes) -> None:
+        """Absorb arbitrary bytes as 31-bit chunks (injective per length)."""
+        self.absorb_elems([len(data)])
+        for i in range(0, len(data), 3):
+            self.absorb_elems([int.from_bytes(data[i : i + 3], "big")])
+
+    def _flush(self) -> None:
+        """Permute pending absorptions into the state (rate 8)."""
+        pend = self._pending
+        self._pending = []
+        for off in range(0, len(pend), 8):
+            chunk = pend[off : off + 8]
+            block = np.zeros(8, dtype=np.uint64)
+            block[: len(chunk)] = chunk
+            block_m = ((block * bb.R) % bb.P).astype(np.uint32)
+            st = self._state.copy()
+            st[:8] = np.asarray(
+                bb.add(jnp.asarray(st[:8]), jnp.asarray(block_m))
+            )
+            self._state = np.asarray(p2.permute(jnp.asarray(st)[None, :]))[0]
+
+    # -- squeezing ------------------------------------------------------
+    def _squeeze_elems(self, n: int) -> list[int]:
+        if self._pending:
+            self._flush()
+        out: list[int] = []
+        while len(out) < n:
+            vals = np.asarray(
+                bb.from_mont(jnp.asarray(self._state[:8]))
+            ).tolist()
+            out.extend(int(v) for v in vals)
+            # always advance the state after reading a block so consecutive
+            # squeezes are independent
+            self._state = np.asarray(
+                p2.permute(jnp.asarray(self._state)[None, :])
+            )[0]
+        return out[:n]
+
+    def challenge(self) -> int:
+        """One base-field challenge."""
+        return self._squeeze_elems(1)[0]
+
+    def challenge_ef(self) -> tuple:
+        return tuple(self._squeeze_elems(4))
+
+    def challenge_indices(self, count: int, domain_size: int) -> list[int]:
+        """Unbiased query indices in [0, domain_size) via rejection."""
+        assert domain_size & (domain_size - 1) == 0
+        limit = (bb.P // domain_size) * domain_size
+        out: list[int] = []
+        while len(out) < count:
+            v = self.challenge()
+            if v < limit:
+                out.append(v % domain_size)
+        return out

@@ -1,0 +1,172 @@
+"""STARK verifier — host-side, no TPU required.
+
+Replays the Fiat-Shamir transcript, checks the DEEP-ALI identity at the
+out-of-domain point, recomputes the DEEP composition value at every query
+from Merkle-opened rows, and delegates the low-degree argument to
+stark/fri.py.  All arithmetic is exact host math (ints + EF tuples); the
+only accelerator use is the tiny Poseidon2 permutation inside Merkle path
+checks (compiled once)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+from ..fields import babybear_ext as ef
+from ..ops import merkle, poseidon2 as p2
+from . import fri
+from .air import Air, ConstraintBuilder
+from .channel import Channel
+from .domain import Domain
+from .prover import BLOWUP_LOG, NUM_QUERIES, StarkProof
+
+
+class _VerifierAlgebra:
+    """Scalar EF evaluation of constraints at the OOD point."""
+
+    def __init__(self, at_zeta, at_zeta_g, publics):
+        self._z = at_zeta
+        self._zg = at_zeta_g
+        self._publics = publics
+
+    def local(self, c):
+        return tuple(self._z[c])
+
+    def next(self, c):
+        return tuple(self._zg[c])
+
+    def public(self, i):
+        return ef.h_from_base(self._publics[i])
+
+    def constant(self, v):
+        return ef.h_from_base(v)
+
+    def add(self, a, b):
+        return ef.h_add(a, b)
+
+    def sub(self, a, b):
+        return ef.h_sub(a, b)
+
+    def mul(self, a, b):
+        return ef.h_mul(a, b)
+
+
+def _row_to_mont(row: list[int]) -> np.ndarray:
+    return ((np.array(row, dtype=np.uint64) * bb.R) % bb.P).astype(np.uint32)
+
+
+def _check_merkle(row, index, path, root) -> bool:
+    leaf = np.asarray(p2.hash_rows(jnp.asarray(_row_to_mont(row))[None, :]))[0]
+    root_m = _row_to_mont(root)
+    return merkle.verify_path(
+        leaf, index, [np.array(p, dtype=np.uint32) for p in path], root_m
+    )
+
+
+def verify(air: Air, proof: StarkProof) -> bool:
+    publics = proof.publics
+    log_n = proof.log_n
+    width = proof.width
+    if width != air.width:
+        return False
+    dom = Domain(log_n, BLOWUP_LOG)
+    m = dom.m
+    channel = Channel()
+    channel.absorb_elems([log_n, width, len(publics)])
+    channel.absorb_elems(publics)
+    channel.absorb_elems(proof.trace_root)
+    alpha = channel.challenge_ef()
+    channel.absorb_elems(proof.quotient_root)
+    zeta = channel.challenge_ef()
+    zeta_g = ef.h_mul(zeta, ef.h_from_base(dom.g))
+    for v in proof.trace_at_zeta + proof.trace_at_zeta_g + proof.quotient_at_zeta:
+        channel.absorb_ef(tuple(v))
+
+    # DEEP-ALI identity at zeta: sum alpha^i c_i(zeta) sel_i(zeta) == Q(zeta)
+    alg = _VerifierAlgebra(proof.trace_at_zeta, proof.trace_at_zeta_g, publics)
+    builder = ConstraintBuilder(alg)
+    air.eval(builder)
+    sels = dom.sel_at(zeta)
+    acc = ef.H_ZERO
+    apow = ef.H_ONE
+    for con in builder.constraints:
+        acc = ef.h_add(acc, ef.h_mul(apow, ef.h_mul(con.expr, sels[con.kind])))
+        apow = ef.h_mul(apow, alpha)
+    zn = ef.h_pow(zeta, dom.n)
+    q0 = _chunk_at(proof.quotient_at_zeta[:4])
+    q1 = _chunk_at(proof.quotient_at_zeta[4:])
+    q_at_zeta = ef.h_add(q0, ef.h_mul(zn, q1))
+    if acc != q_at_zeta:
+        return False
+
+    # DEEP composition coefficients
+    gamma = channel.challenge_ef()
+    n_open = 2 * width + 8
+    gammas = [ef.H_ONE]
+    for _ in range(n_open - 1):
+        gammas.append(ef.h_mul(gammas[-1], gamma))
+    c1 = ef.H_ZERO
+    for k in range(width):
+        c1 = ef.h_add(c1, ef.h_mul(gammas[k], tuple(proof.trace_at_zeta[k])))
+    for j in range(8):
+        c1 = ef.h_add(
+            c1, ef.h_mul(gammas[2 * width + j], tuple(proof.quotient_at_zeta[j]))
+        )
+    c2 = ef.H_ZERO
+    for k in range(width):
+        c2 = ef.h_add(
+            c2, ef.h_mul(gammas[width + k], tuple(proof.trace_at_zeta_g[k]))
+        )
+
+    # FRI transcript replay, then query indices
+    betas = fri.replay_commit(proof.fri_proof, log_n + BLOWUP_LOG, dom.shift, channel)
+    if betas is None:
+        return False
+    indices = channel.challenge_indices(NUM_QUERIES, m)
+    if len(proof.queries) != len(indices) or len(proof.fri_proof.query_proofs) != len(indices):
+        return False
+
+    # per-query: Merkle rows + recompute DEEP value
+    pairs = []
+    for idx, q in zip(indices, proof.queries):
+        if not _check_merkle(q["trace_row"], idx, q["trace_path"], proof.trace_root):
+            return False
+        if not _check_merkle(q["quot_row"], idx, q["quot_path"], proof.quotient_root):
+            return False
+        x = dom.xs_int[idx]
+        s1 = ef.H_ZERO
+        for k in range(width):
+            s1 = ef.h_add(
+                s1, ef.h_mul(gammas[k], ef.h_from_base(q["trace_row"][k]))
+            )
+        for j in range(8):
+            s1 = ef.h_add(
+                s1,
+                ef.h_mul(gammas[2 * width + j], ef.h_from_base(q["quot_row"][j])),
+            )
+        s2 = ef.H_ZERO
+        for k in range(width):
+            s2 = ef.h_add(
+                s2, ef.h_mul(gammas[width + k], ef.h_from_base(q["trace_row"][k]))
+            )
+        inv_z = ef.h_inv(ef.h_sub(ef.h_from_base(x), zeta))
+        inv_zg = ef.h_inv(ef.h_sub(ef.h_from_base(x), zeta_g))
+        h_val = ef.h_add(
+            ef.h_mul(ef.h_sub(s1, c1), inv_z), ef.h_mul(ef.h_sub(s2, c2), inv_zg)
+        )
+        pairs.append((idx, h_val))
+
+    return fri.check_queries(
+        proof.fri_proof, betas, log_n + BLOWUP_LOG, dom.shift, pairs
+    )
+
+
+def _chunk_at(coords) -> tuple:
+    """Chunk value from its 4 opened coordinate values: sum_c e_c * v_c
+    where e_c is the EF basis element x^c."""
+    acc = ef.H_ZERO
+    for c, v in enumerate(coords):
+        basis = tuple(1 if i == c else 0 for i in range(4))
+        acc = ef.h_add(acc, ef.h_mul(basis, tuple(v)))
+    return acc

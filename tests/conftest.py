@@ -21,6 +21,11 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the big-integer EC kernels compile slowly on
+# XLA:CPU; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
