@@ -1,0 +1,259 @@
+"""Transaction execution + deterministic block building.
+
+The Python/TPU analog of reference lib/src/builder.rs: given a database and
+an ordered tx list, re-execute every transaction under consensus rules
+(intrinsic gas, EIP-1559 fee market, EIP-2929 warm-up, refunds, coinbase
+payment), then ``finalize`` the sparse MPTs into the new state root.
+
+Taiko mode (is_taiko): the first transaction is the anchor tx — it must be
+sent by the golden-touch address and executes with its fee payment waived;
+the base-fee portion of every other tx's fees is routed to the L2 treasury
+contract instead of being burned (reference taiko-reth patch behaviour)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..mpt import MptNode, to_nibs, EMPTY_ROOT
+from ..proto import rlp
+from ..proto.types import (
+    Account,
+    BlockHeader,
+    Receipt,
+    Transaction,
+    Withdrawal,
+    combine_blooms,
+    logs_bloom,
+    KECCAK_EMPTY,
+)
+from ..utils import keccak256
+from .interpreter import EVM, BlockEnv, TxEnv
+from .state import StateJournal
+
+GOLDEN_TOUCH = bytes.fromhex("0000777735367b36bC9B61C50022d9D0700dB4Ec".replace("0x", ""))
+ANCHOR_GAS_LIMIT = 250_000
+
+
+class BlockError(Exception):
+    pass
+
+
+@dataclass
+class TxResult:
+    success: bool
+    gas_used: int
+    logs: list
+    output: bytes = b""
+
+
+def intrinsic_gas(tx: Transaction, is_create: bool) -> int:
+    gas = 21000
+    for b in tx.data:
+        gas += 4 if b == 0 else 16
+    for item in tx.access_list:
+        addr_keys = item if isinstance(item, list) else item.rlp_item()
+        gas += 2400 + 1900 * len(addr_keys[1])
+    if is_create:
+        gas += 32000 + 2 * ((len(tx.data) + 31) // 32)  # EIP-3860
+    return gas
+
+
+def execute_transaction(
+    state: StateJournal,
+    block: BlockEnv,
+    tx: Transaction,
+    sender: bytes,
+    is_taiko: bool = False,
+    is_anchor: bool = False,
+    treasury: bytes | None = None,
+) -> TxResult:
+    """Execute one transaction.  Raises BlockError on invalid txs (a block
+    containing one is invalid)."""
+    state.begin_tx()
+    is_create = tx.to is None
+    base_fee = block.base_fee
+    gas_price = tx.effective_gas_price(base_fee)
+    if not is_anchor:
+        if tx.tx_type in (2, 3):
+            if tx.max_fee_per_gas < base_fee:
+                raise BlockError("max fee below base fee")
+            if tx.max_priority_fee_per_gas > tx.max_fee_per_gas:
+                raise BlockError("priority fee above max fee")
+        elif gas_price < base_fee:
+            raise BlockError("gas price below base fee")
+    # nonce
+    if state.nonce(sender) != tx.nonce:
+        raise BlockError(
+            f"nonce mismatch: state {state.nonce(sender)} vs tx {tx.nonce}"
+        )
+    if len(state.code(sender)) > 0:
+        raise BlockError("sender is a contract (EIP-3607)")
+    ig = intrinsic_gas(tx, is_create)
+    if tx.gas_limit < ig:
+        raise BlockError("intrinsic gas exceeds limit")
+    # blob checks
+    blob_fee = 0
+    if tx.tx_type == 3:
+        if not tx.blob_versioned_hashes:
+            raise BlockError("blob tx without blobs")
+        if any(h[0] != 1 for h in tx.blob_versioned_hashes):
+            raise BlockError("bad blob hash version")
+        if tx.max_fee_per_blob_gas < block.blob_base_fee:
+            raise BlockError("blob fee below base")
+        blob_fee = 131072 * len(tx.blob_versioned_hashes) * block.blob_base_fee
+    # buy gas
+    upfront = tx.gas_limit * gas_price + blob_fee
+    max_upfront = (
+        tx.gas_limit * (tx.max_fee_per_gas if tx.tx_type in (2, 3) else tx.gas_price)
+        + (131072 * len(tx.blob_versioned_hashes) * tx.max_fee_per_blob_gas if tx.tx_type == 3 else 0)
+    )
+    if not is_anchor:
+        if state.balance(sender) < max_upfront + tx.value:
+            raise BlockError("insufficient balance for gas + value")
+        state.sub_balance(sender, upfront)
+    state.set_nonce(sender, tx.nonce + 1)
+    # warm-up (EIP-2929 / 3651)
+    state.access_account(sender)
+    state.access_account(block.coinbase)
+    if tx.to is not None:
+        state.access_account(tx.to)
+    for i in range(1, 11):
+        state.access_account(bytes(19) + bytes([i]))
+    for item in tx.access_list:
+        addr_keys = item if isinstance(item, list) else item.rlp_item()
+        state.access_account(bytes(addr_keys[0]))
+        for k in addr_keys[1]:
+            state.access_slot(bytes(addr_keys[0]), int.from_bytes(k, "big"))
+
+    evm = EVM(
+        state,
+        block,
+        TxEnv(origin=sender, gas_price=gas_price, blob_hashes=list(tx.blob_versioned_hashes)),
+        is_taiko=is_taiko,
+    )
+    gas_exec = tx.gas_limit - ig
+    if is_create:
+        # create() computes the address from sender nonce - 1 (already bumped)
+        res = evm.create(sender, tx.value, tx.data, gas_exec)
+    else:
+        res = evm.call(sender, tx.to, tx.value, tx.data, gas_exec)
+    used = tx.gas_limit - res.gas_left
+    # refunds (EIP-3529: capped at 1/5 of used; none on revert-to-zero txs)
+    if not res.success:
+        state.refund = 0
+    used -= min(state.refund, used // 5)
+    gas_left = tx.gas_limit - used
+    if not is_anchor:
+        state.add_balance(sender, gas_left * gas_price)
+        state.add_balance(block.coinbase, used * max(gas_price - base_fee, 0))
+        if is_taiko and treasury is not None:
+            state.add_balance(treasury, used * base_fee)
+    logs = list(state.logs)
+    state.finish_tx()
+    return TxResult(res.success, used, logs, res.output)
+
+
+@dataclass
+class BlockResult:
+    receipts: list
+    gas_used: int
+    logs_bloom: bytes
+    senders: list
+
+
+def execute_block_txs(
+    state: StateJournal,
+    block: BlockEnv,
+    txs: list[Transaction],
+    is_taiko: bool = False,
+    treasury: bytes | None = None,
+    senders: list[bytes] | None = None,
+    optimistic: bool = False,
+) -> BlockResult:
+    """Execute all txs in order with consensus validations
+    (reference builder.rs:76-186)."""
+    receipts = []
+    cumulative = 0
+    recovered = []
+    for i, tx in enumerate(txs):
+        sender = senders[i] if senders else tx.recover_sender()
+        recovered.append(sender)
+        is_anchor = is_taiko and i == 0
+        if is_anchor and sender != GOLDEN_TOUCH:
+            raise BlockError("anchor tx not from golden-touch address")
+        if tx.chain_id is not None and tx.chain_id != block.chain_id:
+            raise BlockError("wrong chain id")
+        if cumulative + tx.gas_limit > block.gas_limit:
+            if is_taiko and not optimistic:
+                # taiko: skip invalid txs rather than failing the block
+                receipts.append(None)
+                continue
+            raise BlockError("block gas limit exceeded")
+        result = execute_transaction(
+            state, block, tx, sender, is_taiko, is_anchor, treasury
+        )
+        cumulative += result.gas_used
+        receipts.append(
+            Receipt(tx.tx_type, 1 if result.success else 0, cumulative, result.logs)
+        )
+    blooms = [r.bloom() for r in receipts if r is not None]
+    return BlockResult(
+        receipts=[r for r in receipts if r is not None],
+        gas_used=cumulative,
+        logs_bloom=combine_blooms(blooms) if blooms else bytes(256),
+        senders=recovered,
+    )
+
+
+def apply_withdrawals(state: StateJournal, withdrawals: list[Withdrawal]):
+    for w in withdrawals:
+        if w.amount > 0:
+            state.add_balance(w.address, w.amount * 10**9)
+            state.all_touched.add(w.address)
+
+
+def finalize_state_root(
+    state: StateJournal,
+    state_trie: MptNode,
+    storage_tries: dict,
+) -> bytes:
+    """Apply accumulated state changes to the sparse tries and recompute the
+    root (reference builder.rs:191-264 calculate_state_root)."""
+    for addr in sorted(state.all_touched | state.all_selfdestructed):
+        key = to_nibs(keccak256(addr))
+        acc = state.accounts.get(addr)
+        if acc is None:
+            continue
+        deleted = (not acc.exists) or (
+            acc.nonce == 0 and acc.balance == 0 and not acc.code
+        )
+        if deleted:
+            if state_trie.get(key) is not None:
+                state_trie.delete(key)
+            storage_tries.pop(addr, None)
+            continue
+        # storage updates
+        strie = storage_tries.get(addr)
+        if strie is None:
+            strie = MptNode.null()
+            storage_tries[addr] = strie
+        for (a, slot), val in state.storage.items():
+            if a != addr:
+                continue
+            orig = state.orig_storage.get((a, slot))
+            if val == orig:
+                continue
+            skey = to_nibs(keccak256(slot.to_bytes(32, "big")))
+            if val == 0:
+                if strie.get(skey) is not None:
+                    strie.delete(skey)
+            else:
+                strie.insert(skey, rlp.encode(val))
+        account = Account(
+            nonce=acc.nonce,
+            balance=acc.balance,
+            storage_root=strie.hash(),
+            code_hash=keccak256(acc.code) if acc.code else KECCAK_EMPTY,
+        )
+        state_trie.insert(key, account.encode())
+    return state_trie.hash()
