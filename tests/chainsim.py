@@ -1,0 +1,219 @@
+"""In-memory chain simulator for integration tests.
+
+Plays the role of the live RPC endpoints the reference's integration tests
+depend on (SURVEY.md §4: "integration tests hit live public RPCs") —
+producing blocks with real execution, maintaining full state/storage tries,
+and serving provider-style queries (blocks, accounts, storage, EIP-1186
+proofs) for preflight tests.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+
+from raiko_tpu.chain import SupportedChainSpecs
+from raiko_tpu.evm.builder import _receipts_root, _tx_root, _withdrawals_root
+from raiko_tpu.evm.execute import (
+    apply_withdrawals,
+    execute_block_txs,
+    finalize_state_root,
+)
+from raiko_tpu.evm.interpreter import BlockEnv
+from raiko_tpu.evm.state import AccountInfo, MemDb, StateJournal
+from raiko_tpu.mpt import EMPTY_ROOT, MptNode, to_nibs
+from raiko_tpu.proto import rlp
+from raiko_tpu.proto.input import _trie_from_obj, _trie_to_obj
+from raiko_tpu.proto.types import Account, BlockHeader, KECCAK_EMPTY
+from raiko_tpu.utils import keccak256
+
+
+def _clone(trie: MptNode) -> MptNode:
+    return _trie_from_obj(_trie_to_obj(trie))
+
+
+@dataclass
+class _Snapshot:
+    state_trie: MptNode
+    storage_tries: dict
+    accounts: dict  # addr -> AccountInfo
+    storages: dict  # addr -> {slot: value}
+
+
+class ChainSim:
+    def __init__(self, network: str = "ethereum", base_fee: int = 7):
+        self.spec = SupportedChainSpecs().get(network)
+        self.base_fee = base_fee
+        self.accounts: dict[bytes, AccountInfo] = {}
+        self.storages: dict[bytes, dict[int, int]] = {}
+        self.state_trie = MptNode.null()
+        self.storage_tries: dict[bytes, MptNode] = {}
+        self.codes: dict[bytes, bytes] = {}
+        genesis = BlockHeader(
+            number=0,
+            gas_limit=30_000_000,
+            timestamp=1_700_000_000,
+            state_root=self.state_trie.hash(),
+            transactions_root=EMPTY_ROOT,
+            receipts_root=EMPTY_ROOT,
+            base_fee_per_gas=base_fee,
+            withdrawals_root=EMPTY_ROOT,
+        )
+        self.headers: list[BlockHeader] = [genesis]
+        self.blocks_txs: list[list] = [[]]
+        self.blocks_withdrawals: list[list] = [[]]
+        self.snapshots: list[_Snapshot] = [self._snap()]
+
+    # -- state setup ---------------------------------------------------
+    def fund(self, addr: bytes, balance: int, nonce: int = 0, code: bytes = b""):
+        self.accounts[addr] = AccountInfo(
+            nonce=nonce, balance=balance, code=code, exists=True
+        )
+        self.storages.setdefault(addr, {})
+        if code:
+            self.codes[keccak256(code)] = code
+        self._rebuild_tries()
+        self.headers[0].state_root = self.state_trie.hash()
+        self.snapshots[0] = self._snap()
+
+    def _rebuild_tries(self):
+        self.state_trie = MptNode.null()
+        self.storage_tries = {}
+        for addr, info in self.accounts.items():
+            st = MptNode.null()
+            for slot, val in self.storages.get(addr, {}).items():
+                if val:
+                    st.insert(
+                        to_nibs(keccak256(slot.to_bytes(32, "big"))), rlp.encode(val)
+                    )
+            self.storage_tries[addr] = st
+            self.state_trie.insert(
+                to_nibs(keccak256(addr)),
+                Account(
+                    nonce=info.nonce,
+                    balance=info.balance,
+                    storage_root=st.hash(),
+                    code_hash=keccak256(info.code) if info.code else KECCAK_EMPTY,
+                ).encode(),
+            )
+
+    def _snap(self) -> _Snapshot:
+        return _Snapshot(
+            state_trie=_clone(self.state_trie),
+            storage_tries={a: _clone(t) for a, t in self.storage_tries.items()},
+            accounts={
+                a: AccountInfo(i.nonce, i.balance, i.code, i.exists)
+                for a, i in self.accounts.items()
+            },
+            storages={a: dict(s) for a, s in self.storages.items()},
+        )
+
+    # -- block production ----------------------------------------------
+    def produce_block(self, txs, withdrawals=None, coinbase=b"\xc0" * 20):
+        withdrawals = withdrawals or []
+        parent = self.headers[-1]
+        db = MemDb()
+        for addr, info in self.accounts.items():
+            db.insert_account(
+                addr,
+                AccountInfo(info.nonce, info.balance, info.code, info.exists),
+                dict(self.storages.get(addr, {})),
+            )
+        for h in self.headers[-256:]:
+            db.block_hashes[h.number] = h.hash()
+        env = BlockEnv(
+            number=parent.number + 1,
+            timestamp=parent.timestamp + 12,
+            gas_limit=parent.gas_limit,
+            base_fee=self.base_fee,
+            coinbase=coinbase,
+            chain_id=self.spec.chain_id,
+        )
+        state = StateJournal(db)
+        result = execute_block_txs(state, env, txs)
+        apply_withdrawals(state, withdrawals)
+        root = finalize_state_root(state, self.state_trie, self.storage_tries)
+        header = BlockHeader(
+            parent_hash=parent.hash(),
+            beneficiary=coinbase,
+            state_root=root,
+            transactions_root=_tx_root(txs),
+            receipts_root=_receipts_root(result.receipts),
+            logs_bloom=result.logs_bloom,
+            number=env.number,
+            gas_limit=env.gas_limit,
+            gas_used=result.gas_used,
+            timestamp=env.timestamp,
+            base_fee_per_gas=self.base_fee,
+            withdrawals_root=_withdrawals_root(withdrawals),
+        )
+        # apply execution results to the flat world
+        for addr in state.all_touched | state.all_selfdestructed:
+            acc = state.accounts.get(addr)
+            if acc is None:
+                continue
+            if not acc.exists or (
+                acc.nonce == 0 and acc.balance == 0 and not acc.code
+            ):
+                self.accounts.pop(addr, None)
+                self.storages.pop(addr, None)
+                continue
+            self.accounts[addr] = AccountInfo(
+                acc.nonce, acc.balance, acc.code, True
+            )
+            if acc.code:
+                self.codes[keccak256(acc.code)] = acc.code
+            slots = self.storages.setdefault(addr, {})
+            for (a, slot), val in state.storage.items():
+                if a == addr:
+                    if val:
+                        slots[slot] = val
+                    else:
+                        slots.pop(slot, None)
+        self.headers.append(header)
+        self.blocks_txs.append(list(txs))
+        self.blocks_withdrawals.append(list(withdrawals))
+        self.snapshots.append(self._snap())
+        return header
+
+    # -- provider-style queries ------------------------------------------
+    def get_block(self, number: int):
+        return self.headers[number], self.blocks_txs[number], self.blocks_withdrawals[number]
+
+    def tip(self) -> int:
+        return len(self.headers) - 1
+
+    def get_account(self, number: int, addr: bytes):
+        snap = self.snapshots[number]
+        return snap.accounts.get(addr)
+
+    def get_storage(self, number: int, addr: bytes, slot: int) -> int:
+        return self.snapshots[number].storages.get(addr, {}).get(slot, 0)
+
+    def get_code(self, number: int, addr: bytes) -> bytes:
+        info = self.snapshots[number].accounts.get(addr)
+        return info.code if info else b""
+
+    def get_proof(self, number: int, addr: bytes, slots: list[int]):
+        """EIP-1186-style proof response."""
+        snap = self.snapshots[number]
+        account_proof = snap.state_trie.proof(to_nibs(keccak256(addr)))
+        st = snap.storage_tries.get(addr, MptNode.null())
+        storage_proof = {}
+        for slot in slots:
+            key = slot.to_bytes(32, "big")
+            try:
+                storage_proof[key] = st.proof(to_nibs(keccak256(key)))
+            except Exception:
+                storage_proof[key] = []
+        info = snap.accounts.get(addr)
+        return {
+            "account_proof": account_proof,
+            "storage_root": st.hash(),
+            "storage_proofs": storage_proof,
+            "nonce": info.nonce if info else 0,
+            "balance": info.balance if info else 0,
+            "code_hash": keccak256(info.code)
+            if info and info.code
+            else KECCAK_EMPTY,
+        }
