@@ -31,7 +31,9 @@ from .state import AccountInfo, MemDb, StateJournal
 def create_mem_db(input: GuestInput) -> tuple[MemDb, MptNode, dict]:
     """Verify and load the input tries into a MemDb
     (reference builder.rs:267-379)."""
-    state_trie = input.parent_state_trie
+    # clone: finalize mutates the tries, and a GuestInput may be executed
+    # multiple times (get_output then each prover run)
+    state_trie = input.parent_state_trie.clone()
     if state_trie.hash() != input.parent_header.state_root:
         raise BlockError("parent state trie root mismatch")
     contracts = {keccak256(c): bytes(c) for c in input.contracts}
@@ -39,6 +41,7 @@ def create_mem_db(input: GuestInput) -> tuple[MemDb, MptNode, dict]:
     storage_tries = {}
     for addr, (storage_trie, slots) in input.parent_storage.items():
         addr = bytes(addr)
+        storage_trie = storage_trie.clone()
         acct_rlp = state_trie.get(to_nibs(keccak256(addr)))
         if acct_rlp is None:
             account = Account(storage_root=EMPTY_ROOT)

@@ -176,22 +176,25 @@ def execute_block_txs(
     cumulative = 0
     recovered = []
     for i, tx in enumerate(txs):
-        sender = senders[i] if senders else tx.recover_sender()
-        recovered.append(sender)
-        is_anchor = is_taiko and i == 0
-        if is_anchor and sender != GOLDEN_TOUCH:
-            raise BlockError("anchor tx not from golden-touch address")
-        if tx.chain_id is not None and tx.chain_id != block.chain_id:
-            raise BlockError("wrong chain id")
-        if cumulative + tx.gas_limit > block.gas_limit:
-            if is_taiko and not optimistic:
-                # taiko: skip invalid txs rather than failing the block
+        try:
+            sender = senders[i] if senders else tx.recover_sender()
+            recovered.append(sender)
+            is_anchor = is_taiko and i == 0
+            if is_anchor and sender != GOLDEN_TOUCH:
+                raise BlockError("anchor tx not from golden-touch address")
+            if tx.chain_id is not None and tx.chain_id != block.chain_id:
+                raise BlockError("wrong chain id")
+            if cumulative + tx.gas_limit > block.gas_limit:
+                raise BlockError("block gas limit exceeded")
+            result = execute_transaction(
+                state, block, tx, sender, is_taiko, is_anchor, treasury
+            )
+        except (BlockError, ValueError):
+            if optimistic:
+                # data-gathering run: keep executing the rest of the block
                 receipts.append(None)
                 continue
-            raise BlockError("block gas limit exceeded")
-        result = execute_transaction(
-            state, block, tx, sender, is_taiko, is_anchor, treasury
-        )
+            raise
         cumulative += result.gas_used
         receipts.append(
             Receipt(tx.tx_type, 1 if result.success else 0, cumulative, result.logs)

@@ -257,6 +257,21 @@ class MptNode:
                 self._become(MptNode.extension((i,), child))
         return True
 
+    def clone(self) -> "MptNode":
+        """Deep structural copy (finalize mutates tries in place; callers
+        that must not consume their input clone first)."""
+        if self.kind == BRANCH:
+            return MptNode(BRANCH, children=[c.clone() for c in self.children])
+        if self.kind == EXTENSION:
+            return MptNode(
+                EXTENSION, children=[self.children[0].clone()], nibbles=self.nibbles
+            )
+        if self.kind == LEAF:
+            return MptNode(LEAF, value=self.value, nibbles=self.nibbles)
+        if self.kind == DIGEST:
+            return MptNode(DIGEST, digest=self.digest)
+        return MptNode(NULL)
+
     def proof(self, key_nibbles) -> list[bytes]:
         """EIP-1186-style proof: RLP of every standalone node on the path
         from the root toward ``key`` (inline <32-byte nodes stay embedded in

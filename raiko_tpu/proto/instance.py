@@ -167,8 +167,8 @@ class ProtocolInstance:
             }:
                 raise ProtocolInstanceError("unexpected hard_forks")
 
-        # metadata rebuilt from the re-executed header must match the
-        # proposal event's metadata (ref :100-150)
+        # metadata rebuilt from the re-executed header; for taiko chains it
+        # must equal the proposal event's metadata (ref :100-150)
         meta2 = BlockMetadata(
             l1_hash=taiko.l1_header.hash(),
             difficulty=meta.difficulty,
@@ -185,7 +185,7 @@ class ProtocolInstance:
             parent_meta_hash=meta.parent_meta_hash,
             sender=meta.sender,
         )
-        if meta2.values() != meta.values():
+        if guest_input.chain_spec.is_taiko and meta2.values() != meta.values():
             diffs = [
                 i for i, (a, b) in enumerate(zip(meta2.values(), meta.values())) if a != b
             ]
@@ -202,7 +202,7 @@ class ProtocolInstance:
                 state_root=header.state_root,
                 graffiti=taiko.prover_data_graffiti,
             ),
-            block_metadata=meta,
+            block_metadata=meta2,
             prover=taiko.prover_data_prover,
             chain_id=guest_input.chain_spec.chain_id,
             verifier_address=addr,

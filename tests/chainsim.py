@@ -109,7 +109,15 @@ class ChainSim:
         )
 
     # -- block production ----------------------------------------------
-    def produce_block(self, txs, withdrawals=None, coinbase=b"\xc0" * 20):
+    def produce_block(
+        self,
+        txs,
+        withdrawals=None,
+        coinbase=b"\xc0" * 20,
+        is_taiko=False,
+        treasury=None,
+        gas_limit=None,
+    ):
         withdrawals = withdrawals or []
         parent = self.headers[-1]
         db = MemDb()
@@ -124,13 +132,15 @@ class ChainSim:
         env = BlockEnv(
             number=parent.number + 1,
             timestamp=parent.timestamp + 12,
-            gas_limit=parent.gas_limit,
+            gas_limit=gas_limit or parent.gas_limit,
             base_fee=self.base_fee,
             coinbase=coinbase,
             chain_id=self.spec.chain_id,
         )
         state = StateJournal(db)
-        result = execute_block_txs(state, env, txs)
+        result = execute_block_txs(
+            state, env, txs, is_taiko=is_taiko, treasury=treasury
+        )
         apply_withdrawals(state, withdrawals)
         root = finalize_state_root(state, self.state_trie, self.storage_tries)
         header = BlockHeader(
@@ -217,3 +227,99 @@ class ChainSim:
             if info and info.code
             else KECCAK_EMPTY,
         }
+
+# --------------------------------------------------------------------------
+# Taiko L2 simulation: anchor txs, proposals, blob tx-lists
+# --------------------------------------------------------------------------
+
+GOLDEN_TOUCH_KEY = 0x92954368AFD3CAA1F3CE3EAD0069C1AF414054AEFE1EF9AEACC1BF426222CE38
+
+
+class TaikoSim(ChainSim):
+    """A taiko L2 chain paired with an L1 ChainSim that records proposals."""
+
+    def __init__(self, l1_sim: ChainSim, network: str = "taiko_a7"):
+        super().__init__(network)
+        self.l1 = l1_sim
+        self.proposals: dict[int, dict] = {}
+        self.treasury = bytes.fromhex(self.spec.l2_contract[2:].zfill(40))
+
+    def produce_taiko_block(self, txs, use_blob=True, coinbase=b"\xc2" * 20):
+        from raiko_tpu.evm.execute import ANCHOR_GAS_LIMIT, GOLDEN_TOUCH
+        from raiko_tpu.kzg import eip4844
+        from raiko_tpu.proto.instance import BlockMetadata
+        from raiko_tpu.proto.types import Transaction
+        from raiko_tpu.utils.txlist import (
+            encode_blob_data,
+            encode_transactions,
+            zlib_compress_data,
+        )
+        from raiko_tpu.proto import abi as abimod
+        from raiko_tpu.proto.instance import ETH_DEPOSIT_SPEC
+
+        # tx data exactly as posted on chain
+        compressed = zlib_compress_data(encode_transactions(txs))
+        tx_data = encode_blob_data(compressed) if use_blob else compressed
+        # anchor tx
+        golden_nonce = self.accounts.get(GOLDEN_TOUCH)
+        anchor = Transaction(
+            tx_type=2,
+            chain_id=self.spec.chain_id,
+            nonce=golden_nonce.nonce if golden_nonce else 0,
+            max_priority_fee_per_gas=0,
+            max_fee_per_gas=self.base_fee,
+            gas_limit=ANCHOR_GAS_LIMIT,
+            to=self.treasury,
+            value=0,
+            data=b"\x8e\x3f\x56\x75",  # anchor selector placeholder
+        )
+        anchor.sign(GOLDEN_TOUCH_KEY)
+        all_txs = [anchor] + list(txs)
+        header = self.produce_block(
+            all_txs,
+            coinbase=coinbase,
+            is_taiko=True,
+            treasury=self.treasury,
+            gas_limit=15_000_000 + ANCHOR_GAS_LIMIT,
+        )
+        l1_header = self.l1.headers[-1]
+        if use_blob:
+            commitment = eip4844.blob_to_kzg_commitment(tx_data, use_tpu=False)
+            blob_hash = eip4844.commitment_to_version_hash(commitment)
+        else:
+            from raiko_tpu.utils import keccak256 as _k
+
+            blob_hash = _k(tx_data)
+        meta = BlockMetadata(
+            l1_hash=l1_header.hash(),
+            difficulty=b"\x11" * 32,
+            blob_hash=blob_hash,
+            extra_data=header.extra_data[:32].ljust(32, b"\x00"),
+            deposits_hash=keccak256(
+                abimod.encode([("array", ETH_DEPOSIT_SPEC)], [[]])
+            ),
+            coinbase=header.beneficiary,
+            block_id=header.number,
+            gas_limit=header.gas_limit - ANCHOR_GAS_LIMIT,
+            timestamp=header.timestamp,
+            l1_height=l1_header.number,
+            min_tier=100,
+            blob_used=use_blob,
+            parent_meta_hash=b"\x22" * 32,
+            sender=b"\x33" * 20,
+        )
+        proposal = {"meta": meta, "l1_header": l1_header, "tx_data": tx_data}
+        self.proposals[header.number] = proposal
+        # proposals live on L1 in reality; expose through the L1 sim too
+        self.l1.__dict__.setdefault("proposals", {})[header.number] = proposal
+        return header
+
+    def get_block_proposed(self, block_id: int) -> dict:
+        return self.proposals[block_id]
+
+
+def _l1_get_block_proposed(self, block_id):
+    return self.proposals[block_id]
+
+
+ChainSim.get_block_proposed = _l1_get_block_proposed

@@ -1,0 +1,136 @@
+"""Core end-to-end: preflight -> get_output -> prove, over the simulated
+chains (the reference's core/src/lib.rs:295-391 integration tests, but
+offline)."""
+
+import pytest
+
+from chainsim import ChainSim, TaikoSim
+from raiko_tpu.chain import SupportedChainSpecs
+from raiko_tpu.core.interfaces import (
+    InvalidRequestConfig,
+    ProofRequest,
+    ProofType,
+    merge_json,
+)
+from raiko_tpu.core.orchestrator import Raiko
+from raiko_tpu.core.provider import register_sim, _SIM_REGISTRY
+from raiko_tpu.proto.types import Transaction
+from raiko_tpu.utils import secp256k1
+
+KEY = 0xB0B
+SENDER = secp256k1.pubkey_to_address(secp256k1.pubkey(KEY))
+
+
+def mktx(nonce, to, value=1, chain_id=1, gas=21000):
+    tx = Transaction(
+        tx_type=2,
+        chain_id=chain_id,
+        nonce=nonce,
+        max_priority_fee_per_gas=1,
+        max_fee_per_gas=100,
+        gas_limit=gas,
+        to=to,
+        value=value,
+    )
+    tx.sign(KEY)
+    return tx
+
+
+@pytest.fixture(scope="module")
+def world():
+    _SIM_REGISTRY.clear()
+    l1 = ChainSim("ethereum")
+    l1.fund(SENDER, 10**20)
+    l1.produce_block([mktx(0, b"\x77" * 20, value=9)])
+    l1.produce_block([mktx(1, b"\x77" * 20, value=9)])
+    l2 = TaikoSim(l1, "taiko_a7")
+    l2.fund(SENDER, 10**20)
+    l2.produce_taiko_block(
+        [mktx(0, b"\x88" * 20, value=5, chain_id=167009)], use_blob=True
+    )
+    l2.produce_taiko_block(
+        [mktx(1, b"\x88" * 20, value=5, chain_id=167009)], use_blob=False
+    )
+    register_sim("ethereum", l1)
+    register_sim("taiko_a7", l2)
+    yield l1, l2
+    _SIM_REGISTRY.clear()
+
+
+def _run(network, block_number, proof_type=ProofType.NATIVE):
+    req = ProofRequest(
+        block_number=block_number, network=network, proof_type=proof_type
+    )
+    raiko = Raiko(SupportedChainSpecs(), req)
+    gi = raiko.generate_input()
+    output = raiko.get_output(gi)
+    proof = raiko.prove(gi, output)
+    return gi, output, proof
+
+
+def test_native_prove_ethereum_block(world):
+    l1, _ = world
+    gi, output, proof = _run("ethereum", 2)
+    assert output.header.hash() == l1.headers[2].hash()
+    assert proof.input_hash == "0x" + output.hash.hex()
+
+
+def test_native_prove_taiko_blob_block(world):
+    _, l2 = world
+    gi, output, proof = _run("taiko_a7", 1)
+    assert output.header.hash() == l2.headers[1].hash()
+    assert gi.taiko.blob_commitment is not None
+    assert proof.kzg_proof is not None  # blob proof appended (ref :207-219)
+
+
+def test_native_prove_taiko_calldata_block(world):
+    _, l2 = world
+    gi, output, proof = _run("taiko_a7", 2)
+    assert output.header.hash() == l2.headers[2].hash()
+    assert gi.taiko.blob_commitment is None
+    assert not gi.taiko.block_proposed_meta.blob_used
+
+
+def test_tee_prove_taiko_block(world, tmp_path):
+    from raiko_tpu.provers.base import _REGISTRY
+    from raiko_tpu.provers.tee import TeeProver
+
+    prover = TeeProver(key_dir=str(tmp_path))
+    info = prover.bootstrap()
+    _REGISTRY[ProofType.TEE] = prover
+    gi, output, proof = _run("taiko_a7", 1, ProofType.TEE)
+    raw = bytes.fromhex(proof.proof[2:])
+    assert len(raw) == 4 + 20 + 65
+    new_instance = raw[4:24]
+    assert "0x" + new_instance.hex() == info["new_instance"]
+    # signature recovers to the instance address over the instance hash
+    ih = bytes.fromhex(proof.input_hash[2:])
+    r = int.from_bytes(raw[24:56], "big")
+    s = int.from_bytes(raw[56:88], "big")
+    v = raw[88]
+    assert secp256k1.ecrecover(ih, v, r, s) == new_instance
+
+
+def test_guest_input_serializes(world):
+    gi, _, _ = _run("taiko_a7", 1)
+    from raiko_tpu.proto.input import GuestInput
+
+    data = gi.to_bytes()
+    gi2 = GuestInput.from_bytes(data)
+    assert gi2.to_bytes() == data
+
+
+def test_request_validation():
+    with pytest.raises(InvalidRequestConfig):
+        ProofRequest.from_opt({"network": "ethereum"})
+    req = ProofRequest.from_opt(
+        {"block_number": 5, "network": "ethereum", "proof_type": "native", "extra": 1}
+    )
+    assert req.prover_args == {"extra": 1}
+
+
+def test_merge_json():
+    a = {"x": 1, "nested": {"a": 1, "b": 2}, "keep": 5}
+    b = {"x": 2, "nested": {"b": None, "c": 3}}
+    m = merge_json(a, b)
+    assert m == {"x": 2, "nested": {"a": 1, "b": 2, "c": 3}, "keep": 5}
