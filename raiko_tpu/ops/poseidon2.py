@@ -179,6 +179,73 @@ def compress(left: jax.Array, right: jax.Array) -> jax.Array:
     return permute(jnp.concatenate([left, right], axis=1))[:, :OUT]
 
 
+# ---------------------------------------------------------------------------
+# host (python-int) reference: round-by-round, used by the Poseidon2 AIR's
+# trace generator and in tests to pin the device permutation
+# ---------------------------------------------------------------------------
+
+M4 = ((5, 7, 1, 3), (4, 6, 1, 1), (1, 3, 5, 7), (1, 1, 4, 6))
+
+
+def host_constants():
+    """(ext_rc (8,16), int_rc (13,), mu (16,)) as standard-form ints."""
+    ext, internal, mu = _derive_constants()
+    return (
+        bb.np_from_mont(ext).tolist(),
+        bb.np_from_mont(internal).tolist(),
+        bb.np_from_mont(mu).tolist(),
+    )
+
+
+def host_ext_linear(s: list[int]) -> list[int]:
+    groups = []
+    for g in range(4):
+        grp = s[4 * g : 4 * g + 4]
+        groups.append(
+            [sum(M4[i][j] * grp[j] for j in range(4)) % bb.P for i in range(4)]
+        )
+    sums = [sum(grp[i] for grp in groups) % bb.P for i in range(4)]
+    return [
+        (groups[g][i] + sums[i]) % bb.P for g in range(4) for i in range(4)
+    ]
+
+
+def host_int_linear(s: list[int], mu: list[int]) -> list[int]:
+    tot = sum(s) % bb.P
+    return [(tot + mu[c] * s[c]) % bb.P for c in range(WIDTH)]
+
+
+def host_sbox(v: int) -> int:
+    return pow(v, ALPHA, bb.P)
+
+
+def host_round_sequence():
+    """The 21 rounds as (kind, rc_vector) with kind in {'ext','int'}."""
+    ext_rc, int_rc, _ = host_constants()
+    seq = []
+    for r in range(ROUNDS_F // 2):
+        seq.append(("ext", ext_rc[r]))
+    for r in range(ROUNDS_P):
+        seq.append(("int", [int_rc[r]] + [0] * (WIDTH - 1)))
+    for r in range(ROUNDS_F // 2, ROUNDS_F):
+        seq.append(("ext", ext_rc[r]))
+    return seq
+
+
+def host_permute(state: list[int]) -> list[int]:
+    """Full permutation via the round sequence (must equal device
+    ``permute`` exactly; pinned by tests)."""
+    _, _, mu = host_constants()
+    s = host_ext_linear(state)
+    for kind, rc in host_round_sequence():
+        if kind == "ext":
+            s = host_ext_linear([host_sbox((s[c] + rc[c]) % bb.P) for c in range(WIDTH)])
+        else:
+            v = [host_sbox((s[0] + rc[0]) % bb.P)] + s[1:]
+            s = host_int_linear(v, mu)
+    return s
+
+
 def hash_rows(rows: jax.Array) -> jax.Array:
     """Sponge-hash each row of a (B, W) matrix into a (B, 8) digest.
 

@@ -50,6 +50,13 @@ class ConstraintBuilder:
     def next(self, col: int):
         return self.alg.next(col)
 
+    def fixed(self, col: int):
+        """Public preprocessed column (selectors, round constants,
+        absorbed-message lanes).  Both sides know its values: the prover
+        extends it alongside the trace, the verifier evaluates it at the
+        OOD point directly — no commitment or opening needed."""
+        return self.alg.fixed(col)
+
     def public(self, i: int):
         return self.alg.public(i)
 
@@ -79,12 +86,17 @@ class ConstraintBuilder:
 
 class Air:
     """Base class.  Subclasses set ``width`` and implement ``eval`` (and
-    typically a trace generator used by the calling prover pipeline)."""
+    typically a trace generator used by the calling prover pipeline).
+    ``fixed_columns(n)`` optionally returns an (F, n) uint32 array of
+    public preprocessed columns."""
 
     width: int = 0
 
     def eval(self, b: ConstraintBuilder) -> None:
         raise NotImplementedError
+
+    def fixed_columns(self, n: int):
+        return None
 
     def num_constraints(self) -> int:
         class _Probe:
@@ -92,6 +104,9 @@ class Air:
                 return 0
 
             def next(self, c):
+                return 0
+
+            def fixed(self, c):
                 return 0
 
             def public(self, i):

@@ -58,16 +58,26 @@ class StarkProof:
 class _ProverAlgebra:
     """Vectorized base-field constraint evaluation over the LDE domain."""
 
-    def __init__(self, lde: jax.Array, next_perm: np.ndarray, publics: list[int]):
+    def __init__(
+        self,
+        lde: jax.Array,
+        next_perm: np.ndarray,
+        publics: list[int],
+        fixed_lde: jax.Array | None = None,
+    ):
         self._lde = lde  # (W, m) Montgomery
         self._next = jnp.asarray(next_perm)
         self._publics = publics
+        self._fixed = fixed_lde
 
     def local(self, c: int):
         return self._lde[c]
 
     def next(self, c: int):
         return self._lde[c][self._next]
+
+    def fixed(self, c: int):
+        return self._fixed[c]
 
     def public(self, i: int):
         return self.constant(self._publics[i])
@@ -177,7 +187,14 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
 
     # 2. constraint evaluation + quotient
     alpha = channel.challenge_ef()
-    alg = _ProverAlgebra(t_lde, dom.next_perm, publics)
+    fixed = air.fixed_columns(n)
+    fixed_lde = None
+    if fixed is not None:
+        fixed_m = bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))
+        fixed_lde = ntt.lde_from_coeffs(
+            ntt.interpolate(fixed_m), BLOWUP_LOG, dom.shift
+        )
+    alg = _ProverAlgebra(t_lde, dom.next_perm, publics, fixed_lde)
     builder = ConstraintBuilder(alg)
     air.eval(builder)
     sels = {

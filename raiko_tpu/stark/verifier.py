@@ -25,16 +25,20 @@ from .prover import BLOWUP_LOG, NUM_QUERIES, StarkProof
 class _VerifierAlgebra:
     """Scalar EF evaluation of constraints at the OOD point."""
 
-    def __init__(self, at_zeta, at_zeta_g, publics):
+    def __init__(self, at_zeta, at_zeta_g, publics, fixed_at_zeta=None):
         self._z = at_zeta
         self._zg = at_zeta_g
         self._publics = publics
+        self._fixed = fixed_at_zeta
 
     def local(self, c):
         return tuple(self._z[c])
 
     def next(self, c):
         return tuple(self._zg[c])
+
+    def fixed(self, c):
+        return tuple(self._fixed[c])
 
     def public(self, i):
         return ef.h_from_base(self._publics[i])
@@ -84,7 +88,13 @@ def verify(air: Air, proof: StarkProof) -> bool:
         channel.absorb_ef(tuple(v))
 
     # DEEP-ALI identity at zeta: sum alpha^i c_i(zeta) sel_i(zeta) == Q(zeta)
-    alg = _VerifierAlgebra(proof.trace_at_zeta, proof.trace_at_zeta_g, publics)
+    fixed_at_zeta = None
+    fixed = air.fixed_columns(dom.n)
+    if fixed is not None:
+        fixed_at_zeta = _eval_fixed_at(fixed, zeta)
+    alg = _VerifierAlgebra(
+        proof.trace_at_zeta, proof.trace_at_zeta_g, publics, fixed_at_zeta
+    )
     builder = ConstraintBuilder(alg)
     air.eval(builder)
     sels = dom.sel_at(zeta)
@@ -160,6 +170,25 @@ def verify(air: Air, proof: StarkProof) -> bool:
     return fri.check_queries(
         proof.fri_proof, betas, log_n + BLOWUP_LOG, dom.shift, pairs
     )
+
+
+def _eval_fixed_at(fixed: np.ndarray, zeta: tuple) -> list[tuple]:
+    """Evaluate public fixed columns at the OOD point (host): interpolate
+    over the trace subgroup, then Horner in the extension field."""
+    import jax.numpy as jnp
+
+    from ..ops import ntt
+
+    coeffs = np.asarray(
+        bb.from_mont(ntt.interpolate(bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))))
+    )
+    out = []
+    for row in coeffs:
+        acc = ef.H_ZERO
+        for c in reversed(row.tolist()):
+            acc = ef.h_add(ef.h_mul(acc, zeta), ef.h_from_base(int(c)))
+        out.append(acc)
+    return out
 
 
 def _chunk_at(coords) -> tuple:
