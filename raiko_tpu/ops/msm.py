@@ -90,6 +90,15 @@ def msm(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
     scalar_limbs: (N, 16) u32 of 16-bit limbs (standard form integers).
     Returns one (3, 24) projective point.
     """
+    return combine_buckets(bucket_matrix(points, scalar_limbs))
+
+
+def bucket_matrix(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
+    """Steps 1-4 of the Pippenger pipeline: per-(window, bucket) partial
+    sums as a dense (NWINDOWS, NBUCKETS, 3, 24) matrix.  Exposed separately
+    so the distributed MSM can reduce per-chip bucket matrices with a
+    collective before the shared suffix-sum reduction
+    (raiko_tpu/parallel/msm_dist.py)."""
     n = points.shape[0]
     # 1. window digits (N, 32): limb w -> digits 2w (low byte), 2w+1 (high)
     lo = scalar_limbs & 0xFF
@@ -118,8 +127,7 @@ def msm(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
     scatter_keys = jnp.where(is_last & valid, keys_sorted, jnp.uint32(_DUMP))
     buckets = curve.identity((NWINDOWS * NBUCKETS + 1,))
     buckets = buckets.at[scatter_keys].set(scanned)
-    buckets = buckets[:_DUMP].reshape(NWINDOWS, NBUCKETS, 3, 24)
-    return combine_buckets(buckets)
+    return buckets[:_DUMP].reshape(NWINDOWS, NBUCKETS, 3, 24)
 
 
 def combine_buckets(buckets: jax.Array) -> jax.Array:

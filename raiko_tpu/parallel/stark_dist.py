@@ -1,0 +1,68 @@
+"""Sharded STARK trace commitment: the multi-chip prover step.
+
+Parallelism axes over the mesh (the sharding plan the driver's multi-chip
+dry-run exercises):
+
+- **column parallel** (tensor-parallel analog): trace columns shard across
+  chips; per-column interpolation + coset LDE are fully local NTT work;
+- **all-to-all reshard** (sequence-parallel analog): LDE output resharded
+  from column-shards to row-shards — one collective;
+- **row parallel** (data-parallel analog): Poseidon2 leaf hashing and the
+  lower Merkle levels run on local row shards; subtree roots are
+  all-gathered and the top of the tree is folded identically on every
+  chip (replicated, log2(D) compressions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..fields import babybear as bb
+from ..ops import merkle, ntt as nttmod, poseidon2 as p2
+from ..stark.prover import BLOWUP_LOG
+
+
+def make_trace_commit_dist(mesh: Mesh, axis: str = "d"):
+    """Build a jitted sharded trace-commitment step.
+
+    Takes a (n, W) uint32 standard-form trace (W a multiple of the mesh
+    size) and returns the (8,) Merkle root (replicated)."""
+    ndev = mesh.shape[axis]
+
+    def local(trace_cols):
+        # trace_cols: (W/D, n) — this chip's column shard (Montgomery)
+        coeffs = nttmod.interpolate(trace_cols)
+        lde = nttmod.lde_from_coeffs(coeffs, BLOWUP_LOG, bb.GENERATOR)  # (W/D, m)
+        m = lde.shape[-1]
+        # reshard: columns -> row blocks (all-to-all on the domain axis)
+        rows = jax.lax.all_to_all(lde, axis, 1, 0, tiled=True)  # (W, m/D)
+        leaves = p2.hash_rows(rows.T)  # (m/D, 8)
+        levels = merkle.commit(leaves)
+        sub_root = levels[-1][0]  # (8,)
+        gathered = jax.lax.all_gather(sub_root, axis)  # (D, 8)
+        # fold the top of the tree identically on every chip
+        cur = gathered
+        while cur.shape[0] > 1:
+            cur = p2.compress(cur[0::2], cur[1::2])
+        return cur[0]
+
+    shmapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(trace: jax.Array) -> jax.Array:
+        tm = bb.to_mont(trace.T)  # (W, n)
+        tm = jax.lax.with_sharding_constraint(
+            tm, NamedSharding(mesh, P(axis, None))
+        )
+        return shmapped(tm)
+
+    return run

@@ -1,0 +1,51 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: distributed
+NTT / MSM / trace-commit must be bit-exact with single-chip results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raiko_tpu.fields import babybear as bb
+from raiko_tpu.ops import merkle, msm as msmmod, ntt as nttmod, poseidon2 as p2
+from raiko_tpu.parallel.msm_dist import make_msm_dist
+from raiko_tpu.parallel.ntt_dist import make_ntt_dist
+from raiko_tpu.parallel.stark_dist import make_trace_commit_dist
+
+RNG = np.random.default_rng(21)
+
+
+def test_ntt_dist_matches_single_chip(mesh8):
+    log_n = 12
+    x = RNG.integers(0, bb.P, 1 << log_n, np.uint32)
+    xm = bb.to_mont(jnp.asarray(x))
+    want = np.asarray(nttmod.ntt(xm))
+    run = make_ntt_dist(mesh8, log_n)
+    got = np.asarray(run(xm))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_trace_commit_dist_matches_single_chip(mesh8):
+    n, w = 64, 16
+    trace = RNG.integers(0, bb.P, (n, w), np.uint32)
+    # single chip
+    tm = bb.to_mont(jnp.asarray(trace.T.copy()))
+    lde = nttmod.lde_from_coeffs(nttmod.interpolate(tm), 2, bb.GENERATOR)
+    want = np.asarray(merkle.root(merkle.commit(p2.hash_rows(lde.T))))
+    run = make_trace_commit_dist(mesh8)
+    got = np.asarray(run(jnp.asarray(trace)))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_msm_dist_matches_single_chip(mesh8):
+    from raiko_tpu.kzg import curve, host_curve as hc
+
+    n = 16
+    scalars = [int.from_bytes(RNG.bytes(32), "big") % hc.R for _ in range(n)]
+    pts = [hc.g1_mul(hc.G1_GEN, int(RNG.integers(1, 1 << 62))) for _ in range(n)]
+    dev_pts = jnp.asarray(curve.points_from_affine(pts))
+    limbs = jnp.asarray(msmmod.scalars_to_limbs(scalars))
+    run = make_msm_dist(mesh8)
+    got = curve.to_affine(np.asarray(run(dev_pts, limbs)))
+    assert got == hc.g1_msm(pts, scalars)
