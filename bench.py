@@ -41,7 +41,7 @@ def main() -> None:
     batch, log_n = 64, 14
     n = 1 << log_n
     x = bb.to_mont(jnp.asarray(rng.integers(0, bb.P, (batch, n), np.uint32)))
-    fwd = jax.jit(nttmod.ntt)
+    fwd = jax.jit(nttmod.ntt_fourstep)
     fwd(x).block_until_ready()  # compile
     reps = 10
     t0 = time.perf_counter()

@@ -101,6 +101,66 @@ def intt(x: jax.Array) -> jax.Array:
     return bb.mont_mul(x, jnp.uint32(n_inv))
 
 
+@functools.lru_cache(maxsize=32)
+def _fourstep_twiddles(log_r: int, log_c: int) -> np.ndarray:
+    """w_N^{k1*n2} with rows in bitrev-k1 order — (R, C) Montgomery."""
+    r, c = 1 << log_r, 1 << log_c
+    w = bb.two_adic_generator(log_r + log_c)
+    rev = bit_reverse_indices(r)
+    out = np.empty((r, c), dtype=np.uint32)
+    for row in range(r):
+        base = pow(w, int(rev[row]), bb.P)
+        cur = 1
+        for n2 in range(c):
+            out[row, n2] = cur
+            cur = cur * base % bb.P
+    return bb.np_to_mont(out)
+
+
+def _ntt_axis_minor(x: jax.Array, log_m: int, tables) -> jax.Array:
+    """DIF butterflies along axis -2 of (..., M, L): the lane axis L stays
+    untouched, so every reshape keeps full-width vector lanes."""
+    m = 1 << log_m
+    lead = x.shape[:-2]
+    lanes = x.shape[-1]
+    for s in range(log_m):
+        half = m >> (s + 1)
+        tw = jnp.asarray(tables[s])[:, None]  # (half, 1) broadcast over lanes
+        y = x.reshape(lead + (1 << s, 2, half, lanes))
+        u = y[..., 0, :, :]
+        v = y[..., 1, :, :]
+        x0 = bb.add(u, v)
+        x1 = bb.mont_mul(bb.sub(u, v), tw)
+        x = jnp.stack([x0, x1], axis=-3).reshape(lead + (m, lanes))
+    return x
+
+
+def ntt_fourstep(x: jax.Array) -> jax.Array:
+    """Forward NTT via the R x C four-step decomposition — identical output
+    to ``ntt`` (global bit-reversed order) but TPU-layout-friendly: both
+    butterfly passes run along a non-lane axis (lane width R or C >= 128)
+    and the only data movement between them is one (R, C) transpose.
+
+    x: (..., N) Montgomery; N = R*C with both factors >= 128 preferred."""
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if log_n < 14:  # small sizes: plain iterative NTT is fine
+        return ntt(x)
+    log_r = log_n // 2
+    log_c = log_n - log_r
+    r, c = 1 << log_r, 1 << log_c
+    lead = x.shape[:-1]
+    mat = x.reshape(lead + (r, c))
+    a = _ntt_axis_minor(mat, log_r, _twiddles(log_r, False))
+    a = bb.mont_mul(a, jnp.asarray(_fourstep_twiddles(log_r, log_c)))
+    at = jnp.swapaxes(a, -1, -2)  # (C, R)
+    out = _ntt_axis_minor(at, log_c, _twiddles(log_c, False))
+    # out holds [brp_C(k2), brp_R(k1)]; global bitrev order is
+    # [brp_R(k1), brp_C(k2)] row-major — transpose back before flattening
+    return jnp.swapaxes(out, -1, -2).reshape(lead + (n,))
+
+
 def bit_reverse_indices(n: int) -> np.ndarray:
     """Permutation taking bit-reversed order to natural order (host-side)."""
     log_n = n.bit_length() - 1

@@ -136,3 +136,14 @@ def test_interpolate_and_lde():
     got_lde = np.asarray(bb.from_mont(nttmod.lde(em, blowup)))
     rev = nttmod.bit_reverse_indices(m)
     np.testing.assert_array_equal(got_lde[rev], expect)
+
+
+@pytest.mark.parametrize("log_n", [14])
+def test_ntt_fourstep_matches_iterative(log_n):
+    x = rand_elems(2 << log_n).reshape(2, 1 << log_n)
+    xm = bb.to_mont(jnp.asarray(x))
+    import jax
+
+    got = np.asarray(jax.jit(nttmod.ntt_fourstep)(xm))
+    want = np.asarray(nttmod.ntt(xm))
+    np.testing.assert_array_equal(got, want)
