@@ -134,3 +134,27 @@ def test_merge_json():
     b = {"x": 2, "nested": {"b": None, "c": 3}}
     m = merge_json(a, b)
     assert m == {"x": 2, "nested": {"a": 1, "b": 2, "c": 3}, "keep": 5}
+
+
+def test_guest_subprocess_runner(world):
+    """The guest boundary: serialized input over stdin -> JSON result
+    (reference SGX one-shot protocol shape)."""
+    from raiko_tpu.harness import run_guest
+
+    gi, output, _ = _run("taiko_a7", 1)
+    res = run_guest(gi.to_bytes(), "None")
+    assert res.instance_hash == "0x" + output.hash.hex()
+    assert res.header_hash == "0x" + output.header.hash().hex()
+
+
+def test_in_guest_test_suite():
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "raiko_tpu.harness.guest", "test"],
+        capture_output=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert b"0 failures" in proc.stderr
