@@ -36,7 +36,7 @@ R2 = (R * R) % P
 NPRIME = (-pow(P, -1, 1 << 32)) % (1 << 32)
 
 _U32 = jnp.uint32
-MASK16 = jnp.uint32(0xFFFF)
+MASK16 = np.uint32(0xFFFF)
 
 
 def _mul_64(a, b):
@@ -67,7 +67,7 @@ def mont_mul(a, b):
     a = jnp.asarray(a, _U32)
     b = jnp.asarray(b, _U32)
     t_hi, t_lo = _mul_64(a, b)
-    m = t_lo * jnp.uint32(NPRIME)  # mod 2^32 automatically
+    m = t_lo * np.uint32(NPRIME)  # np scalar: >= 2^31 consts embed in pallas kernels
     u_hi, u_lo = _mul_64(m, jnp.uint32(P))
     # t_lo + u_lo == 0 mod 2^32 by construction; carry is 1 iff t_lo != 0
     carry = (t_lo != 0).astype(_U32)

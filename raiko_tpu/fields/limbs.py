@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MASK16 = jnp.uint32(0xFFFF)
+MASK16 = np.uint32(0xFFFF)
 
 
 def int_to_limbs(v: int, nlimbs: int) -> np.ndarray:

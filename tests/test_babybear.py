@@ -147,3 +147,14 @@ def test_ntt_fourstep_matches_iterative(log_n):
     got = np.asarray(jax.jit(nttmod.ntt_fourstep)(xm))
     want = np.asarray(nttmod.ntt(xm))
     np.testing.assert_array_equal(got, want)
+
+
+def test_ntt_mxu_matches_iterative():
+    from raiko_tpu.ops.ntt_mxu import ntt_mxu
+
+    import jax
+
+    x = rand_elems(2 << 14).reshape(2, 1 << 14)
+    xm = bb.to_mont(jnp.asarray(x))
+    got = np.asarray(jax.jit(ntt_mxu)(xm))
+    np.testing.assert_array_equal(got, np.asarray(nttmod.ntt(xm)))
