@@ -92,3 +92,23 @@ class Channel:
             if v < limit:
                 out.append(v % domain_size)
         return out
+
+    # -- grinding (FRI proof-of-work) -----------------------------------
+    def grind(self, bits: int) -> int:
+        """Prover: find a nonce whose absorption yields a challenge with
+        ``bits`` leading zero bits, then leave it absorbed (queries sampled
+        after the grind inherit its entropy).  Standard FRI grinding: adds
+        ``bits`` of soundness against query-grinding attacks."""
+        snapshot = (self._state.copy(), list(self._pending))
+        nonce = 0
+        while True:
+            self._state, self._pending = snapshot[0].copy(), list(snapshot[1])
+            self.absorb_elems([nonce])
+            if self.challenge() >> (31 - bits) == 0:
+                return nonce
+            nonce += 1
+
+    def check_grind(self, nonce: int, bits: int) -> bool:
+        """Verifier: replay the nonce absorption and check the difficulty."""
+        self.absorb_elems([nonce])
+        return self.challenge() >> (31 - bits) == 0

@@ -39,12 +39,14 @@ from .domain import Domain
 
 BLOWUP_LOG = 2
 NUM_QUERIES = 40
+GRIND_BITS = 10  # FRI proof-of-work (channel.grind)
 
 
 @dataclass
 class StarkProof:
     log_n: int
     width: int
+    pow_nonce: int
     publics: list
     trace_root: list
     quotient_root: list
@@ -281,7 +283,8 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
         np.asarray(bb.from_mont(r)).tolist() for r in roots_dev
     ]
 
-    # 7. queries
+    # 7. grinding + queries
+    pow_nonce = channel.grind(GRIND_BITS)
     indices = channel.challenge_indices(NUM_QUERIES, m)
     t_rows_np = np.asarray(bb.from_mont(t_rows))
     q_rows_np = np.asarray(bb.from_mont(q_rows))
@@ -303,6 +306,7 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     return StarkProof(
         log_n=log_n,
         width=width,
+        pow_nonce=pow_nonce,
         publics=publics,
         trace_root=np.asarray(bb.from_mont(t_root)).tolist(),
         quotient_root=np.asarray(bb.from_mont(q_root)).tolist(),

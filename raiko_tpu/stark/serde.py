@@ -10,6 +10,7 @@ def proof_to_dict(p: StarkProof) -> dict:
     return {
         "log_n": p.log_n,
         "width": p.width,
+        "pow_nonce": p.pow_nonce,
         "publics": [int(v) for v in p.publics],
         "trace_root": [int(v) for v in p.trace_root],
         "quotient_root": [int(v) for v in p.quotient_root],
@@ -46,6 +47,7 @@ def proof_from_dict(d: dict) -> StarkProof:
     return StarkProof(
         log_n=d["log_n"],
         width=d["width"],
+        pow_nonce=d.get("pow_nonce", 0),
         publics=list(d["publics"]),
         trace_root=list(d["trace_root"]),
         quotient_root=list(d["quotient_root"]),

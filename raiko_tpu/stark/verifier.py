@@ -19,7 +19,7 @@ from . import fri
 from .air import Air, ConstraintBuilder
 from .channel import Channel
 from .domain import Domain
-from .prover import BLOWUP_LOG, NUM_QUERIES, StarkProof
+from .prover import BLOWUP_LOG, GRIND_BITS, NUM_QUERIES, StarkProof
 
 
 class _VerifierAlgebra:
@@ -132,6 +132,8 @@ def verify(air: Air, proof: StarkProof) -> bool:
     # FRI transcript replay, then query indices
     betas = fri.replay_commit(proof.fri_proof, log_n + BLOWUP_LOG, dom.shift, channel)
     if betas is None:
+        return False
+    if not channel.check_grind(proof.pow_nonce, GRIND_BITS):
         return False
     indices = channel.challenge_indices(NUM_QUERIES, m)
     if len(proof.queries) != len(indices) or len(proof.fri_proof.query_proofs) != len(indices):
