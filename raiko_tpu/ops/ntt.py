@@ -200,7 +200,8 @@ def lde_from_coeffs(coeffs: jax.Array, blowup_log: int, shift: int | None = None
     scaled = bb.mont_mul(coeffs, jnp.asarray(bb.np_to_mont(powers)))
     pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, m - n)]
     padded = jnp.pad(scaled, pad)
-    return ntt(padded)
+    # large domains take the lane-friendly four-step path
+    return ntt_fourstep(padded) if m >= (1 << 14) else ntt(padded)
 
 
 def interpolate(evals: jax.Array) -> jax.Array:
