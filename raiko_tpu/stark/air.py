@@ -29,6 +29,7 @@ from typing import Any, Callable
 class Constraint:
     kind: str  # "transition" | "first_row" | "last_row"
     expr: Any
+    count: int = 1  # >1 for block constraints (expr stacks `count` rows)
 
 
 class ConstraintBuilder:
@@ -73,6 +74,25 @@ class ConstraintBuilder:
     def mul(self, a, b):
         return self.alg.mul(a, b)
 
+    # block row access (vectorized AIRs: keccak etc.) -------------------
+    def local_block(self, cols) -> Any:
+        """Stacked columns: cols is a list of column indices; returns a
+        block value (prover: (k, m) array; verifier: list of EF scalars)."""
+        return self.alg.local_block(list(cols))
+
+    def next_block(self, cols) -> Any:
+        return self.alg.next_block(list(cols))
+
+    def fixed_block(self, cols) -> Any:
+        return self.alg.fixed_block(list(cols))
+
+    def public_block(self, idxs) -> Any:
+        return self.alg.public_block(list(idxs))
+
+    def scale(self, k: int, a):
+        """Multiply by a small integer constant (degree-preserving)."""
+        return self.alg.scale(k, a)
+
     # constraint registration ------------------------------------------
     def transition(self, expr) -> None:
         self.constraints.append(Constraint("transition", expr))
@@ -83,14 +103,25 @@ class ConstraintBuilder:
     def last_row(self, expr) -> None:
         self.constraints.append(Constraint("last_row", expr))
 
+    def transition_block(self, expr, count: int) -> None:
+        self.constraints.append(Constraint("transition", expr, count))
+
+    def first_row_block(self, expr, count: int) -> None:
+        self.constraints.append(Constraint("first_row", expr, count))
+
+    def last_row_block(self, expr, count: int) -> None:
+        self.constraints.append(Constraint("last_row", expr, count))
+
 
 class Air:
     """Base class.  Subclasses set ``width`` and implement ``eval`` (and
     typically a trace generator used by the calling prover pipeline).
     ``fixed_columns(n)`` optionally returns an (F, n) uint32 array of
-    public preprocessed columns."""
+    public preprocessed columns.  ``quotient_chunks`` = max constraint
+    degree - 1 (2 supports degree <= 3, 4 supports degree <= 5)."""
 
     width: int = 0
+    quotient_chunks: int = 2
 
     def eval(self, b: ConstraintBuilder) -> None:
         raise NotImplementedError
@@ -100,30 +131,9 @@ class Air:
 
     def num_constraints(self) -> int:
         class _Probe:
-            def local(self, c):
-                return 0
-
-            def next(self, c):
-                return 0
-
-            def fixed(self, c):
-                return 0
-
-            def public(self, i):
-                return 0
-
-            def constant(self, v):
-                return 0
-
-            def add(self, a, b):
-                return 0
-
-            def sub(self, a, b):
-                return 0
-
-            def mul(self, a, b):
-                return 0
+            def __getattr__(self, name):
+                return lambda *a, **k: 0
 
         b = ConstraintBuilder(_Probe())
         self.eval(b)
-        return len(b.constraints)
+        return sum(c.count for c in b.constraints)

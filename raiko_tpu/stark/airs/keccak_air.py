@@ -1,0 +1,252 @@
+"""Keccak-f[1600] AIR — proving Ethereum's hash permutation.
+
+Statement: "keccak-f(input_state) = output_state" for public 1600-bit
+input/output vectors.  This is the hashing workload behind every MPT node
+reference and block hash (SURVEY.md §2.2 "vectorized Keccak permutation
+kernel"), here as a STARK — the building block for proving the state-root
+recomputation in later rounds (sponge chaining + MPT transcript).
+
+Layout (32 rows per permutation; rows 0..23 apply rounds, 24..30 copy,
+row 31 carries the output):
+
+  trace columns (width 4160):
+    A[1600]      state bits a[x][y][z]           (cols 0..1599)
+    C[320]       theta column parities c[x][z]   (cols 1600..1919)
+    H0[320]      parity helper bit 0             (cols 1920..2239)
+    H1[320]      parity helper bit 1             (cols 2240..2559)
+    AMID[1600]   post-theta state bits           (cols 2560..4159)
+
+  fixed columns (1602): sel_round, sel_copy, RC[1600] (round constant
+  bits, nonzero only on lane (0,0))
+
+Constraints (all registered as vectorized blocks):
+  parity    (320, deg 1):  sum_y A[x][y][z] = C + 2*H0 + 4*H1
+  boolean   (3x320, deg 2): C, H0, H1 in {0,1}
+  theta     (1600, deg 3): AMID = A xor D,  D = C[x-1][z] xor C[x+1][z-1]
+  round/copy transition (1600, deg 5):
+      sel_round * (A' - chi_iota(rho_pi(AMID))) + sel_copy * (A' - A)
+  boundaries (2x1600, deg 1): first row = input bits, last row = output
+
+The degree-5 transition (chi: cubic in AMID bits, xor with the fixed RC
+bit, times the selector) uses the framework's 4-chunk quotient support.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...fields import babybear as bb
+from ...utils.keccak_py import RHO_OFFSETS, ROUND_CONSTANTS, keccak_f1600
+from ..air import Air, ConstraintBuilder
+
+ROWS = 32
+N_ROUNDS = 24
+WIDTH = 4160
+N_FIXED = 1602
+
+A0 = 0
+C0 = 1600
+H0_0 = 1920
+H1_0 = 2240
+AMID0 = 2560
+F_ROUND = 0
+F_COPY = 1
+F_RC = 2
+
+
+def a_col(x: int, y: int, z: int) -> int:
+    return A0 + (x + 5 * y) * 64 + z
+
+
+def c_col(x: int, z: int) -> int:
+    return C0 + x * 64 + z
+
+
+def amid_col(x: int, y: int, z: int) -> int:
+    return AMID0 + (x + 5 * y) * 64 + z
+
+
+def _build_index_maps():
+    """Static gather maps for the theta neighbors and rho+pi permutation."""
+    # theta: for each A position, its two C neighbors
+    d_c1 = np.zeros(1600, dtype=np.int32)  # C[(x-1)%5][z]
+    d_c2 = np.zeros(1600, dtype=np.int32)  # C[(x+1)%5][(z-1)%64]
+    for x in range(5):
+        for y in range(5):
+            for z in range(64):
+                i = (x + 5 * y) * 64 + z
+                d_c1[i] = c_col((x - 1) % 5, z)
+                d_c2[i] = c_col((x + 1) % 5, (z - 1) % 64)
+    # rho+pi: B[dst] = AMID[src]; chi neighbors B[x+1], B[x+2] at same y,z
+    b_src = np.zeros(1600, dtype=np.int32)
+    for x in range(5):
+        for y in range(5):
+            dst_x, dst_y = y, (2 * x + 3 * y) % 5
+            for z in range(64):
+                b_src[(dst_x + 5 * dst_y) * 64 + z] = amid_col(
+                    x, y, (z - RHO_OFFSETS[x][y]) % 64
+                )
+    b1_of = np.zeros(1600, dtype=np.int32)  # B[(x+1)%5][y][z] as index into B
+    b2_of = np.zeros(1600, dtype=np.int32)
+    for x in range(5):
+        for y in range(5):
+            for z in range(64):
+                i = (x + 5 * y) * 64 + z
+                b1_of[i] = ((x + 1) % 5 + 5 * y) * 64 + z
+                b2_of[i] = ((x + 2) % 5 + 5 * y) * 64 + z
+    return d_c1, d_c2, b_src, b1_of, b2_of
+
+
+_D_C1, _D_C2, _B_SRC, _B1, _B2 = _build_index_maps()
+
+
+def state_to_bits(state: list[int]) -> np.ndarray:
+    """25 u64 lanes -> (1600,) bit vector in column order."""
+    out = np.zeros(1600, dtype=np.uint32)
+    for lane in range(25):
+        for z in range(64):
+            out[lane * 64 + z] = (state[lane] >> z) & 1
+    return out
+
+
+def bits_to_state(bits) -> list[int]:
+    out = []
+    for lane in range(25):
+        v = 0
+        for z in range(64):
+            v |= int(bits[lane * 64 + z]) << z
+        out.append(v)
+    return out
+
+
+class KeccakFAir(Air):
+    width = WIDTH
+    quotient_chunks = 4  # degree-5 transition
+
+    def __init__(self, input_state: list[int]):
+        """input_state: 25 u64 lanes."""
+        self.input_state = list(input_state)
+        self.output_state = keccak_f1600(self.input_state)
+
+    def publics(self) -> list[int]:
+        return (
+            state_to_bits(self.input_state).tolist()
+            + state_to_bits(self.output_state).tolist()
+        )
+
+    # -- fixed columns ----------------------------------------------------
+    def fixed_columns(self, n: int):
+        assert n == ROWS
+        cols = np.zeros((N_FIXED, n), dtype=np.uint32)
+        cols[F_ROUND, :N_ROUNDS] = 1
+        cols[F_COPY, N_ROUNDS : ROWS - 1] = 1
+        for r in range(N_ROUNDS):
+            rc = ROUND_CONSTANTS[r]
+            for z in range(64):
+                cols[F_RC + a_col(0, 0, z), r] = (rc >> z) & 1
+        return cols
+
+    # -- trace ------------------------------------------------------------
+    def trace(self) -> np.ndarray:
+        rows = np.zeros((ROWS, WIDTH), dtype=np.uint32)
+        state = state_to_bits(self.input_state)
+        round_states = [state]
+        # round-by-round bit simulation
+        cur = list(self.input_state)
+        for r in range(N_ROUNDS):
+            cur = _one_round(cur, r)
+            round_states.append(state_to_bits(cur))
+        for row in range(ROWS):
+            a = round_states[min(row, N_ROUNDS)]
+            rows[row, A0:C0] = a
+            # helpers from the CURRENT row's state
+            s = np.zeros(320, dtype=np.uint32)
+            for x in range(5):
+                for y in range(5):
+                    s[x * 64 : x * 64 + 64] += a[(x + 5 * y) * 64 : (x + 5 * y) * 64 + 64]
+            c = s & 1
+            h = s >> 1
+            rows[row, C0:H0_0] = c
+            rows[row, H0_0:H1_0] = h & 1
+            rows[row, H1_0:AMID0] = h >> 1
+            # a_mid = a xor d
+            d = rows[row, _D_C1] ^ rows[row, _D_C2]
+            rows[row, AMID0:] = a ^ d
+        return rows
+
+    # -- constraints ------------------------------------------------------
+    def eval(self, b: ConstraintBuilder) -> None:
+        a_cols = list(range(A0, A0 + 1600))
+        A = b.local_block(a_cols)
+        nA = b.next_block(a_cols)
+        C = b.local_block(range(C0, C0 + 320))
+        H0 = b.local_block(range(H0_0, H0_0 + 320))
+        H1 = b.local_block(range(H1_0, H1_0 + 320))
+        AMID = b.local_block(range(AMID0, AMID0 + 1600))
+        sel_round = b.fixed(F_ROUND)
+        sel_copy = b.fixed(F_COPY)
+        RC = b.fixed_block([F_RC + i for i in range(1600)])
+
+        one = b.constant(1)
+
+        def xor(p, q):
+            # p ^ q = p + q - 2pq for boolean p, q
+            return b.sub(b.add(p, q), b.scale(2, b.mul(p, q)))
+
+        # parity: sum_y A = C + 2 H0 + 4 H1 (degree 1)
+        s = None
+        for y in range(5):
+            blk = b.local_block([a_col(x, y, z) for x in range(5) for z in range(64)])
+            s = blk if s is None else b.add(s, blk)
+        rhs = b.add(b.add(C, b.scale(2, H0)), b.scale(4, H1))
+        b.transition_block(b.sub(s, rhs), 320)
+
+        # booleanity of helpers (degree 2)
+        for blk in (C, H0, H1):
+            b.transition_block(b.mul(blk, b.sub(blk, one)), 320)
+
+        # theta: AMID = A xor D (degree 3)
+        c1 = b.local_block(_D_C1.tolist())
+        c2 = b.local_block(_D_C2.tolist())
+        d = xor(c1, c2)
+        b.transition_block(b.sub(AMID, xor(A, d)), 1600)
+
+        # rho+pi+chi+iota transition (degree 5 with selector)
+        B_blk = b.local_block(_B_SRC.tolist())
+        B1 = b.local_block(_B_SRC[_B1].tolist())
+        B2 = b.local_block(_B_SRC[_B2].tolist())
+        t = b.mul(b.sub(one, B1), B2)
+        chi = xor(B_blk, t)
+        chi_iota = xor(chi, RC)
+        round_expr = b.mul(sel_round, b.sub(nA, chi_iota))
+        copy_expr = b.mul(sel_copy, b.sub(nA, A))
+        b.transition_block(b.add(round_expr, copy_expr), 1600)
+
+        # boundaries
+        b.first_row_block(b.sub(A, b.public_block(range(1600))), 1600)
+        b.last_row_block(b.sub(A, b.public_block(range(1600, 3200))), 1600)
+
+
+def _one_round(state: list[int], round_idx: int) -> list[int]:
+    """One keccak round on u64 lanes (host reference, mirrors keccak_py)."""
+    from ...utils.keccak_py import MASK64, _rotl64
+
+    a = list(state)
+    c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
+    d = [c[(x - 1) % 5] ^ _rotl64(c[(x + 1) % 5], 1) for x in range(5)]
+    for x in range(5):
+        for y in range(5):
+            a[x + 5 * y] ^= d[x]
+    bmat = [0] * 25
+    for x in range(5):
+        for y in range(5):
+            bmat[y + 5 * ((2 * x + 3 * y) % 5)] = _rotl64(
+                a[x + 5 * y], RHO_OFFSETS[x][y]
+            )
+    for x in range(5):
+        for y in range(5):
+            a[x + 5 * y] = bmat[x + 5 * y] ^ (
+                (~bmat[(x + 1) % 5 + 5 * y] & MASK64) & bmat[(x + 2) % 5 + 5 * y]
+            )
+    a[0] ^= ROUND_CONSTANTS[round_idx]
+    return a

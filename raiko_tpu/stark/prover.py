@@ -87,6 +87,26 @@ class _ProverAlgebra:
     def constant(self, v: int):
         return jnp.uint32((v % bb.P) * bb.R % bb.P)
 
+    # block access (vectorized AIRs): (k, m) arrays
+    def local_block(self, cols):
+        return self._lde[jnp.asarray(cols)]
+
+    def next_block(self, cols):
+        return self._lde[jnp.asarray(cols)][:, self._next]
+
+    def fixed_block(self, cols):
+        return self._fixed[jnp.asarray(cols)]
+
+    def public_block(self, idxs):
+        vals = np.array(
+            [(self._publics[i] % bb.P) * bb.R % bb.P for i in idxs], dtype=np.uint32
+        )
+        return jnp.asarray(vals)[:, None]  # (k, 1) broadcasts over the domain
+
+    def scale(self, k: int, a):
+        """Small-integer scaling via Montgomery constant multiply."""
+        return bb.mont_mul(a, self.constant(k))
+
     def add(self, a, b):
         return bb.add(a, b)
 
@@ -95,6 +115,19 @@ class _ProverAlgebra:
 
     def mul(self, a, b):
         return bb.mont_mul(a, b)
+
+
+def _tree_sum_axis0(x: jax.Array) -> jax.Array:
+    """Modular sum over axis 0 via a log-depth add tree (pads to pow2)."""
+    k = x.shape[0]
+    p2k = 1 << max(0, (k - 1).bit_length())
+    if p2k != k:
+        x = jnp.concatenate(
+            [x, jnp.zeros((p2k - k,) + x.shape[1:], x.dtype)], axis=0
+        )
+    while x.shape[0] > 1:
+        x = bb.add(x[0::2], x[1::2])
+    return x[0]
 
 
 def _ef_powers_device(z: tuple, count: int) -> jax.Array:
@@ -207,10 +240,21 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     apow = ef.H_ONE
     q_ef = jnp.zeros((m, 4), dtype=jnp.uint32)
     for con in builder.constraints:
-        base_val = bb.mont_mul(con.expr, sels[con.kind])  # (m,)
-        apow_dev = ef.to_device([apow])[0]
-        q_ef = ef.ef_add(q_ef, bb.mont_mul(apow_dev[None, :], base_val[:, None]))
-        apow = ef.h_mul(apow, alpha)
+        pows = []
+        for _ in range(con.count):
+            pows.append(apow)
+            apow = ef.h_mul(apow, alpha)
+        if con.count == 1:
+            base_val = bb.mont_mul(con.expr, sels[con.kind])  # (m,)
+            apow_dev = ef.to_device(pows)[0]
+            q_ef = ef.ef_add(
+                q_ef, bb.mont_mul(apow_dev[None, :], base_val[:, None])
+            )
+        else:
+            blk = bb.mont_mul(con.expr, sels[con.kind][None, :])  # (k, m)
+            pd = ef.to_device(pows)  # (k, 4)
+            contrib = bb.mont_mul(pd[:, None, :], blk[:, :, None])  # (k, m, 4)
+            q_ef = ef.ef_add(q_ef, _tree_sum_axis0(contrib))
 
     # 3. quotient chunking: coords -> coeffs -> two chunks -> coset LDE
     # intt over the coset gives coefficients of Q(shift*y); unshift by
@@ -223,9 +267,10 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
         sinv_pows[k] = cur
         cur = cur * sinv % bb.P
     q_coeffs = bb.mont_mul(q_coeffs_shifted, jnp.asarray(bb.np_to_mont(sinv_pows)))
+    nq = air.quotient_chunks
     chunks = jnp.concatenate(
-        [q_coeffs[:, : dom.n], q_coeffs[:, dom.n : 2 * dom.n]], axis=0
-    )  # (8, n): coords of chunk0 then chunk1
+        [q_coeffs[:, j * dom.n : (j + 1) * dom.n] for j in range(nq)], axis=0
+    )  # (4*nq, n): 4 EF coords per chunk
     q_lde = ntt.lde_from_coeffs(chunks, BLOWUP_LOG, dom.shift)  # (8, m)
     q_rows = q_lde.T  # (m, 8)
     q_levels = merkle.commit(p2.hash_rows(q_rows))
@@ -239,38 +284,40 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     zgp = _ef_powers_device(zeta_g, dom.n)
     tz = _ef_dot(t_coeffs, zp)  # (W, 4)
     tzg = _ef_dot(t_coeffs, zgp)
-    qz = _ef_dot(chunks, zp)  # (8, 4)
+    qz = _ef_dot(chunks, zp)  # (4*nq, 4)
     trace_at_zeta = ef.from_device(tz)
     trace_at_zeta_g = ef.from_device(tzg)
     quotient_at_zeta = ef.from_device(qz)
     for v in trace_at_zeta + trace_at_zeta_g + quotient_at_zeta:
         channel.absorb_ef(v)
 
-    # 5. DEEP composition
+    # 5. DEEP composition (vectorized over all opened columns)
     gamma = channel.challenge_ef()
-    n_open = 2 * width + 8
+    nq4 = 4 * nq
+    n_open = 2 * width + nq4
     gammas = [ef.H_ONE]
     for _ in range(n_open - 1):
         gammas.append(ef.h_mul(gammas[-1], gamma))
-    gdev = ef.to_device(gammas)  # (n_open, 4)
     xs = jnp.asarray(dom.xs_mont)
     # group 1 (divisor x - zeta): trace cols + quotient coords
-    s1 = jnp.zeros((m, 4), jnp.uint32)
+    g1 = [gammas[k] for k in range(width)] + [
+        gammas[2 * width + j] for j in range(nq4)
+    ]
+    p1 = jnp.concatenate([t_lde, q_lde], axis=0)  # (width + nq4, m)
+    s1 = _tree_sum_axis0(
+        bb.mont_mul(ef.to_device(g1)[:, None, :], p1[:, :, None])
+    )
     c1 = ef.H_ZERO
-    for k in range(width):
-        s1 = ef.ef_add(s1, bb.mont_mul(gdev[k][None, :], t_lde[k][:, None]))
-        c1 = ef.h_add(c1, ef.h_mul(gammas[k], trace_at_zeta[k]))
-    for j in range(8):
-        idx = 2 * width + j
-        s1 = ef.ef_add(s1, bb.mont_mul(gdev[idx][None, :], q_lde[j][:, None]))
-        c1 = ef.h_add(c1, ef.h_mul(gammas[idx], quotient_at_zeta[j]))
+    for g, v in zip(g1, trace_at_zeta + quotient_at_zeta):
+        c1 = ef.h_add(c1, ef.h_mul(g, v))
     # group 2 (divisor x - zeta*g): trace cols
-    s2 = jnp.zeros((m, 4), jnp.uint32)
+    g2 = [gammas[width + k] for k in range(width)]
+    s2 = _tree_sum_axis0(
+        bb.mont_mul(ef.to_device(g2)[:, None, :], t_lde[:, :, None])
+    )
     c2 = ef.H_ZERO
-    for k in range(width):
-        idx = width + k
-        s2 = ef.ef_add(s2, bb.mont_mul(gdev[idx][None, :], t_lde[k][:, None]))
-        c2 = ef.h_add(c2, ef.h_mul(gammas[idx], trace_at_zeta_g[k]))
+    for g, v in zip(g2, trace_at_zeta_g):
+        c2 = ef.h_add(c2, ef.h_mul(g, v))
     inv_z = _ef_inv_linear(xs, zeta)
     inv_zg = _ef_inv_linear(xs, zeta_g)
     h1 = ef.ef_mul(ef.ef_sub(s1, jnp.broadcast_to(ef.to_device([c1])[0], (m, 4))), inv_z)

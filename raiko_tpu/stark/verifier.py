@@ -46,14 +46,49 @@ class _VerifierAlgebra:
     def constant(self, v):
         return ef.h_from_base(v)
 
+    # block access: lists of EF scalars
+    def local_block(self, cols):
+        return [tuple(self._z[c]) for c in cols]
+
+    def next_block(self, cols):
+        return [tuple(self._zg[c]) for c in cols]
+
+    def fixed_block(self, cols):
+        return [tuple(self._fixed[c]) for c in cols]
+
+    def public_block(self, idxs):
+        return [ef.h_from_base(self._publics[i]) for i in idxs]
+
+    def scale(self, k, a):
+        c = ef.h_from_base(k)
+        if isinstance(a, list):
+            return [ef.h_mul(c, v) for v in a]
+        return ef.h_mul(c, a)
+
     def add(self, a, b):
+        if isinstance(a, list) or isinstance(b, list):
+            return [ef.h_add(x, y) for x, y in _zip_bc(a, b)]
         return ef.h_add(a, b)
 
     def sub(self, a, b):
+        if isinstance(a, list) or isinstance(b, list):
+            return [ef.h_sub(x, y) for x, y in _zip_bc(a, b)]
         return ef.h_sub(a, b)
 
     def mul(self, a, b):
+        if isinstance(a, list) or isinstance(b, list):
+            return [ef.h_mul(x, y) for x, y in _zip_bc(a, b)]
         return ef.h_mul(a, b)
+
+
+def _zip_bc(a, b):
+    """Zip with scalar broadcasting for block ops."""
+    if isinstance(a, list) and isinstance(b, list):
+        assert len(a) == len(b)
+        return zip(a, b)
+    if isinstance(a, list):
+        return ((x, b) for x in a)
+    return ((a, y) for y in b)
 
 
 def _row_to_mont(row: list[int]) -> np.ndarray:
@@ -101,25 +136,35 @@ def verify(air: Air, proof: StarkProof) -> bool:
     acc = ef.H_ZERO
     apow = ef.H_ONE
     for con in builder.constraints:
-        acc = ef.h_add(acc, ef.h_mul(apow, ef.h_mul(con.expr, sels[con.kind])))
-        apow = ef.h_mul(apow, alpha)
+        exprs = con.expr if isinstance(con.expr, list) else [con.expr]
+        assert len(exprs) == con.count
+        for e in exprs:
+            acc = ef.h_add(acc, ef.h_mul(apow, ef.h_mul(e, sels[con.kind])))
+            apow = ef.h_mul(apow, alpha)
+    nq = air.quotient_chunks
+    if len(proof.quotient_at_zeta) != 4 * nq:
+        return False
     zn = ef.h_pow(zeta, dom.n)
-    q0 = _chunk_at(proof.quotient_at_zeta[:4])
-    q1 = _chunk_at(proof.quotient_at_zeta[4:])
-    q_at_zeta = ef.h_add(q0, ef.h_mul(zn, q1))
+    q_at_zeta = ef.H_ZERO
+    znj = ef.H_ONE
+    for j in range(nq):
+        chunk = _chunk_at(proof.quotient_at_zeta[4 * j : 4 * j + 4])
+        q_at_zeta = ef.h_add(q_at_zeta, ef.h_mul(znj, chunk))
+        znj = ef.h_mul(znj, zn)
     if acc != q_at_zeta:
         return False
 
     # DEEP composition coefficients
     gamma = channel.challenge_ef()
-    n_open = 2 * width + 8
+    nq4 = 4 * nq
+    n_open = 2 * width + nq4
     gammas = [ef.H_ONE]
     for _ in range(n_open - 1):
         gammas.append(ef.h_mul(gammas[-1], gamma))
     c1 = ef.H_ZERO
     for k in range(width):
         c1 = ef.h_add(c1, ef.h_mul(gammas[k], tuple(proof.trace_at_zeta[k])))
-    for j in range(8):
+    for j in range(nq4):
         c1 = ef.h_add(
             c1, ef.h_mul(gammas[2 * width + j], tuple(proof.quotient_at_zeta[j]))
         )
@@ -152,7 +197,9 @@ def verify(air: Air, proof: StarkProof) -> bool:
             s1 = ef.h_add(
                 s1, ef.h_mul(gammas[k], ef.h_from_base(q["trace_row"][k]))
             )
-        for j in range(8):
+        if len(q["quot_row"]) != nq4:
+            return False
+        for j in range(nq4):
             s1 = ef.h_add(
                 s1,
                 ef.h_mul(gammas[2 * width + j], ef.h_from_base(q["quot_row"][j])),

@@ -1,0 +1,63 @@
+"""Keccak-f[1600] AIR: prove/verify + tamper rejection."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from raiko_tpu.stark import prover, verifier
+from raiko_tpu.stark.airs.keccak_air import (
+    KeccakFAir,
+    bits_to_state,
+    state_to_bits,
+)
+from raiko_tpu.utils.keccak_py import keccak_f1600
+
+
+@pytest.fixture(scope="module")
+def keccak_proof():
+    rng = np.random.default_rng(5)
+    state = [int(rng.integers(0, 1 << 63)) for _ in range(25)]
+    air = KeccakFAir(state)
+    proof = prover.prove(air, air.trace(), air.publics())
+    return state, air, proof
+
+
+def test_bits_roundtrip():
+    rng = np.random.default_rng(1)
+    state = [int(rng.integers(0, 1 << 63)) for _ in range(25)]
+    assert bits_to_state(state_to_bits(state)) == state
+
+
+def test_output_matches_reference(keccak_proof):
+    state, air, _ = keccak_proof
+    assert air.output_state == keccak_f1600(state)
+    assert bits_to_state(air.trace()[24, :1600]) == air.output_state
+
+
+def test_prove_verify(keccak_proof):
+    _, air, proof = keccak_proof
+    assert verifier.verify(air, proof)
+
+
+def test_wrong_statement_rejected(keccak_proof):
+    """The statement is bound through proof.publics: callers compare the
+    expected publics (as provers/tpu_stark.verify_payload does), and a
+    proof cannot be re-targeted by swapping them."""
+    state, air, proof = keccak_proof
+    other = KeccakFAir([v ^ 1 for v in state])
+    assert proof.publics != other.publics()  # caller-side statement check
+    p = copy.deepcopy(proof)
+    p.publics = other.publics()
+    assert not verifier.verify(air, p)  # transcript/boundary both break
+
+
+def test_tampered_proof_rejected(keccak_proof):
+    _, air, proof = keccak_proof
+    p = copy.deepcopy(proof)
+    p.publics[1600] ^= 1  # claim a different output bit
+    assert not verifier.verify(air, p)
+    p = copy.deepcopy(proof)
+    p.trace_at_zeta = [list(v) for v in p.trace_at_zeta]
+    p.trace_at_zeta[7][0] ^= 1
+    assert not verifier.verify(air, p)
