@@ -85,9 +85,12 @@ def preflight(
     else:
         raise PreflightError("optimistic execution did not converge")
 
-    # proofs -> sparse tries (ref :146-157)
-    initial_proofs, _final_proofs = db.get_proofs(n)
-    state_trie, storage_tries = proofs_to_tries(parent.state_root, initial_proofs)
+    # proofs -> sparse tries; final proofs resolve orphaned siblings of
+    # deleted keys (ref :146-157, :1116-1133)
+    initial_proofs, final_proofs = db.get_proofs(n)
+    state_trie, storage_tries = proofs_to_tries(
+        parent.state_root, initial_proofs, final_proofs
+    )
     proof_keys = db.proof_keys()
     parent_storage = {
         addr: (storage_tries.get(addr), proof_keys.get(addr, []))

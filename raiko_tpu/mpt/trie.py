@@ -433,46 +433,60 @@ def is_not_included(key: bytes, proof_nodes: list[bytes]) -> bool:
     return trie.get(to_nibs(key)) is None
 
 
-def add_orphaned_leafs(trie: MptNode, key: bytes, proof_nodes: list[bytes]) -> None:
-    """Ensure sibling leaves along a soon-deleted key's path are resolved so
-    branch collapses during delete can proceed (ref :1116-1133)."""
-    proof_trie = mpt_from_proof(proof_nodes)
-    _graft(trie, proof_trie)
+def shorten_node_path(node: MptNode) -> list[MptNode]:
+    """All path-shortened variants of a leaf/extension (ref :1009-1031).
+
+    When keys are deleted, branch collapses EXTEND sibling paths; the
+    post-state node's shortened variants therefore include the pre-state
+    sibling, findable by reference."""
+    out: list[MptNode] = []
+    if node.kind == LEAF:
+        for i in range(len(node.nibbles) + 1):
+            out.append(MptNode.leaf(node.nibbles[i:], node.value))
+    elif node.kind == EXTENSION:
+        for i in range(1, len(node.nibbles) + 1):
+            out.append(MptNode.extension(node.nibbles[i:], node.children[0]))
+    return out
 
 
-def _graft(dst: MptNode, src: MptNode) -> None:
-    """Resolve digests in dst using materialized nodes from src."""
-    if dst.kind == DIGEST:
-        if src.kind != DIGEST and src.reference() == dst.digest:
-            dst._become(src)
+def add_orphaned_leafs(key: bytes, proof_nodes: list[bytes], store: dict) -> None:
+    """If the FINAL-state proof shows `key` excluded (it was deleted), add
+    the shortened variants of the proof's last node to the node store so
+    pre-state digests collapse correctly during delete (ref :1116-1133)."""
+    if not proof_nodes:
         return
-    if dst.kind == BRANCH and src.kind == BRANCH:
-        for d, s in zip(dst.children, src.children):
-            _graft(d, s)
-        dst.invalidate()
-    elif dst.kind == EXTENSION and src.kind == EXTENSION and dst.nibbles == src.nibbles:
-        _graft(dst.children[0], src.children[0])
-        dst.invalidate()
+    if is_not_included(keccak256(key), proof_nodes):
+        last = decode_node(proof_nodes[-1])
+        for variant in shorten_node_path(last):
+            store[variant.reference()] = variant
 
 
 def proofs_to_tries(
-    state_root: bytes, accounts: dict
+    state_root: bytes, accounts: dict, final_accounts: dict | None = None
 ) -> tuple[MptNode, dict]:
     """Reconstruct the state trie slice + per-account storage tries from
     EIP-1186 proofs (ref :1033-1113).
 
     accounts: {address_bytes: {"account_proof": [bytes], "storage_root":
-    bytes, "storage_proofs": {slot_key_bytes32: [bytes]}}}
+    bytes, "storage_proofs": {slot_key_bytes32: [bytes]}}} at the PARENT
+    block; final_accounts optionally carries the same shape at the CURRENT
+    block so deleted accounts/slots get their orphaned siblings resolved
+    (reference proofs_to_tries takes both parent_proofs and proofs).
     Returns (state_trie, {address: storage_trie})."""
+    final_accounts = final_accounts or {}
     store: dict[bytes, MptNode] = {}
     storage = {}
     for addr, info in accounts.items():
         for raw in info.get("account_proof", []):
             store[keccak256(raw)] = decode_node(raw)
+        fini = final_accounts.get(addr, {})
+        add_orphaned_leafs(addr, fini.get("account_proof", []), store)
         st_store: dict[bytes, MptNode] = {}
         for proof in info.get("storage_proofs", {}).values():
             for raw in proof:
                 st_store[keccak256(raw)] = decode_node(raw)
+        for slot_key, proof in fini.get("storage_proofs", {}).items():
+            add_orphaned_leafs(slot_key, proof, st_store)
         sroot = info.get("storage_root", EMPTY_ROOT)
         if sroot == EMPTY_ROOT or not st_store:
             storage[addr] = MptNode.null()

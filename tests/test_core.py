@@ -158,3 +158,35 @@ def test_in_guest_test_suite():
     )
     assert proc.returncode == 0, proc.stderr.decode()
     assert b"0 failures" in proc.stderr
+
+
+def test_storage_deletion_with_orphaned_sibling(world):
+    """A tx zeroes one of two storage slots; the sparse-trie delete
+    collapses a branch onto a sibling the initial proofs only know as a
+    digest - the final-state exclusion proof must resolve it
+    (reference add_orphaned_leafs, mpt.rs:1116-1133)."""
+    from raiko_tpu.evm.state import AccountInfo
+    from chainsim import ChainSim
+
+    _SIM_REGISTRY.pop("ethereum", None)
+    sim = ChainSim("ethereum")
+    sim.fund(SENDER, 10**20)
+    # contract clearing slot calldataload(0): PUSH0; PUSH0 CALLDATALOAD; SSTORE
+    clear_code = bytes([0x5F, 0x5F, 0x35, 0x55, 0x00])
+    caddr = b"\xdd" * 20
+    sim.accounts[caddr] = AccountInfo(nonce=1, code=clear_code, exists=True)
+    sim.storages[caddr] = {1: 111, 2: 222}
+    sim.codes[__import__("raiko_tpu.utils", fromlist=["keccak256"]).keccak256(clear_code)] = clear_code
+    sim._rebuild_tries()
+    sim.headers[0].state_root = sim.state_trie.hash()
+    sim.snapshots[0] = sim._snap()
+    tx = mktx(0, caddr, value=0, gas=100000)
+    tx.data = (1).to_bytes(32, "big")
+    tx.sign(KEY)
+    header = sim.produce_block([tx])
+    register_sim("ethereum", sim)
+    try:
+        gi, output, proof = _run("ethereum", 1)
+        assert output.header.hash() == header.hash()
+    finally:
+        register_sim("ethereum", world[0])
