@@ -250,3 +250,185 @@ def _one_round(state: list[int], round_idx: int) -> list[int]:
             )
     a[0] ^= ROUND_CONSTANTS[round_idx]
     return a
+
+
+# ---------------------------------------------------------------------------
+# Sponge chaining: keccak256(message) = digest
+# ---------------------------------------------------------------------------
+
+RATE_BYTES = 136
+F_ABSORB = N_FIXED  # extra fixed selector column
+F_MSG = N_FIXED + 1  # 1600 message-bit columns (row-indexed)
+N_FIXED_SPONGE = N_FIXED + 1 + 1600
+
+
+def _pad_message(message: bytes) -> list[np.ndarray]:
+    """keccak256 0x01 padding -> list of 1600-bit block vectors (rate lanes
+    carry the data, capacity lanes zero)."""
+    padded = bytearray(message)
+    pad_len = RATE_BYTES - (len(padded) % RATE_BYTES)
+    if pad_len == 1:
+        padded += b"\x81"
+    else:
+        padded += b"\x01" + b"\x00" * (pad_len - 2) + b"\x80"
+    blocks = []
+    for off in range(0, len(padded), RATE_BYTES):
+        chunk = padded[off : off + RATE_BYTES]
+        bits = np.zeros(1600, dtype=np.uint32)
+        for i, byte in enumerate(chunk):
+            lane, byte_in_lane = divmod(i, 8)
+            for bit in range(8):
+                bits[lane * 64 + byte_in_lane * 8 + bit] = (byte >> bit) & 1
+        blocks.append(bits)
+    return blocks
+
+
+class KeccakSpongeAir(Air):
+    """keccak256(message) = digest, for an arbitrary public message.
+
+    Per permutation: rows 0..23 rounds, 24..30 copy, row 31 -> next
+    permutation's row 0 absorbs the next block (A' = A xor MSG, with the
+    block bits as fixed columns).  The first row is bound to block 0
+    directly (initial state is zero); the digest (256 bits = lanes 0..3)
+    is bound on the last row as publics."""
+
+    width = WIDTH
+    quotient_chunks = 4
+
+    def __init__(self, message: bytes):
+        self.message = bytes(message)
+        self.blocks = _pad_message(self.message)
+        nperm = len(self.blocks)
+        p2 = 1 << (nperm - 1).bit_length()
+        # pad with zero blocks (absorbing zeros changes the hash, so pad
+        # perms COPY instead: we extend with no-absorb permutations is not
+        # the sponge; instead require pow2 by padding the message domain:
+        # simplest sound option: require nperm already pow2 or chain with
+        # explicit zero-absorb marked by sel_absorb=0 (pure permutation
+        # rounds would change the state). We pad with EXTRA COPY perms:
+        # sel_round=0 for all their rows, so state rides through unchanged.
+        self.num_perms = p2
+        self.active_perms = nperm
+        from ...utils.keccak_py import keccak256
+
+        self.digest = keccak256(self.message)
+
+    def digest_bits(self) -> list[int]:
+        out = []
+        for i, byte in enumerate(self.digest):
+            lane, byte_in_lane = divmod(i, 8)
+            for bit in range(8):
+                out.append((byte >> bit) & 1)
+        return out
+
+    def publics(self) -> list[int]:
+        return self.digest_bits()
+
+    def fixed_columns(self, n: int):
+        assert n == ROWS * self.num_perms
+        cols = np.zeros((N_FIXED_SPONGE, n), dtype=np.uint32)
+        for perm in range(self.num_perms):
+            base = ROWS * perm
+            active = perm < self.active_perms
+            if active:
+                cols[F_ROUND, base : base + N_ROUNDS] = 1
+                cols[F_COPY, base + N_ROUNDS : base + ROWS - 1] = 1
+                for r in range(N_ROUNDS):
+                    rc = ROUND_CONSTANTS[r]
+                    for z in range(64):
+                        cols[F_RC + a_col(0, 0, z), base + r] = (rc >> z) & 1
+            else:
+                # padding permutation: all rows copy
+                cols[F_COPY, base : base + ROWS - 1] = 1
+            # absorb transition into the NEXT active permutation
+            if perm + 1 < self.active_perms:
+                cols[F_ABSORB, base + ROWS - 1] = 1
+                cols[F_COPY, base + ROWS - 1] = 0
+                cols[F_MSG : F_MSG + 1600, base + ROWS - 1] = self.blocks[perm + 1]
+            elif perm + 1 < self.num_perms:
+                cols[F_COPY, base + ROWS - 1] = 1
+        # block 0 on row 0 for the first-row binding
+        cols[F_MSG : F_MSG + 1600, 0] = self.blocks[0]
+        return cols
+
+    def trace(self) -> np.ndarray:
+        n = ROWS * self.num_perms
+        rows = np.zeros((n, WIDTH), dtype=np.uint32)
+        fixed = self.fixed_columns(n)
+        state = [0] * 25
+        for perm in range(self.num_perms):
+            base = ROWS * perm
+            if perm < self.active_perms:
+                blk = bits_to_state(self.blocks[perm])
+                state = [state[i] ^ blk[i] for i in range(25)]
+            cur = list(state)
+            for row in range(ROWS):
+                active = perm < self.active_perms and row <= N_ROUNDS
+                a = state_to_bits(cur)
+                rows[base + row, A0:C0] = a
+                s = np.zeros(320, dtype=np.uint32)
+                for x in range(5):
+                    for y in range(5):
+                        s[x * 64 : x * 64 + 64] += a[
+                            (x + 5 * y) * 64 : (x + 5 * y) * 64 + 64
+                        ]
+                rows[base + row, C0:H0_0] = s & 1
+                rows[base + row, H0_0:H1_0] = (s >> 1) & 1
+                rows[base + row, H1_0:AMID0] = s >> 2
+                d = rows[base + row, _D_C1] ^ rows[base + row, _D_C2]
+                rows[base + row, AMID0:] = a ^ d
+                if perm < self.active_perms and row < N_ROUNDS:
+                    cur = _one_round(cur, row)
+            state = cur
+        return rows
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        a_cols = list(range(A0, A0 + 1600))
+        A = b.local_block(a_cols)
+        nA = b.next_block(a_cols)
+        C = b.local_block(range(C0, C0 + 320))
+        H0 = b.local_block(range(H0_0, H0_0 + 320))
+        H1 = b.local_block(range(H1_0, H1_0 + 320))
+        AMID = b.local_block(range(AMID0, AMID0 + 1600))
+        sel_round = b.fixed(F_ROUND)
+        sel_copy = b.fixed(F_COPY)
+        sel_absorb = b.fixed(F_ABSORB)
+        RC = b.fixed_block([F_RC + i for i in range(1600)])
+        MSG = b.fixed_block([F_MSG + i for i in range(1600)])
+        one = b.constant(1)
+
+        def xor(p, q):
+            return b.sub(b.add(p, q), b.scale(2, b.mul(p, q)))
+
+        s = None
+        for y in range(5):
+            blk = b.local_block([a_col(x, y, z) for x in range(5) for z in range(64)])
+            s = blk if s is None else b.add(s, blk)
+        rhs = b.add(b.add(C, b.scale(2, H0)), b.scale(4, H1))
+        b.transition_block(b.sub(s, rhs), 320)
+        for blk in (C, H0, H1):
+            b.transition_block(b.mul(blk, b.sub(blk, one)), 320)
+        c1 = b.local_block(_D_C1.tolist())
+        c2 = b.local_block(_D_C2.tolist())
+        b.transition_block(b.sub(AMID, xor(A, xor(c1, c2))), 1600)
+
+        B_blk = b.local_block(_B_SRC.tolist())
+        B1 = b.local_block(_B_SRC[_B1].tolist())
+        B2 = b.local_block(_B_SRC[_B2].tolist())
+        chi = xor(B_blk, b.mul(b.sub(one, B1), B2))
+        chi_iota = xor(chi, RC)
+        expr = b.add(
+            b.add(
+                b.mul(sel_round, b.sub(nA, chi_iota)),
+                b.mul(sel_copy, b.sub(nA, A)),
+            ),
+            b.mul(sel_absorb, b.sub(nA, xor(A, MSG))),
+        )
+        b.transition_block(expr, 1600)
+
+        # boundaries: row 0 = block0 bits; last row lanes 0..3 = digest
+        b.first_row_block(b.sub(A, MSG), 1600)
+        digest_cols = [a_col(lane % 5, lane // 5, z) for lane in range(4) for z in range(64)]
+        b.last_row_block(
+            b.sub(b.local_block(digest_cols), b.public_block(range(256))), 256
+        )

@@ -61,3 +61,19 @@ def test_tampered_proof_rejected(keccak_proof):
     p.trace_at_zeta = [list(v) for v in p.trace_at_zeta]
     p.trace_at_zeta[7][0] ^= 1
     assert not verifier.verify(air, p)
+
+
+@pytest.mark.slow
+def test_keccak_sponge_prove_verify():
+    from raiko_tpu.stark.airs.keccak_air import KeccakSpongeAir
+    from raiko_tpu.utils.keccak_py import keccak256
+
+    msg = b"raiko-tpu proves keccak256 of arbitrary messages"
+    air = KeccakSpongeAir(msg)
+    assert air.digest == keccak256(msg)
+    proof = prover.prove(air, air.trace(), air.publics())
+    assert verifier.verify(air, proof)
+    # digest tamper
+    p = copy.deepcopy(proof)
+    p.publics[0] ^= 1
+    assert not verifier.verify(air, p)
