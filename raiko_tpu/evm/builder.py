@@ -93,6 +93,17 @@ def calculate_block_header(input: GuestInput) -> BlockHeader:
         raise BlockError("block number not sequential")
     if header.timestamp < input.parent_header.timestamp:
         raise BlockError("timestamp regressed")
+    # EIP-1559 base fee must follow from the parent (taiko's base fee is
+    # protocol-driven; the claimed value binds through the anchor instead)
+    if not spec.is_taiko and header.base_fee_per_gas is not None:
+        from .execute import next_base_fee
+
+        expect = next_base_fee(input.parent_header, spec.eip_1559_constants)
+        if header.base_fee_per_gas != expect:
+            raise BlockError(
+                f"base fee mismatch: header {header.base_fee_per_gas} vs "
+                f"computed {expect}"
+            )
     # transactions: Taiko rebuilds the list from the on-chain tx data
     if spec.is_taiko:
         txs = generate_transactions(
@@ -101,6 +112,11 @@ def calculate_block_header(input: GuestInput) -> BlockHeader:
             input.taiko.tx_data,
             input.taiko.anchor_tx,
         )
+        if not txs:
+            raise BlockError("taiko block without transactions")
+        from .execute import validate_anchor_tx
+
+        validate_anchor_tx(txs[0], spec)
     else:
         txs = list(input.transactions)
     env = BlockEnv(

@@ -46,6 +46,47 @@ class TxResult:
     output: bytes = b""
 
 
+def next_base_fee(parent, constants) -> int:
+    """EIP-1559 base fee for the child of ``parent`` (standard formula,
+    parameterized by the chain's eip_1559_constants)."""
+    if parent.base_fee_per_gas is None:
+        return 0
+    parent_fee = parent.base_fee_per_gas
+    target = parent.gas_limit // constants.elasticity_multiplier
+    if parent.gas_used == target or target == 0:
+        return parent_fee
+    if parent.gas_used > target:
+        delta = max(
+            1,
+            parent_fee
+            * (parent.gas_used - target)
+            // target
+            // constants.base_fee_change_denominator,
+        )
+        return parent_fee + delta
+    delta = (
+        parent_fee
+        * (target - parent.gas_used)
+        // target
+        // constants.base_fee_change_denominator
+    )
+    return parent_fee - delta
+
+
+def validate_anchor_tx(tx: Transaction, spec) -> None:
+    """Taiko anchor-tx shape checks (reference taiko consensus rules):
+    first tx, golden-touch sender (checked by the executor), targets the
+    L2 contract, anchor gas limit, zero value."""
+    if spec.l2_contract:
+        expect_to = bytes.fromhex(spec.l2_contract[2:].zfill(40))
+        if tx.to != expect_to:
+            raise BlockError("anchor tx does not target the L2 contract")
+    if tx.gas_limit != ANCHOR_GAS_LIMIT:
+        raise BlockError("anchor tx gas limit mismatch")
+    if tx.value != 0:
+        raise BlockError("anchor tx must carry no value")
+
+
 def intrinsic_gas(tx: Transaction, is_create: bool) -> int:
     gas = 21000
     for b in tx.data:

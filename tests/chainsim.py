@@ -120,6 +120,13 @@ class ChainSim:
     ):
         withdrawals = withdrawals or []
         parent = self.headers[-1]
+        from raiko_tpu.evm.execute import next_base_fee
+
+        base_fee = (
+            self.base_fee
+            if is_taiko
+            else next_base_fee(parent, self.spec.eip_1559_constants)
+        )
         db = MemDb()
         for addr, info in self.accounts.items():
             db.insert_account(
@@ -133,7 +140,7 @@ class ChainSim:
             number=parent.number + 1,
             timestamp=parent.timestamp + 12,
             gas_limit=gas_limit or parent.gas_limit,
-            base_fee=self.base_fee,
+            base_fee=base_fee,
             coinbase=coinbase,
             chain_id=self.spec.chain_id,
         )
@@ -154,7 +161,7 @@ class ChainSim:
             gas_limit=env.gas_limit,
             gas_used=result.gas_used,
             timestamp=env.timestamp,
-            base_fee_per_gas=self.base_fee,
+            base_fee_per_gas=base_fee,
             withdrawals_root=_withdrawals_root(withdrawals),
         )
         # apply execution results to the flat world

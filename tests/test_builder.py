@@ -140,3 +140,11 @@ def test_tampered_tx_rejected(sim_world):
     gi.transactions[1].value += 1  # signature now invalid
     with pytest.raises(Exception):
         calculate_block_header(gi)
+
+
+def test_wrong_base_fee_rejected(sim_world):
+    sim, _, _ = sim_world
+    gi = build_guest_input(sim, 2)
+    gi.block_header.base_fee_per_gas += 1
+    with pytest.raises(BlockError):
+        calculate_block_header(gi)

@@ -190,3 +190,23 @@ def test_storage_deletion_with_orphaned_sibling(world):
         assert output.header.hash() == header.hash()
     finally:
         register_sim("ethereum", world[0])
+
+
+def test_anchor_validation(world):
+    """Tampered anchor txs are rejected by the builder."""
+    from raiko_tpu.evm.execute import ANCHOR_GAS_LIMIT, BlockError, validate_anchor_tx
+
+    _, l2 = world
+    gi, _, _ = _run("taiko_a7", 1)
+    anchor = gi.taiko.anchor_tx
+    validate_anchor_tx(anchor, l2.spec)  # the real anchor passes
+    import copy
+
+    bad = copy.deepcopy(anchor)
+    bad.to = b"\x01" * 20
+    with pytest.raises(BlockError):
+        validate_anchor_tx(bad, l2.spec)
+    bad = copy.deepcopy(anchor)
+    bad.gas_limit = ANCHOR_GAS_LIMIT + 1
+    with pytest.raises(BlockError):
+        validate_anchor_tx(bad, l2.spec)
