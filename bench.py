@@ -37,30 +37,35 @@ def main() -> None:
     backend = jax.default_backend()
     rng = np.random.default_rng(7)
 
+    # Timing methodology: each kernel runs REPS times INSIDE one jitted
+    # fori_loop (a real data-dependent chain) and the result is forced to
+    # host with np.asarray.  This measures pure device throughput and is
+    # immune to two sandbox artifacts: block_until_ready() not reliably
+    # waiting through the axon relay, and ~5 ms per-call dispatch latency.
+    reps = 20
+
+    def chained(fn, x0):
+        @jax.jit
+        def run(v):
+            return jax.lax.fori_loop(0, reps, lambda i, s: fn(s), v)
+
+        np.asarray(run(x0))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(run(x0))
+        return (time.perf_counter() - t0) / reps
+
     # ---- headline: NTT butterflies/s ---------------------------------
     batch, log_n = 64, 14
     n = 1 << log_n
     x = bb.to_mont(jnp.asarray(rng.integers(0, bb.P, (batch, n), np.uint32)))
-    fwd = jax.jit(nttmod.ntt_fourstep)
-    fwd(x).block_until_ready()  # compile
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fwd(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    dt = chained(nttmod.ntt_fourstep, x)
     butterflies = batch * (n // 2) * log_n
     ntt_rate = butterflies / dt
 
     # ---- secondary: Poseidon2 permutations/s --------------------------
     pbatch = 1 << 14
     state = bb.to_mont(jnp.asarray(rng.integers(0, bb.P, (pbatch, 16), np.uint32)))
-    p2.permute(state).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        ps = p2.permute(state)
-    ps.block_until_ready()
-    p2_rate = pbatch * reps / (time.perf_counter() - t0)
+    p2_rate = pbatch / chained(p2.permute, state)
 
     # ---- secondary: keccak-f permutations/s ---------------------------
     from raiko_tpu.ops.keccak import keccak_f1600_batch
@@ -69,13 +74,7 @@ def main() -> None:
     kstate = jnp.asarray(
         rng.integers(0, 2**32, (kbatch, 25, 2), dtype=np.uint32).astype(np.uint32)
     )
-    kf = jax.jit(keccak_f1600_batch)
-    kf(kstate).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        ks = kf(kstate)
-    ks.block_until_ready()
-    keccak_rate = kbatch * reps / (time.perf_counter() - t0)
+    keccak_rate = kbatch / chained(keccak_f1600_batch, kstate)
 
     print(
         json.dumps(
