@@ -7,7 +7,18 @@ secondary fields.  Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 The reference publishes no absolute numbers (BASELINE.json "published": {}),
-so vs_baseline is reported as 1.0 against our own established baseline.
+so vs_baseline is reported against our own established baseline
+(BASELINE.md: 55 G butterflies/s measured on TPU v5e with this harness).
+
+Timing methodology (differential chaining)
+------------------------------------------
+Each kernel runs R times inside ONE jitted fori_loop (a real data-dependent
+chain) and only a tiny slice of the result transfers to host.  The sandbox's
+TPU relay adds a large fixed per-call cost (dispatch + transfer, ~10-100 ms)
+that single-run timing wrongly attributes to the kernel, so throughput is
+computed from the DIFFERENCE between a long chain and a short chain:
+(t(R2) - t(R1)) / (R2 - R1) cancels every per-call constant and leaves pure
+device time per iteration.
 """
 
 import json
@@ -16,6 +27,8 @@ import sys
 import time
 
 import numpy as np
+
+NTT_BASELINE = 55.4e9  # butterflies/s, TPU v5e single chip (BASELINE.md)
 
 
 def main() -> None:
@@ -37,35 +50,37 @@ def main() -> None:
     backend = jax.default_backend()
     rng = np.random.default_rng(7)
 
-    # Timing methodology: each kernel runs REPS times INSIDE one jitted
-    # fori_loop (a real data-dependent chain) and the result is forced to
-    # host with np.asarray.  This measures pure device throughput and is
-    # immune to two sandbox artifacts: block_until_ready() not reliably
-    # waiting through the axon relay, and ~5 ms per-call dispatch latency.
-    reps = 20
+    def diff_time(fn, x0, r1=5, r2=55):
+        """Device seconds per fn application, fixed per-call costs cancelled."""
 
-    def chained(fn, x0):
-        @jax.jit
-        def run(v):
-            return jax.lax.fori_loop(0, reps, lambda i, s: fn(s), v)
+        def total(r):
+            @jax.jit
+            def run(v):
+                out = jax.lax.fori_loop(0, r, lambda i, s: fn(s), v)
+                return out.reshape(-1)[:8]  # tiny transfer
 
-        np.asarray(run(x0))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(run(x0))
-        return (time.perf_counter() - t0) / reps
+            np.asarray(run(x0))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(run(x0))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (total(r2) - total(r1)) / (r2 - r1)
 
     # ---- headline: NTT butterflies/s ---------------------------------
     batch, log_n = 64, 14
     n = 1 << log_n
     x = bb.to_mont(jnp.asarray(rng.integers(0, bb.P, (batch, n), np.uint32)))
-    dt = chained(nttmod.ntt_fourstep, x)
+    dt = diff_time(nttmod.ntt_fourstep, x)
     butterflies = batch * (n // 2) * log_n
     ntt_rate = butterflies / dt
 
     # ---- secondary: Poseidon2 permutations/s --------------------------
     pbatch = 1 << 14
     state = bb.to_mont(jnp.asarray(rng.integers(0, bb.P, (pbatch, 16), np.uint32)))
-    p2_rate = pbatch / chained(p2.permute, state)
+    p2_rate = pbatch / diff_time(p2.permute, state)
 
     # ---- secondary: keccak-f permutations/s ---------------------------
     from raiko_tpu.ops.keccak import keccak_f1600_batch
@@ -74,7 +89,7 @@ def main() -> None:
     kstate = jnp.asarray(
         rng.integers(0, 2**32, (kbatch, 25, 2), dtype=np.uint32).astype(np.uint32)
     )
-    keccak_rate = kbatch / chained(keccak_f1600_batch, kstate)
+    keccak_rate = kbatch / diff_time(keccak_f1600_batch, kstate)
 
     print(
         json.dumps(
@@ -82,7 +97,7 @@ def main() -> None:
                 "metric": "babybear_ntt_butterflies_per_s",
                 "value": round(ntt_rate),
                 "unit": "butterflies/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(ntt_rate / NTT_BASELINE, 3),
                 "backend": backend,
                 "config": {"batch": batch, "log_n": log_n},
                 "secondary": {

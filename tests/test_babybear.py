@@ -158,3 +158,16 @@ def test_ntt_mxu_matches_iterative():
     xm = bb.to_mont(jnp.asarray(x))
     got = np.asarray(jax.jit(ntt_mxu)(xm))
     np.testing.assert_array_equal(got, np.asarray(nttmod.ntt(xm)))
+
+
+def test_ntt_pallas_fused_roundtrip():
+    """Fused Pallas four-step (interpret mode on CPU) is bit-exact with the
+    XLA path, forward and inverse."""
+    from raiko_tpu.ops import ntt_pallas as ntp
+
+    x = rand_elems(2 << 14).reshape(2, 1 << 14)
+    xm = bb.to_mont(jnp.asarray(x))
+    got = np.asarray(ntp.ntt_fused(xm))
+    np.testing.assert_array_equal(got, np.asarray(nttmod.ntt_fourstep(xm)))
+    back = np.asarray(ntp.intt_fused(jnp.asarray(got)))
+    np.testing.assert_array_equal(back, np.asarray(xm))
