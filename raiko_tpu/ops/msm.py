@@ -53,15 +53,24 @@ def scalars_to_limbs(scalars: list[int]) -> np.ndarray:
     return out
 
 
-def _segmented_scan(points: jax.Array, flags: jax.Array):
-    """Segmented inclusive scan (EC-add) via Hillis-Steele doubling.
+def _add(p: jax.Array, q: jax.Array) -> jax.Array:
+    """EC add dispatch: the fused Pallas VMEM kernel on TPU for batches big
+    enough to fill its lanes (16.8x the XLA formula, BASELINE.md), the XLA
+    complete formula otherwise (CPU tests, tiny batches)."""
+    if jax.default_backend() == "tpu" and p.ndim == 3 and p.shape[0] >= 1024:
+        from . import ec_pallas
 
-    points: (M, 3, 24), flags: (M,) u32 with 1 marking a segment start.
-    A ``fori_loop`` over log2(M) distance-doubling sweeps instantiates the
-    EC-add combiner exactly once in the compiled graph (an
-    ``associative_scan`` would inline it per level, which XLA compiles
-    pathologically slowly for big-integer bodies); the cost is log(M)*M
-    instead of 2M combine work — acceptable, fully vector-parallel."""
+        return ec_pallas.ec_add(p, q)
+    return curve.add(p, q)
+
+
+_SCAN_BLOCK = 4  # phase-1 block width (2 unrolled levels)
+
+
+def _hs_segmented(points: jax.Array, flags: jax.Array):
+    """Plain Hillis-Steele segmented inclusive scan (one EC-add body in a
+    fori_loop; used for the compact block-sum array of the 3-phase scan and
+    as the whole scan for small inputs)."""
     m = points.shape[0]
     levels = max(1, (m - 1).bit_length())
     idx = jnp.arange(m)
@@ -73,13 +82,82 @@ def _segmented_scan(points: jax.Array, flags: jax.Array):
         prev_pts = pts[src]
         prev_fl = fl[src]
         valid = idx >= d
-        merged = curve.add(prev_pts, pts)
+        merged = _add(prev_pts, pts)
         new_pts = curve.select(valid & (fl == 0), merged, pts)
         new_fl = jnp.where(valid, fl | prev_fl, fl)
         return (new_pts, new_fl)
 
-    pts, _ = jax.lax.fori_loop(0, levels, body, (points, flags))
-    return pts
+    pts, fl = jax.lax.fori_loop(0, levels, body, (points, flags))
+    return pts, fl
+
+
+def _segmented_scan(points: jax.Array, flags: jax.Array):
+    """Segmented inclusive scan (EC-add), work-efficient 3-phase form.
+
+    points: (M, 3, 24), flags: (M,) u32 with 1 marking a segment start.
+    Returns the inclusive segmented scan (each position = EC sum from its
+    segment start); only segment-end positions are consumed downstream.
+
+    Phase 1: segmented scan WITHIN blocks of _SCAN_BLOCK elements — two
+    unrolled full-width Hillis-Steele levels (2M adds, every one a
+    full-lane batch for the Pallas EC kernel).
+    Phase 2: the per-block tails (sum since the last flag in the block)
+    form an (M/4)-element segmented-scan problem, solved by the classic
+    Hillis-Steele fori_loop — uniform shapes keep the compiled graph to ONE
+    extra EC-add body (~0.5M adds).
+    Phase 3: each element whose in-block prefix contains no flag absorbs
+    its block's carry-in with one more full-width add + select (M adds).
+
+    Total ≈ 3.5M EC adds vs the naive Hillis-Steele's M·log2(M) (≈17M at
+    the 131k scan width of a blob MSM), with only 4 instantiations of the
+    big-integer EC-add body in the graph (vs 2·log2(M) for a fully
+    unrolled Blelloch sweep, which XLA compiles pathologically slowly)."""
+    m_orig = points.shape[0]
+    if m_orig <= 1024:
+        return _hs_segmented(points, flags)[0]
+    s = _SCAN_BLOCK
+    pad = (-m_orig) % s
+    if pad:  # pad: each pad element is its own empty segment
+        points = jnp.concatenate([points, curve.identity((pad,))], axis=0)
+        flags = jnp.concatenate([flags, jnp.ones((pad,), flags.dtype)], axis=0)
+    m = points.shape[0]
+    nb = m // s
+
+    # ---- phase 1: in-block segmented H-S scan (unrolled, full width) ---
+    # Same recurrence as _hs_segmented, but the shift is a per-block
+    # slice+concat (no gather) and `valid` masks at block edges.  After the
+    # loop: v[j, i]  = EC sum since max(block start, last flag) and
+    #        fl[j, i] = OR of original flags over [block start, i].
+    v = points.reshape(nb, s, 3, 24)
+    fl = flags.reshape(nb, s)
+    inblock = jnp.arange(s)[None, :]
+    d = 1
+    while d < s:
+        prev_v = jnp.concatenate([v[:, :1].repeat(d, 1), v[:, :-d]], axis=1)
+        prev_f = jnp.concatenate(
+            [jnp.zeros((nb, d), fl.dtype), fl[:, :-d]], axis=1
+        )
+        valid = inblock >= d
+        merged = _add(v.reshape(m, 3, 24), prev_v.reshape(m, 3, 24)).reshape(
+            v.shape
+        )
+        v = curve.select(valid & (fl == 0), merged, v)
+        fl = jnp.where(valid, fl | prev_f, fl)
+        d <<= 1
+
+    # ---- phase 2: segmented scan of per-block tails (compact) ----------
+    tails = v[:, s - 1]  # (NB, 3, 24): sum since last flag in the block
+    bflags = fl[:, s - 1]  # OR of the block's flags
+    incl, _ = _hs_segmented(tails, bflags)
+    carry = jnp.concatenate([curve.identity((1,)), incl[:-1]], axis=0)
+
+    # ---- phase 3: absorb the block carry where no flag intervenes ------
+    carry_b = jnp.broadcast_to(carry[:, None], (nb, s, 3, 24))
+    merged = _add(
+        v.reshape(m, 3, 24), carry_b.reshape(m, 3, 24)
+    ).reshape(v.shape)
+    out = curve.select(fl == 0, merged, v)
+    return out.reshape(m, 3, 24)[:m_orig]
 
 
 @jax.jit
@@ -133,20 +211,39 @@ def bucket_matrix(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
 def combine_buckets(buckets: jax.Array) -> jax.Array:
     """(NWINDOWS, NBUCKETS, 3, 24) bucket sums -> final MSM point.
 
-    Suffix-sum reduction vectorized over windows, then top-down window fold.
-    Exposed separately so the distributed MSM can psum partial buckets
-    before reduction."""
+    The classic Pippenger reduction  W_w = Σ_{b=1}^{255} b·B_b  is computed
+    as  Σ_b S_b  with suffix sums  S_b = Σ_{j>=b} B_j: an 8-level
+    Hillis-Steele suffix scan along the bucket axis (vectorized across all
+    windows, each level ONE batched EC add) followed by a log-tree
+    reduction — replacing the former 255-step sequential lax.scan whose
+    per-step (32,)-wide adds left the VPU idle.  Exposed separately so the
+    distributed MSM can psum partial buckets before reduction."""
+    # suffix inclusive scan over buckets 1..255 (bucket 0 contributes 0)
+    s0 = jnp.concatenate(
+        [buckets[:, 1:], curve.identity((NWINDOWS, 1))], axis=1
+    )  # (W, 256, 3, 24)
+    nb = s0.shape[1]
+    levels = (nb - 1).bit_length()
+    idx = jnp.arange(nb)
 
-    def bucket_step(carry, b):
-        running, acc = carry
-        running = curve.add(running, buckets[:, b])
-        acc = curve.add(acc, running)
-        return (running, acc), None
+    def suffix_scan(arr):
+        """arr[k] <- Σ_{j>=k} arr[j] along axis 1, one uniform fori body."""
 
-    init = (curve.identity((NWINDOWS,)), curve.identity((NWINDOWS,)))
-    (running, acc), _ = jax.lax.scan(
-        bucket_step, init, jnp.arange(NBUCKETS - 1, 0, -1)
-    )
+        def body(i, a):
+            d = jnp.left_shift(1, i)
+            src = jnp.minimum(idx + d, nb - 1)
+            shifted = jnp.take(a, src, axis=1)
+            merged = _add(
+                a.reshape(-1, 3, 24), shifted.reshape(-1, 3, 24)
+            ).reshape(a.shape)
+            return curve.select(
+                jnp.broadcast_to(idx + d <= nb - 1, (a.shape[0], nb)), merged, a
+            )
+
+        return jax.lax.fori_loop(0, levels, body, arr)
+
+    # S_b = Σ_{j>=b} B_j, then acc_w = Σ_b S_b = (suffix scan of S)[0]
+    acc = suffix_scan(suffix_scan(s0))[:, 0]  # (W, 3, 24)
 
     # 5. fold windows top-down: res = 2^8 * res + W_w (lax loops keep the
     # compiled graph to one double + one add body)

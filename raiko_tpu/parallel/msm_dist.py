@@ -31,7 +31,9 @@ def make_msm_dist(mesh: Mesh, axis: str = "d"):
         gathered = jax.lax.all_gather(buckets, axis)  # (D, 32, 256, 3, 24)
         acc = gathered[0]
         for i in range(1, ndev):
-            acc = curve.add(acc, gathered[i])
+            acc = msmmod._add(
+                acc.reshape(-1, 3, 24), gathered[i].reshape(-1, 3, 24)
+            ).reshape(acc.shape)
         return msmmod.combine_buckets(acc)
 
     shmapped = shard_map(
