@@ -82,8 +82,14 @@ def create_mem_db(input: GuestInput) -> tuple[MemDb, MptNode, dict]:
     return db, state_trie, storage_tries
 
 
-def calculate_block_header(input: GuestInput) -> BlockHeader:
-    """Re-execute and rebuild the header (reference builder.rs:28-44)."""
+def calculate_block_header(
+    input: GuestInput, collect: dict | None = None
+) -> BlockHeader:
+    """Re-execute and rebuild the header (reference builder.rs:28-44).
+
+    ``collect``, when given, receives the post-finalize ``state_trie`` /
+    ``storage_tries`` so proof backends can build statements over the
+    final state (e.g. the batched keccak MPT-preimage STARK)."""
     db, state_trie, storage_tries = create_mem_db(input)
     header = input.block_header
     spec = input.chain_spec
@@ -146,6 +152,9 @@ def calculate_block_header(input: GuestInput) -> BlockHeader:
         )
     apply_withdrawals(state, input.withdrawals)
     state_root = finalize_state_root(state, state_trie, storage_tries)
+    if collect is not None:
+        collect["state_trie"] = state_trie
+        collect["storage_tries"] = storage_tries
 
     new_header = BlockHeader(
         parent_hash=header.parent_hash,

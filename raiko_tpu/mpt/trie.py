@@ -514,3 +514,25 @@ def index_trie_root(items: list[bytes]) -> bytes:
     for i, v in enumerate(items):
         t.insert(to_nibs(rlp.encode(i)), v)
     return t.hash()
+
+
+def hashed_preimages(node: "MptNode") -> list[bytes]:
+    """Every RLP node encoding that a state-root recomputation keccaks:
+    resolved nodes whose encoding is >= 32 bytes (inline refs are not
+    hashed, ref lib/src/primitives/mpt.rs:417-430) plus the root (always
+    hashed, :386-394).  Order: depth-first, root first — the message list
+    for the batched keccak-sponge STARK (stark/airs/keccak_air.py)."""
+    out: list[bytes] = []
+
+    def walk(n: "MptNode", is_root: bool) -> None:
+        if n.kind in (NULL, DIGEST):
+            return
+        enc = n.encode()
+        if is_root or len(enc) >= 32:
+            out.append(enc)
+        if n.children:
+            for c in n.children:
+                walk(c, False)
+
+    walk(node, True)
+    return out

@@ -51,16 +51,24 @@ def transcript_blocks(instance_hash: bytes, num_blocks: int = NUM_BLOCKS):
     return blocks
 
 
+MAX_MPT_PERMS = 23  # keccak-batch trace budget: num_perms <= 32 (n = 1024)
+
+
 class TpuStarkProver(Prover):
     proof_type = ProofType.TPU_STARK
 
     def run(self, guest_input, output, config: dict) -> Proof:
-        header = calculate_block_header(guest_input)
+        collect: dict = {}
+        header = calculate_block_header(guest_input, collect)
         pi = ProtocolInstance.new(guest_input, header, "RISC0")
         ih = pi.instance_hash()
         if ih != output.hash:
             raise GuestError("instance hash mismatch in tpu_stark guest")
         payload = prove_transcript(ih)
+        if config.get("mpt_statement", True) and "state_trie" in collect:
+            payload["mpt"] = prove_mpt_preimages(
+                collect["state_trie"], header.state_root
+            )
         return Proof(
             proof=json.dumps(payload),
             input_hash="0x" + ih.hex(),
@@ -86,8 +94,76 @@ def prove_transcript(instance_hash: bytes) -> dict:
     }
 
 
+def prove_mpt_preimages(state_trie, state_root: bytes) -> dict:
+    """Batched keccak-sponge STARK over the post-state trie's hashed node
+    preimages (reference analog: the keccak calls of calculate_state_root,
+    lib/src/primitives/mpt.rs:117-121 / builder.rs:191-264).
+
+    The statement: digest_k = keccak256(preimage_k) for every covered
+    node, with preimage 0 = the root node (digest 0 = the block's state
+    root).  Coverage is capped at MAX_MPT_PERMS permutations; the payload
+    records how many nodes were covered vs present so partial coverage is
+    explicit, never silent."""
+    from ..mpt.trie import hashed_preimages
+    from ..stark.airs.keccak_air import RATE_BYTES, KeccakBatchSpongeAir
+
+    all_msgs = hashed_preimages(state_trie)
+    msgs, perms = [], 0
+    for m in all_msgs:
+        need = len(m) // RATE_BYTES + 1
+        if perms + need > MAX_MPT_PERMS:
+            break
+        msgs.append(m)
+        perms += need
+    air = KeccakBatchSpongeAir(msgs)
+    assert air.digests[0] == state_root, "root preimage must hash to state root"
+    sp = stark_prover.prove(air, air.trace(), air.publics())
+    return {
+        "kind": "keccak-mpt-v1",
+        "state_root": state_root.hex(),
+        "messages": [m.hex() for m in msgs],
+        "digests": [d.hex() for d in air.digests],
+        "covered": len(msgs),
+        "total": len(all_msgs),
+        "stark": proof_to_dict(sp),
+    }
+
+
+def verify_mpt_payload(mpt: dict, state_root: bytes | None = None) -> bool:
+    """Check the batched keccak MPT statement from public data alone:
+    (a) the STARK attests digest_k = keccak256(message_k);
+    (b) digest 0 equals the claimed state root;
+    (c) every other digest is referenced by an earlier preimage (the
+        nodes form a DAG hanging off the state root, not a loose set)."""
+    from ..stark.airs.keccak_air import KeccakBatchSpongeAir
+
+    if mpt.get("kind") != "keccak-mpt-v1":
+        return False
+    msgs = [bytes.fromhex(m) for m in mpt["messages"]]
+    digests = [bytes.fromhex(d) for d in mpt["digests"]]
+    if len(msgs) != len(digests) or not msgs:
+        return False
+    root = bytes.fromhex(mpt["state_root"])
+    if state_root is not None and root != state_root:
+        return False
+    if digests[0] != root:
+        return False
+    # containment in DFS order: every non-root digest must be referenced
+    # by some earlier preimage (child appears after its parent)
+    blob = b""
+    for m, d in zip(msgs, digests):
+        if blob and d not in blob:
+            return False
+        blob += m
+    air = KeccakBatchSpongeAir(msgs, digests=digests)
+    sp = proof_from_dict(mpt["stark"])
+    if sp.publics != air.publics():
+        return False
+    return stark_verifier.verify(air, sp)
+
+
 def verify_payload(payload: dict) -> bool:
-    """Reconstruct the AIR from public data and verify the STARK."""
+    """Reconstruct the AIR(s) from public data and verify the STARK(s)."""
     if payload.get("kind") != "poseidon2-transcript-v1":
         return False
     ih = bytes.fromhex(payload["instance_hash"])
@@ -101,7 +177,11 @@ def verify_payload(payload: dict) -> bool:
     sp = proof_from_dict(payload["stark"])
     if sp.publics != air.publics_for(digest):
         return False
-    return stark_verifier.verify(air, sp)
+    if not stark_verifier.verify(air, sp):
+        return False
+    if "mpt" in payload:
+        return verify_mpt_payload(payload["mpt"])
+    return True
 
 
 register(TpuStarkProver())

@@ -432,3 +432,218 @@ class KeccakSpongeAir(Air):
         b.last_row_block(
             b.sub(b.local_block(digest_cols), b.public_block(range(256))), 256
         )
+
+
+# ---------------------------------------------------------------------------
+# Batched sponge: keccak256(message_k) = digest_k for K messages in one trace
+# ---------------------------------------------------------------------------
+
+F_RESTART = N_FIXED_SPONGE  # selector: next row re-absorbs from zero state
+F_DIGSEL = N_FIXED_SPONGE + 1  # selector: this row carries a bound digest
+F_DGST = N_FIXED_SPONGE + 2  # 256 digest-bit columns
+N_FIXED_BATCH = N_FIXED_SPONGE + 2 + 256
+
+_DIGEST_COLS = [
+    a_col(lane % 5, lane // 5, z) for lane in range(4) for z in range(64)
+]
+
+
+def _digest_bits(digest: bytes) -> list[int]:
+    out = []
+    for i, byte in enumerate(digest):
+        for bit in range(8):
+            out.append((byte >> bit) & 1)
+    return out
+
+
+class KeccakBatchSpongeAir(Air):
+    """keccak256(message_k) = digest_k for K public messages, one trace.
+
+    Generalizes KeccakSpongeAir (reference workload: the keccak-256 calls
+    of the MPT state-root recomputation, lib/src/primitives/mpt.rs:117-121
+    — one batch proof covers every node preimage).  Message k's
+    permutations run back to back; on the last row of its final
+    permutation the `restart` selector forces the NEXT row to equal the
+    next message's first block (a fresh absorb from the zero sponge
+    state), and the `digsel` selector binds lanes 0..3 to message k's
+    digest bits (carried in fixed columns).  A trailing all-copy padding
+    permutation guarantees every digest row is interior, so digest
+    binding needs no last-row special case.
+
+    ``digests`` may be supplied by a verifier (claimed values to check);
+    the prover leaves it None and computes them.  Soundness of the
+    digest claims comes from the constraints, not from recomputation.
+    """
+
+    width = WIDTH
+    quotient_chunks = 4
+
+    def __init__(self, messages: list[bytes], digests: list[bytes] | None = None):
+        assert messages, "at least one message"
+        self.messages = [bytes(m) for m in messages]
+        self.msg_blocks = [_pad_message(m) for m in self.messages]
+        if digests is None:
+            from ...utils.keccak_py import keccak256
+
+            digests = [keccak256(m) for m in self.messages]
+        assert len(digests) == len(self.messages)
+        self.digests = [bytes(d) for d in digests]
+        self.active_perms = sum(len(b) for b in self.msg_blocks)
+        # +1 pad perm so every digest row has a successor row
+        self.num_perms = 1 << (self.active_perms + 1 - 1).bit_length()
+
+    # perm index -> (message, block) map ---------------------------------
+    def _layout(self):
+        out = []
+        for mi, blocks in enumerate(self.msg_blocks):
+            for bi in range(len(blocks)):
+                out.append((mi, bi))
+        return out
+
+    def publics(self) -> list[int]:
+        """Digest bits of every message (Fiat-Shamir statement binding;
+        the row-level binding itself rides in the fixed columns)."""
+        out = [len(self.messages)]
+        for d in self.digests:
+            out.extend(_digest_bits(d))
+        return out
+
+    def fixed_columns(self, n: int):
+        assert n == ROWS * self.num_perms
+        cols = np.zeros((N_FIXED_BATCH, n), dtype=np.uint32)
+        layout = self._layout()
+        for perm in range(self.num_perms):
+            base = ROWS * perm
+            if perm < self.active_perms:
+                cols[F_ROUND, base : base + N_ROUNDS] = 1
+                cols[F_COPY, base + N_ROUNDS : base + ROWS - 1] = 1
+                for r in range(N_ROUNDS):
+                    rc = ROUND_CONSTANTS[r]
+                    for z in range(64):
+                        cols[F_RC + a_col(0, 0, z), base + r] = (rc >> z) & 1
+            else:
+                cols[F_COPY, base : base + ROWS - 1] = 1
+            # boundary row base+ROWS-1: absorb / restart / copy
+            if perm + 1 < self.active_perms:
+                mi, bi = layout[perm]
+                nmi, nbi = layout[perm + 1]
+                if nmi == mi:  # next block of the same message
+                    cols[F_ABSORB, base + ROWS - 1] = 1
+                    cols[F_MSG : F_MSG + 1600, base + ROWS - 1] = self.msg_blocks[
+                        nmi
+                    ][nbi]
+                else:  # new message: fresh absorb from zero state
+                    cols[F_RESTART, base + ROWS - 1] = 1
+                    cols[F_MSG : F_MSG + 1600, base + ROWS - 1] = self.msg_blocks[
+                        nmi
+                    ][0]
+                    cols[F_DIGSEL, base + ROWS - 1] = 1
+                    cols[F_DGST : F_DGST + 256, base + ROWS - 1] = _digest_bits(
+                        self.digests[mi]
+                    )
+            else:
+                # last active perm (digest row) or padding: state rides on
+                cols[F_COPY, base + ROWS - 1] = 1
+                if perm + 1 == self.active_perms:
+                    mi, _ = layout[perm]
+                    cols[F_DIGSEL, base + ROWS - 1] = 1
+                    cols[F_DGST : F_DGST + 256, base + ROWS - 1] = _digest_bits(
+                        self.digests[mi]
+                    )
+        # the very last trace row has no transition; clear its selectors
+        cols[F_COPY, n - 1] = 0
+        cols[F_MSG : F_MSG + 1600, 0] = self.msg_blocks[0][0]
+        return cols
+
+    def trace(self) -> np.ndarray:
+        n = ROWS * self.num_perms
+        rows = np.zeros((n, WIDTH), dtype=np.uint32)
+        layout = self._layout()
+        state = [0] * 25
+        for perm in range(self.num_perms):
+            base = ROWS * perm
+            if perm < self.active_perms:
+                mi, bi = layout[perm]
+                if bi == 0:
+                    state = [0] * 25  # new message: sponge restarts
+                blk = bits_to_state(self.msg_blocks[mi][bi])
+                state = [state[i] ^ blk[i] for i in range(25)]
+            cur = list(state)
+            for row in range(ROWS):
+                a = state_to_bits(cur)
+                rows[base + row, A0:C0] = a
+                s = np.zeros(320, dtype=np.uint32)
+                for x in range(5):
+                    for y in range(5):
+                        s[x * 64 : x * 64 + 64] += a[
+                            (x + 5 * y) * 64 : (x + 5 * y) * 64 + 64
+                        ]
+                rows[base + row, C0:H0_0] = s & 1
+                rows[base + row, H0_0:H1_0] = (s >> 1) & 1
+                rows[base + row, H1_0:AMID0] = s >> 2
+                d = rows[base + row, _D_C1] ^ rows[base + row, _D_C2]
+                rows[base + row, AMID0:] = a ^ d
+                if perm < self.active_perms and row < N_ROUNDS:
+                    cur = _one_round(cur, row)
+            state = cur
+        return rows
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        a_cols = list(range(A0, A0 + 1600))
+        A = b.local_block(a_cols)
+        nA = b.next_block(a_cols)
+        C = b.local_block(range(C0, C0 + 320))
+        H0 = b.local_block(range(H0_0, H0_0 + 320))
+        H1 = b.local_block(range(H1_0, H1_0 + 320))
+        AMID = b.local_block(range(AMID0, AMID0 + 1600))
+        sel_round = b.fixed(F_ROUND)
+        sel_copy = b.fixed(F_COPY)
+        sel_absorb = b.fixed(F_ABSORB)
+        sel_restart = b.fixed(F_RESTART)
+        sel_dig = b.fixed(F_DIGSEL)
+        RC = b.fixed_block([F_RC + i for i in range(1600)])
+        MSG = b.fixed_block([F_MSG + i for i in range(1600)])
+        DGST = b.fixed_block([F_DGST + i for i in range(256)])
+        one = b.constant(1)
+
+        def xor(p, q):
+            return b.sub(b.add(p, q), b.scale(2, b.mul(p, q)))
+
+        s = None
+        for y in range(5):
+            blk = b.local_block(
+                [a_col(x, y, z) for x in range(5) for z in range(64)]
+            )
+            s = blk if s is None else b.add(s, blk)
+        rhs = b.add(b.add(C, b.scale(2, H0)), b.scale(4, H1))
+        b.transition_block(b.sub(s, rhs), 320)
+        for blk in (C, H0, H1):
+            b.transition_block(b.mul(blk, b.sub(blk, one)), 320)
+        c1 = b.local_block(_D_C1.tolist())
+        c2 = b.local_block(_D_C2.tolist())
+        b.transition_block(b.sub(AMID, xor(A, xor(c1, c2))), 1600)
+
+        B_blk = b.local_block(_B_SRC.tolist())
+        B1 = b.local_block(_B_SRC[_B1].tolist())
+        B2 = b.local_block(_B_SRC[_B2].tolist())
+        chi = xor(B_blk, b.mul(b.sub(one, B1), B2))
+        chi_iota = xor(chi, RC)
+        expr = b.add(
+            b.add(
+                b.add(
+                    b.mul(sel_round, b.sub(nA, chi_iota)),
+                    b.mul(sel_copy, b.sub(nA, A)),
+                ),
+                b.mul(sel_absorb, b.sub(nA, xor(A, MSG))),
+            ),
+            b.mul(sel_restart, b.sub(nA, MSG)),  # fresh absorb: A' = 0 ^ MSG
+        )
+        b.transition_block(expr, 1600)
+
+        # digest binding at interior rows selected by sel_dig
+        b.transition_block(
+            b.mul(sel_dig, b.sub(b.local_block(_DIGEST_COLS), DGST)), 256
+        )
+
+        # boundary: row 0 = first message's first block
+        b.first_row_block(b.sub(A, MSG), 1600)

@@ -222,22 +222,20 @@ def verify(air: Air, proof: StarkProof) -> bool:
 
 
 def _eval_fixed_at(fixed: np.ndarray, zeta: tuple) -> list[tuple]:
-    """Evaluate public fixed columns at the OOD point (host): interpolate
-    over the trace subgroup, then Horner in the extension field."""
+    """Evaluate public fixed columns at the OOD point: interpolate over the
+    trace subgroup, then one vectorized coeff·zeta^i contraction (the same
+    _ef_dot the prover uses) — scalar Horner per column is O(F·n) host EF
+    ops, prohibitive for wide fixed sets like the keccak sponge AIRs."""
     import jax.numpy as jnp
 
     from ..ops import ntt
+    from .prover import _ef_dot, _ef_powers_device
 
-    coeffs = np.asarray(
-        bb.from_mont(ntt.interpolate(bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))))
-    )
-    out = []
-    for row in coeffs:
-        acc = ef.H_ZERO
-        for c in reversed(row.tolist()):
-            acc = ef.h_add(ef.h_mul(acc, zeta), ef.h_from_base(int(c)))
-        out.append(acc)
-    return out
+    coeffs = ntt.interpolate(
+        bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))
+    )  # (F, n) Montgomery
+    zpows = _ef_powers_device(zeta, coeffs.shape[1])
+    return ef.from_device(_ef_dot(coeffs, zpows))
 
 
 def _chunk_at(coords) -> tuple:

@@ -77,3 +77,43 @@ def test_keccak_sponge_prove_verify():
     p = copy.deepcopy(proof)
     p.publics[0] ^= 1
     assert not verifier.verify(air, p)
+
+
+@pytest.mark.slow
+def test_keccak_batch_sponge_prove_verify():
+    """One trace proving keccak256 of several messages (incl. a 2-block
+    one); digest tampering in the fixed columns is caught."""
+    from raiko_tpu.stark.airs.keccak_air import KeccakBatchSpongeAir
+    from raiko_tpu.utils.keccak_py import keccak256
+
+    msgs = [b"", b"raiko-tpu batched sponge", b"x" * 150]  # 1+1+2 perms
+    air = KeccakBatchSpongeAir(msgs)
+    assert air.digests == [keccak256(m) for m in msgs]
+    proof = prover.prove(air, air.trace(), air.publics())
+    assert verifier.verify(air, proof)
+    # a verifier checking a WRONG claimed digest must reject: the trace
+    # cannot satisfy the digest-row binding for a different value
+    bad = KeccakBatchSpongeAir(msgs, digests=[keccak256(m) for m in msgs])
+    bad.digests[1] = bytes(32)
+    assert not verifier.verify(bad, proof)
+
+
+@pytest.mark.slow
+def test_mpt_preimage_batch_statement():
+    """The batched sponge statement over real MPT node preimages: digests
+    equal the node references used by the state-root recomputation."""
+    from raiko_tpu.mpt.trie import MptNode, hashed_preimages, to_nibs
+    from raiko_tpu.stark.airs.keccak_air import KeccakBatchSpongeAir
+    from raiko_tpu.utils.keccak_py import keccak256
+
+    trie = MptNode.null()
+    for i in range(6):
+        trie.insert(to_nibs(keccak256(i.to_bytes(4, "big"))), b"value-%d" % i * 3)
+    msgs = hashed_preimages(trie)
+    assert len(msgs) >= 3
+    assert keccak256(msgs[0]) == trie.hash()  # root preimage first
+    air = KeccakBatchSpongeAir(msgs)
+    proof = prover.prove(air, air.trace(), air.publics())
+    assert verifier.verify(air, proof)
+    # digest set == the hashes the trie actually uses
+    assert set(air.digests) <= {keccak256(m) for m in msgs}
