@@ -91,6 +91,29 @@ def main() -> None:
     )
     keccak_rate = kbatch / diff_time(keccak_f1600_batch, kstate)
 
+    # ---- secondary: blob KZG commitment (4096-pt BLS12-381 MSM) -------
+    # Pallas EC adds + 3-phase segmented scan (BASELINE.md); the output is
+    # one point, so plain wall-clock timing is honest here.
+    from raiko_tpu.kzg import curve, host_curve as hc
+    from raiko_tpu.ops import msm as msmmod
+
+    base = curve.points_from_affine(
+        [hc.g1_mul(hc.G1_GEN, k + 1) for k in range(64)]
+    )
+    pts = jnp.asarray(np.tile(base, (4096 // 64, 1, 1)))
+    limbs = jnp.asarray(
+        msmmod.scalars_to_limbs(
+            [int.from_bytes(rng.bytes(32), "little") for _ in range(4096)]
+        )
+    )
+    np.asarray(msmmod.msm(pts, limbs))  # compile + warm
+    msm_s = min(
+        (lambda t0: (np.asarray(msmmod.msm(pts, limbs)), time.perf_counter() - t0)[
+            1
+        ])(time.perf_counter())
+        for _ in range(3)
+    )
+
     print(
         json.dumps(
             {
@@ -103,6 +126,7 @@ def main() -> None:
                 "secondary": {
                     "poseidon2_perms_per_s": round(p2_rate),
                     "keccak_f1600_per_s": round(keccak_rate),
+                    "kzg_blob_commitment_s": round(msm_s, 4),
                 },
             }
         )
