@@ -48,6 +48,25 @@ def open_path(levels: list[jax.Array], index: int) -> list[np.ndarray]:
     return path
 
 
+def open_paths(
+    levels: list[jax.Array], indices: list[int]
+) -> list[list[np.ndarray]]:
+    """Authentication paths for MANY leaves: one device gather + one
+    transfer per tree level instead of one per node — per-node slicing is
+    relay-latency-bound on TPU (each eager dispatch costs ~5 ms through
+    the tunnel, and a query phase opens hundreds of nodes)."""
+    idx = np.asarray(indices, np.int64)
+    per_level = []
+    for lvl in levels[:-1]:
+        sib = jnp.asarray((idx ^ 1).astype(np.int32))
+        per_level.append(np.asarray(jnp.take(lvl, sib, axis=0)))
+        idx = idx >> 1
+    return [
+        [per_level[lev][q] for lev in range(len(per_level))]
+        for q in range(len(indices))
+    ]
+
+
 def verify_path(
     leaf: np.ndarray, index: int, path: list[np.ndarray], expected_root: np.ndarray
 ) -> bool:

@@ -78,6 +78,13 @@ def _leaf_rows(values: jax.Array) -> jax.Array:
     return values.reshape(m // 2, 8)
 
 
+@jax.jit
+def _hash_commit(values: jax.Array) -> list[jax.Array]:
+    """Leaf hashing + full Merkle tree as ONE dispatch per layer (the
+    per-level eager compress calls are relay-latency-bound on TPU)."""
+    return merkle.commit(p2.hash_rows(_leaf_rows(values)))
+
+
 @dataclass
 class FriProof:
     layer_roots: list  # list of (8,) int digests (standard form)
@@ -97,8 +104,7 @@ def commit(values: jax.Array, log_m: int, shift: int, channel: Channel):
     cur_log = log_m
     cur_shift = shift
     while cur.shape[0] > FINAL_SIZE:
-        leaves = p2.hash_rows(_leaf_rows(cur))
-        levels = merkle.commit(leaves)
+        levels = _hash_commit(cur)
         root = merkle.root(levels)
         channel.absorb_digest(root)
         beta = channel.challenge_ef()
@@ -124,24 +130,29 @@ def commit(values: jax.Array, log_m: int, shift: int, channel: Channel):
 
 
 def open_queries(layers, indices: list[int]):
-    """Produce query proofs for the given base-layer indices."""
-    out = []
-    for idx in indices:
-        per_layer = []
-        cur_idx = idx
-        for layer in layers:
-            pair_idx = cur_idx // 2
-            vals = np.asarray(layer["values"][2 * pair_idx : 2 * pair_idx + 2])
-            vals_std = ef.from_device(jnp.asarray(vals))
-            path = merkle.open_path(layer["levels"], pair_idx)
-            per_layer.append(
+    """Produce query proofs for the given base-layer indices.
+
+    Batched per layer: ONE device gather for all query pairs and one per
+    tree level for sibling nodes (merkle.open_paths) — per-query slicing
+    costs one relay dispatch per node, which dominates TPU proving."""
+    n_q = len(indices)
+    out = [[] for _ in range(n_q)]
+    cur = np.asarray(indices, np.int64)
+    for layer in layers:
+        pair_idx = cur // 2
+        m = layer["values"].shape[0]
+        pairs = layer["values"].reshape(m // 2, 2, 4)
+        sel = jnp.take(pairs, jnp.asarray(pair_idx.astype(np.int32)), axis=0)
+        vals_std = ef.from_device(sel.reshape(-1, 4))  # 2 per query
+        paths = merkle.open_paths(layer["levels"], pair_idx.tolist())
+        for q in range(n_q):
+            out[q].append(
                 {
-                    "pair": vals_std,  # [f(x), f(-x)] standard-form tuples
-                    "path": [p.tolist() for p in path],
+                    "pair": vals_std[2 * q : 2 * q + 2],
+                    "path": [p.tolist() for p in paths[q]],
                 }
             )
-            cur_idx = pair_idx
-        out.append(per_layer)
+        cur = pair_idx
     return out
 
 

@@ -23,6 +23,7 @@ deg < n, DEEP composition deg < n - 1 < m/4 = FRI bound.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -199,8 +200,78 @@ def _ef_inv_linear(xs: jax.Array, z: tuple) -> jax.Array:
     return bb.mont_mul(ef_acc, n_inv[:, None])
 
 
+@functools.partial(jax.jit, static_argnames=("shift",))
+def _commit_cols(cols_m: jax.Array, shift: int):
+    """Columns (K, n) Montgomery -> (coeffs, lde, merkle levels)."""
+    coeffs = ntt.interpolate(cols_m)
+    lde = ntt.lde_from_coeffs(coeffs, BLOWUP_LOG, shift)
+    levels = merkle.commit(p2.hash_rows(lde.T))
+    return coeffs, lde, levels
+
+
+@functools.lru_cache(maxsize=16)
+def _sinv_pows(shift: int, m: int) -> np.ndarray:
+    sinv = pow(shift, -1, bb.P)
+    out = np.empty(m, dtype=np.uint32)
+    cur = 1
+    for k in range(m):
+        out[k] = cur
+        cur = cur * sinv % bb.P
+    return bb.np_to_mont(out)
+
+
+def _constraint_counts(air: Air) -> list[int]:
+    class _Probe:
+        def __getattr__(self, name):
+            return lambda *a, **k: 0
+
+    b = ConstraintBuilder(_Probe())
+    air.eval(b)
+    return [c.count for c in b.constraints]
+
+
+def _inv_linear_consts(z: tuple):
+    """Host part of _ef_inv_linear: (norm-poly base coeffs (5,), conj-poly
+    EF coeffs (4, 4)) as device-ready Montgomery arrays."""
+    conjs = []
+    c = z
+    for _ in range(3):
+        c = ef.h_pow(c, bb.P)
+        conjs.append(c)
+    coeffs = [ef.H_ONE]
+    for r in conjs:
+        new = [ef.H_ZERO] * (len(coeffs) + 1)
+        for i, cf in enumerate(coeffs):
+            new[i] = ef.h_sub(new[i], ef.h_mul(cf, r))
+            new[i + 1] = ef.h_add(new[i + 1], cf)
+        coeffs = new
+    norm = [ef.H_ZERO] * 5
+    for i, cf in enumerate(coeffs):
+        norm[i] = ef.h_sub(norm[i], ef.h_mul(cf, z))
+        norm[i + 1] = ef.h_add(norm[i + 1], cf)
+    assert all(c[1] == c[2] == c[3] == 0 for c in norm)
+    nb = np.array([c[0] * bb.R % bb.P for c in norm], dtype=np.uint32)
+    return jnp.asarray(nb), ef.to_device(coeffs)
+
+
+def _inv_linear_dev(xs: jax.Array, nb: jax.Array, cdev: jax.Array) -> jax.Array:
+    """Device part of 1/(x - z): norm-trick inversion (see _ef_inv_linear)."""
+    acc = jnp.broadcast_to(nb[4], xs.shape)
+    for k in range(3, -1, -1):
+        acc = bb.add(bb.mont_mul(acc, xs), nb[k])
+    n_inv = _bb_inv_device(acc)
+    ef_acc = jnp.broadcast_to(cdev[3], xs.shape + (4,))
+    for k in range(2, -1, -1):
+        ef_acc = ef.ef_add(bb.mont_mul(ef_acc, xs[:, None]), cdev[k][None, :])
+    return bb.mont_mul(ef_acc, n_inv[:, None])
+
+
 def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> StarkProof:
-    """Prove one AIR execution.  trace: (n, W) uint32 standard-form."""
+    """Prove one AIR execution.  trace: (n, W) uint32 standard-form.
+
+    The pipeline runs as a handful of jitted stages with host Fiat-Shamir
+    absorbs between them (one relay round-trip per transcript point, not
+    one per op — eager dispatch through the TPU tunnel costs ~5 ms/op)."""
     publics = publics or []
     n, width = trace.shape
     log_n = n.bit_length() - 1
@@ -211,118 +282,138 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     channel.absorb_elems([log_n, width, len(publics)])
     channel.absorb_elems(publics)
 
-    # 1. trace LDE + commit
+    # 1. trace LDE + commit (one jitted stage)
     trace_m = bb.to_mont(jnp.asarray(trace.T.copy()))  # (W, n)
-    t_coeffs = ntt.interpolate(trace_m)  # (W, n) coefficients
-    t_lde = ntt.lde_from_coeffs(t_coeffs, BLOWUP_LOG, dom.shift)  # (W, m) bitrev
-    t_rows = t_lde.T  # (m, W)
-    t_levels = merkle.commit(p2.hash_rows(t_rows))
+    t_coeffs, t_lde, t_levels = _commit_cols(trace_m, dom.shift)
     t_root = merkle.root(t_levels)
     channel.absorb_digest(t_root)
 
-    # 2. constraint evaluation + quotient
+    # 2+3. constraint evaluation + quotient + chunk commit (one stage)
     alpha = channel.challenge_ef()
     fixed = air.fixed_columns(n)
-    fixed_lde = None
-    if fixed is not None:
-        fixed_m = bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))
-        fixed_lde = ntt.lde_from_coeffs(
-            ntt.interpolate(fixed_m), BLOWUP_LOG, dom.shift
-        )
-    alg = _ProverAlgebra(t_lde, dom.next_perm, publics, fixed_lde)
-    builder = ConstraintBuilder(alg)
-    air.eval(builder)
-    sels = {
-        "transition": jnp.asarray(dom.trans_sel),
-        "first_row": jnp.asarray(dom.first_inv),
-        "last_row": jnp.asarray(dom.last_inv),
-    }
+    fixed_m = (
+        bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))
+        if fixed is not None
+        else None
+    )
+    counts = _constraint_counts(air)
+    apows = []
     apow = ef.H_ONE
-    q_ef = jnp.zeros((m, 4), dtype=jnp.uint32)
-    for con in builder.constraints:
+    for count in counts:
         pows = []
-        for _ in range(con.count):
+        for _ in range(count):
             pows.append(apow)
             apow = ef.h_mul(apow, alpha)
-        if con.count == 1:
-            base_val = bb.mont_mul(con.expr, sels[con.kind])  # (m,)
-            apow_dev = ef.to_device(pows)[0]
-            q_ef = ef.ef_add(
-                q_ef, bb.mont_mul(apow_dev[None, :], base_val[:, None])
-            )
-        else:
-            blk = bb.mont_mul(con.expr, sels[con.kind][None, :])  # (k, m)
-            pd = ef.to_device(pows)  # (k, 4)
-            contrib = bb.mont_mul(pd[:, None, :], blk[:, :, None])  # (k, m, 4)
-            q_ef = ef.ef_add(q_ef, _tree_sum_axis0(contrib))
-
-    # 3. quotient chunking: coords -> coeffs -> two chunks -> coset LDE
-    # intt over the coset gives coefficients of Q(shift*y); unshift by
-    # shift^{-k} to obtain true coefficients before chunking/opening.
-    q_coeffs_shifted = ntt.intt(q_ef.T)  # (4, m)
-    sinv = pow(dom.shift, -1, bb.P)
-    sinv_pows = np.empty(m, dtype=np.uint32)
-    cur = 1
-    for k in range(m):
-        sinv_pows[k] = cur
-        cur = cur * sinv % bb.P
-    q_coeffs = bb.mont_mul(q_coeffs_shifted, jnp.asarray(bb.np_to_mont(sinv_pows)))
+        apows.append(ef.to_device(pows))
     nq = air.quotient_chunks
-    chunks = jnp.concatenate(
-        [q_coeffs[:, j * dom.n : (j + 1) * dom.n] for j in range(nq)], axis=0
-    )  # (4*nq, n): 4 EF coords per chunk
-    q_lde = ntt.lde_from_coeffs(chunks, BLOWUP_LOG, dom.shift)  # (8, m)
-    q_rows = q_lde.T  # (m, 8)
-    q_levels = merkle.commit(p2.hash_rows(q_rows))
+    sels_np = {
+        "transition": dom.trans_sel,
+        "first_row": dom.first_inv,
+        "last_row": dom.last_inv,
+    }
+    sinvp = jnp.asarray(_sinv_pows(dom.shift, m))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _quotient_stage(t_lde_, fixed_m_, apows_, sinvp_):
+        fixed_lde = (
+            ntt.lde_from_coeffs(ntt.interpolate(fixed_m_), BLOWUP_LOG, dom.shift)
+            if fixed_m_ is not None
+            else None
+        )
+        alg = _ProverAlgebra(t_lde_, dom.next_perm, publics, fixed_lde)
+        builder = ConstraintBuilder(alg)
+        air.eval(builder)
+        sels = {k: jnp.asarray(v) for k, v in sels_np.items()}
+        q_ef = jnp.zeros((m, 4), dtype=jnp.uint32)
+        for con, pd in zip(builder.constraints, apows_):
+            if con.count == 1:
+                base_val = bb.mont_mul(con.expr, sels[con.kind])  # (m,)
+                q_ef = ef.ef_add(
+                    q_ef, bb.mont_mul(pd[0][None, :], base_val[:, None])
+                )
+            else:
+                blk = bb.mont_mul(con.expr, sels[con.kind][None, :])  # (k, m)
+                contrib = bb.mont_mul(pd[:, None, :], blk[:, :, None])
+                q_ef = ef.ef_add(q_ef, _tree_sum_axis0(contrib))
+        # chunking: intt over the coset -> unshift -> nq chunks -> LDE+commit
+        q_coeffs = bb.mont_mul(ntt.intt(q_ef.T), sinvp_)
+        chunks = jnp.concatenate(
+            [q_coeffs[:, j * dom.n : (j + 1) * dom.n] for j in range(nq)], axis=0
+        )  # (4*nq, n)
+        q_lde = ntt.lde_from_coeffs(chunks, BLOWUP_LOG, dom.shift)
+        q_levels = merkle.commit(p2.hash_rows(q_lde.T))
+        return chunks, q_lde, q_levels
+
+    chunks, q_lde, q_levels = _quotient_stage(t_lde, fixed_m, apows, sinvp)
     q_root = merkle.root(q_levels)
     channel.absorb_digest(q_root)
 
-    # 4. out-of-domain openings
+    # 4. out-of-domain openings (one stage)
     zeta = channel.challenge_ef()
     zeta_g = ef.h_mul(zeta, ef.h_from_base(dom.g))
     zp = _ef_powers_device(zeta, dom.n)
     zgp = _ef_powers_device(zeta_g, dom.n)
-    tz = _ef_dot(t_coeffs, zp)  # (W, 4)
-    tzg = _ef_dot(t_coeffs, zgp)
-    qz = _ef_dot(chunks, zp)  # (4*nq, 4)
+
+    @jax.jit
+    def _ood_stage(t_coeffs_, chunks_, zp_, zgp_):
+        return (
+            _ef_dot(t_coeffs_, zp_),
+            _ef_dot(t_coeffs_, zgp_),
+            _ef_dot(chunks_, zp_),
+        )
+
+    tz, tzg, qz = _ood_stage(t_coeffs, chunks, zp, zgp)
     trace_at_zeta = ef.from_device(tz)
     trace_at_zeta_g = ef.from_device(tzg)
     quotient_at_zeta = ef.from_device(qz)
     for v in trace_at_zeta + trace_at_zeta_g + quotient_at_zeta:
         channel.absorb_ef(v)
 
-    # 5. DEEP composition (vectorized over all opened columns)
+    # 5. DEEP composition (one stage)
     gamma = channel.challenge_ef()
     nq4 = 4 * nq
     n_open = 2 * width + nq4
     gammas = [ef.H_ONE]
     for _ in range(n_open - 1):
         gammas.append(ef.h_mul(gammas[-1], gamma))
-    xs = jnp.asarray(dom.xs_mont)
-    # group 1 (divisor x - zeta): trace cols + quotient coords
     g1 = [gammas[k] for k in range(width)] + [
         gammas[2 * width + j] for j in range(nq4)
     ]
-    p1 = jnp.concatenate([t_lde, q_lde], axis=0)  # (width + nq4, m)
-    s1 = _tree_sum_axis0(
-        bb.mont_mul(ef.to_device(g1)[:, None, :], p1[:, :, None])
-    )
+    g2 = [gammas[width + k] for k in range(width)]
     c1 = ef.H_ZERO
     for g, v in zip(g1, trace_at_zeta + quotient_at_zeta):
         c1 = ef.h_add(c1, ef.h_mul(g, v))
-    # group 2 (divisor x - zeta*g): trace cols
-    g2 = [gammas[width + k] for k in range(width)]
-    s2 = _tree_sum_axis0(
-        bb.mont_mul(ef.to_device(g2)[:, None, :], t_lde[:, :, None])
-    )
     c2 = ef.H_ZERO
     for g, v in zip(g2, trace_at_zeta_g):
         c2 = ef.h_add(c2, ef.h_mul(g, v))
-    inv_z = _ef_inv_linear(xs, zeta)
-    inv_zg = _ef_inv_linear(xs, zeta_g)
-    h1 = ef.ef_mul(ef.ef_sub(s1, jnp.broadcast_to(ef.to_device([c1])[0], (m, 4))), inv_z)
-    h2 = ef.ef_mul(ef.ef_sub(s2, jnp.broadcast_to(ef.to_device([c2])[0], (m, 4))), inv_zg)
-    h = ef.ef_add(h1, h2)
+    nb_z, cdev_z = _inv_linear_consts(zeta)
+    nb_zg, cdev_zg = _inv_linear_consts(zeta_g)
+    xs = jnp.asarray(dom.xs_mont)
+
+    @jax.jit
+    def _deep_stage(t_lde_, q_lde_, g1d, g2d, c1d, c2d, xs_, nbz, cdz, nbzg, cdzg):
+        p1 = jnp.concatenate([t_lde_, q_lde_], axis=0)
+        s1 = _tree_sum_axis0(bb.mont_mul(g1d[:, None, :], p1[:, :, None]))
+        s2 = _tree_sum_axis0(bb.mont_mul(g2d[:, None, :], t_lde_[:, :, None]))
+        inv_z = _inv_linear_dev(xs_, nbz, cdz)
+        inv_zg = _inv_linear_dev(xs_, nbzg, cdzg)
+        h1 = ef.ef_mul(ef.ef_sub(s1, jnp.broadcast_to(c1d, (m, 4))), inv_z)
+        h2 = ef.ef_mul(ef.ef_sub(s2, jnp.broadcast_to(c2d, (m, 4))), inv_zg)
+        return ef.ef_add(h1, h2)
+
+    h = _deep_stage(
+        t_lde,
+        q_lde,
+        ef.to_device(g1),
+        ef.to_device(g2),
+        ef.to_device([c1])[0],
+        ef.to_device([c2])[0],
+        xs,
+        nb_z,
+        cdev_z,
+        nb_zg,
+        cdev_zg,
+    )
 
     # 6. FRI
     layers, roots_dev, final_values = fri.commit(h, log_n + BLOWUP_LOG, dom.shift, channel)
@@ -330,19 +421,22 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
         np.asarray(bb.from_mont(r)).tolist() for r in roots_dev
     ]
 
-    # 7. grinding + queries
+    # 7. grinding + queries (batched device gathers, one transfer each)
     pow_nonce = channel.grind(GRIND_BITS)
     indices = channel.challenge_indices(NUM_QUERIES, m)
-    t_rows_np = np.asarray(bb.from_mont(t_rows))
-    q_rows_np = np.asarray(bb.from_mont(q_rows))
+    idx_dev = jnp.asarray(np.asarray(indices, np.int32))
+    t_sel = np.asarray(bb.from_mont(jnp.take(t_lde.T, idx_dev, axis=0)))
+    q_sel = np.asarray(bb.from_mont(jnp.take(q_lde.T, idx_dev, axis=0)))
+    t_paths = merkle.open_paths(t_levels, indices)
+    q_paths = merkle.open_paths(q_levels, indices)
     queries = []
-    for idx in indices:
+    for qi, idx in enumerate(indices):
         queries.append(
             {
-                "trace_row": t_rows_np[idx].tolist(),
-                "trace_path": [p.tolist() for p in merkle.open_path(t_levels, idx)],
-                "quot_row": q_rows_np[idx].tolist(),
-                "quot_path": [p.tolist() for p in merkle.open_path(q_levels, idx)],
+                "trace_row": t_sel[qi].tolist(),
+                "trace_path": [p.tolist() for p in t_paths[qi]],
+                "quot_row": q_sel[qi].tolist(),
+                "quot_path": [p.tolist() for p in q_paths[qi]],
             }
         )
     fri_proof = fri.FriProof(
