@@ -210,3 +210,29 @@ def test_anchor_validation(world):
     bad.gas_limit = ANCHOR_GAS_LIMIT + 1
     with pytest.raises(BlockError):
         validate_anchor_tx(bad, l2.spec)
+
+
+@pytest.mark.slow
+def test_tpu_stark_prove_taiko_block_with_mpt(world):
+    """Full TPU_STARK backend over a simulated block: transcript STARK +
+    batched keccak STARK over the post-state trie's node preimages."""
+    import json as _json
+
+    from raiko_tpu.provers.tpu_stark import verify_payload
+
+    gi, output, proof = _run("taiko_a7", 1, ProofType.TPU_STARK)
+    payload = _json.loads(proof.proof)
+    assert payload["kind"] == "poseidon2-transcript-v1"
+    assert "mpt" in payload, "post-state MPT statement must be attached"
+    mpt = payload["mpt"]
+    assert mpt["covered"] >= 1 and mpt["covered"] <= mpt["total"]
+    # digest 0 is the post-state root the header commits to
+    from raiko_tpu.evm.builder import calculate_block_header
+
+    header = calculate_block_header(gi)
+    assert bytes.fromhex(mpt["state_root"]) == header.state_root
+    assert verify_payload(payload)
+    # detaching or corrupting the mpt component must fail verification
+    bad = _json.loads(proof.proof)
+    bad["mpt"]["digests"][0] = "11" * 32
+    assert not verify_payload(bad)

@@ -118,3 +118,24 @@ def test_merkle_commit_and_paths():
     assert not merkle.verify_path(bad, 3, path, rt)
     # wrong index fails
     assert not merkle.verify_path(np.asarray(leaves[3]), 4, path, rt)
+
+
+def test_merkle_open_paths_batched_matches_single():
+    import numpy as np
+    import jax.numpy as jnp
+    from raiko_tpu.fields import babybear as bb
+    from raiko_tpu.ops import merkle, poseidon2 as p2
+
+    rng = np.random.default_rng(3)
+    leaves = p2.hash_rows(
+        bb.to_mont(jnp.asarray(rng.integers(0, bb.P, (64, 8), np.uint32)))
+    )
+    levels = merkle.commit(leaves)
+    idxs = [0, 5, 31, 63, 5]
+    batched = merkle.open_paths(levels, idxs)
+    for i, idx in enumerate(idxs):
+        single = merkle.open_path(levels, idx)
+        assert all((a == b).all() for a, b in zip(batched[i], single))
+        assert merkle.verify_path(
+            np.asarray(levels[0][idx]), idx, batched[i], np.asarray(merkle.root(levels))
+        )
