@@ -14,13 +14,16 @@ re-expressed as sort + segmented scan:
    limb representation);
 2. give every (point, window) pair a flat bucket key, push zero digits to a
    dump slot, and ``argsort`` the keys (one XLA sort of N*32 u32 keys);
-3. gather points into key order and run ``lax.associative_scan`` with a
-   *segmented* EC-add combiner — the complete RCB15 addition makes the
-   combiner branch-free, so the scan is a pure vectorized reduction tree;
+3. gather points into key order and run a work-efficient 3-phase
+   *segmented* scan with an EC-add combiner (``_segmented_scan``: in-block
+   scan -> compact block-sum scan -> carry combine, ~3.5M adds instead of
+   Hillis-Steele's M·log2 M) — the complete RCB15 addition makes the
+   combiner branch-free, and on TPU every wide add runs through the Pallas
+   CIOS kernel (ops/ec_pallas.py);
 4. segment boundaries scatter bucket sums into a dense (windows, 256)
    bucket matrix (unique keys -> well-defined scatter);
-5. the classic suffix-sum bucket reduction runs as one ``lax.scan`` over
-   255 steps vectorized across all 32 windows at once;
+5. the classic suffix-sum bucket reduction runs as two fori-loop
+   Hillis-Steele scans vectorized across all 32 windows at once;
 6. windows fold top-down with 8 doublings each.
 
 Multi-chip: points shard over the batch axis; each chip computes partial

@@ -67,7 +67,9 @@ class TpuStarkProver(Prover):
         payload = prove_transcript(ih)
         if config.get("mpt_statement", True) and "state_trie" in collect:
             payload["mpt"] = prove_mpt_preimages(
-                collect["state_trie"], header.state_root
+                collect["state_trie"],
+                header.state_root,
+                storage_tries=collect.get("storage_tries"),
             )
         return Proof(
             proof=json.dumps(payload),
@@ -94,44 +96,76 @@ def prove_transcript(instance_hash: bytes) -> dict:
     }
 
 
-def prove_mpt_preimages(state_trie, state_root: bytes) -> dict:
-    """Batched keccak-sponge STARK over the post-state trie's hashed node
+def prove_mpt_preimages(
+    state_trie, state_root: bytes, storage_tries=None, max_chunks: int = 4
+) -> dict:
+    """Batched keccak-sponge STARKs over the post-state tries' hashed node
     preimages (reference analog: the keccak calls of calculate_state_root,
     lib/src/primitives/mpt.rs:117-121 / builder.rs:191-264).
 
     The statement: digest_k = keccak256(preimage_k) for every covered
     node, with preimage 0 = the root node (digest 0 = the block's state
-    root).  Coverage is capped at MAX_MPT_PERMS permutations; the payload
-    records how many nodes were covered vs present so partial coverage is
-    explicit, never silent."""
+    root).  Storage-trie preimages follow the state trie's: each storage
+    root digest is embedded in its account leaf's RLP, so the verifier's
+    DFS-containment check chains them to the state root with no extra
+    machinery.  Preimages are packed into chunks of <= MAX_MPT_PERMS
+    sponge permutations (trace n = 1024 each) and each chunk gets its own
+    STARK, so coverage scales with the trie instead of being capped by
+    one trace; `max_chunks` bounds prover work, and the payload records
+    covered vs total so any remaining truncation is explicit, never
+    silent."""
     from ..mpt.trie import hashed_preimages
     from ..stark.airs.keccak_air import RATE_BYTES, KeccakBatchSpongeAir
 
+    from ..utils import keccak256
+
     all_msgs = hashed_preimages(state_trie)
-    msgs, perms = [], 0
+    for st in (storage_tries or {}).values():
+        all_msgs.extend(hashed_preimages(st))
+    chunks: list[list[bytes]] = []
+    cur: list[bytes] = []
+    perms = 0
+    blob = b""  # containment-aware packing: never emit an unverifiable
+    # payload — a message is included only if earlier kept messages
+    # reference its digest (budget cuts drop whole orphaned subtrees)
     for m in all_msgs:
+        if blob and keccak256(m) not in blob:
+            continue
         need = len(m) // RATE_BYTES + 1
-        if perms + need > MAX_MPT_PERMS:
-            break
-        msgs.append(m)
+        if cur and perms + need > MAX_MPT_PERMS:
+            chunks.append(cur)
+            cur, perms = [], 0
+            if len(chunks) == max_chunks:
+                break
+        cur.append(m)
         perms += need
-    air = KeccakBatchSpongeAir(msgs)
-    assert air.digests[0] == state_root, "root preimage must hash to state root"
-    sp = stark_prover.prove(air, air.trace(), air.publics())
+        blob += m
+    if cur and len(chunks) < max_chunks:
+        chunks.append(cur)
+    covered = sum(len(c) for c in chunks)
+    msgs = [m for c in chunks for m in c]
+    starks = []
+    digests: list[bytes] = []
+    for chunk in chunks:
+        air = KeccakBatchSpongeAir(chunk)
+        digests.extend(air.digests)
+        starks.append(proof_to_dict(stark_prover.prove(air, air.trace(), air.publics())))
+    assert digests[0] == state_root, "root preimage must hash to state root"
     return {
         "kind": "keccak-mpt-v1",
         "state_root": state_root.hex(),
         "messages": [m.hex() for m in msgs],
-        "digests": [d.hex() for d in air.digests],
-        "covered": len(msgs),
+        "digests": [d.hex() for d in digests],
+        "chunk_sizes": [len(c) for c in chunks],
+        "covered": covered,
         "total": len(all_msgs),
-        "stark": proof_to_dict(sp),
+        "stark_chunks": starks,
     }
 
 
 def verify_mpt_payload(mpt: dict, state_root: bytes | None = None) -> bool:
     """Check the batched keccak MPT statement from public data alone:
-    (a) the STARK attests digest_k = keccak256(message_k);
+    (a) each chunk's STARK attests digest_k = keccak256(message_k);
     (b) digest 0 equals the claimed state root;
     (c) every other digest is referenced by an earlier preimage (the
         nodes form a DAG hanging off the state root, not a loose set)."""
@@ -141,7 +175,8 @@ def verify_mpt_payload(mpt: dict, state_root: bytes | None = None) -> bool:
         return False
     msgs = [bytes.fromhex(m) for m in mpt["messages"]]
     digests = [bytes.fromhex(d) for d in mpt["digests"]]
-    if len(msgs) != len(digests) or not msgs:
+    sizes = list(mpt.get("chunk_sizes", [len(msgs)]))
+    if len(msgs) != len(digests) or not msgs or sum(sizes) != len(msgs):
         return False
     root = bytes.fromhex(mpt["state_root"])
     if state_root is not None and root != state_root:
@@ -155,11 +190,21 @@ def verify_mpt_payload(mpt: dict, state_root: bytes | None = None) -> bool:
         if blob and d not in blob:
             return False
         blob += m
-    air = KeccakBatchSpongeAir(msgs, digests=digests)
-    sp = proof_from_dict(mpt["stark"])
-    if sp.publics != air.publics():
+    starks = mpt.get("stark_chunks", [])
+    if len(starks) != len(sizes):
         return False
-    return stark_verifier.verify(air, sp)
+    off = 0
+    for size, sd in zip(sizes, starks):
+        air = KeccakBatchSpongeAir(
+            msgs[off : off + size], digests=digests[off : off + size]
+        )
+        sp = proof_from_dict(sd)
+        if sp.publics != air.publics():
+            return False
+        if not stark_verifier.verify(air, sp):
+            return False
+        off += size
+    return True
 
 
 def verify_payload(payload: dict) -> bool:
