@@ -49,3 +49,26 @@ def test_msm_dist_matches_single_chip(mesh8):
     run = make_msm_dist(mesh8)
     got = curve.to_affine(np.asarray(run(dev_pts, limbs)))
     assert got == hc.g1_msm(pts, scalars)
+
+
+@pytest.mark.slow
+def test_multihost_two_processes():
+    """Real multi-HOST simulation: 2 OS processes join one jax.distributed
+    job (gRPC coordinator + gloo collectives) and run the sharded NTT and
+    trace commitment across the process boundary — the multi-node test the
+    reference never had (SURVEY.md §4)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multihost_sim.py"),
+         "--nprocs", "2", "--devs-per-proc", "4", "--port", "19741"],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "multihost ok" in res.stdout
