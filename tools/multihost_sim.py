@@ -26,10 +26,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def worker(process_id: int, nprocs: int, port: int, devs_per_proc: int) -> None:
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={devs_per_proc}"
-    )
+    # replace (not append) any inherited device-count flag — e.g. the test
+    # conftest exports one, and XLA honors the first occurrence
+    flags = [
+        f
+        for f in os.environ.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={devs_per_proc}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     import jax
 
