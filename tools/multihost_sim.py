@@ -61,7 +61,11 @@ def worker(process_id: int, nprocs: int, port: int, devs_per_proc: int) -> None:
     x_np = rng.integers(0, bb.P, 1 << log_n, np.uint32)
     x = bb.to_mont(jnp.asarray(x_np))
     run = make_ntt_dist(mesh, log_n)
-    got = np.asarray(run(x))  # all-to-all crosses the process boundary
+    from jax.experimental import multihost_utils
+
+    out = run(x)  # all-to-all crosses the process boundary
+    # the result is globally sharded; gather it across processes
+    got = np.asarray(multihost_utils.process_allgather(out, tiled=True))
     want = np.asarray(nttmod.ntt(bb.to_mont(jnp.asarray(x_np))))
     assert np.array_equal(got, want), "distributed NTT != single-process NTT"
 
