@@ -35,6 +35,7 @@ from ..fields import babybear_ext as ef
 from ..ops import merkle, ntt, poseidon2 as p2
 from . import fri
 from .air import Air, ConstraintBuilder
+from ..utils.measurement import Measurement
 from .channel import Channel
 from .domain import Domain
 
@@ -283,10 +284,12 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     channel.absorb_elems(publics)
 
     # 1. trace LDE + commit (one jitted stage)
+    _t = Measurement("stark.trace_commit")
     trace_m = bb.to_mont(jnp.asarray(trace.T.copy()))  # (W, n)
     t_coeffs, t_lde, t_levels = _commit_cols(trace_m, dom.shift)
     t_root = merkle.root(t_levels)
     channel.absorb_digest(t_root)
+    _t.stop()
 
     # 2+3. constraint evaluation + quotient + chunk commit (one stage)
     alpha = channel.challenge_ef()
@@ -344,9 +347,11 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
         q_levels = merkle.commit(p2.hash_rows(q_lde.T))
         return chunks, q_lde, q_levels
 
+    _t = Measurement("stark.quotient")
     chunks, q_lde, q_levels = _quotient_stage(t_lde, fixed_m, apows, sinvp)
     q_root = merkle.root(q_levels)
     channel.absorb_digest(q_root)
+    _t.stop()
 
     # 4. out-of-domain openings (one stage)
     zeta = channel.challenge_ef()
@@ -362,10 +367,12 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
             _ef_dot(chunks_, zp_),
         )
 
+    _t = Measurement("stark.ood")
     tz, tzg, qz = _ood_stage(t_coeffs, chunks, zp, zgp)
     trace_at_zeta = ef.from_device(tz)
     trace_at_zeta_g = ef.from_device(tzg)
     quotient_at_zeta = ef.from_device(qz)
+    _t.stop()
     for v in trace_at_zeta + trace_at_zeta_g + quotient_at_zeta:
         channel.absorb_ef(v)
 
@@ -416,12 +423,15 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     )
 
     # 6. FRI
+    _t = Measurement("stark.fri")
     layers, roots_dev, final_values = fri.commit(h, log_n + BLOWUP_LOG, dom.shift, channel)
     layer_roots = [
         np.asarray(bb.from_mont(r)).tolist() for r in roots_dev
     ]
 
+    _t.stop()
     # 7. grinding + queries (batched device gathers, one transfer each)
+    _t = Measurement("stark.grind_queries")
     pow_nonce = channel.grind(GRIND_BITS)
     indices = channel.challenge_indices(NUM_QUERIES, m)
     idx_dev = jnp.asarray(np.asarray(indices, np.int32))
@@ -439,6 +449,7 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
                 "quot_path": [p.tolist() for p in q_paths[qi]],
             }
         )
+    _t.stop()
     fri_proof = fri.FriProof(
         layer_roots=layer_roots,
         final_values=final_values,
