@@ -51,16 +51,28 @@ def open_path(levels: list[jax.Array], index: int) -> list[np.ndarray]:
 def open_paths(
     levels: list[jax.Array], indices: list[int]
 ) -> list[list[np.ndarray]]:
-    """Authentication paths for MANY leaves: one device gather + one
-    transfer per tree level instead of one per node — per-node slicing is
-    relay-latency-bound on TPU (each eager dispatch costs ~5 ms through
-    the tunnel, and a query phase opens hundreds of nodes)."""
+    """Authentication paths for MANY leaves in STANDARD form (the proof
+    wire format): one device gather + one transfer per tree level instead
+    of one per node — per-node slicing is relay-latency-bound on TPU (each
+    eager dispatch costs ~150 ms through the tunnel, and a query phase
+    opens hundreds of nodes)."""
+    from ..fields import babybear as bb
+
     idx = np.asarray(indices, np.int64)
-    per_level = []
+    gathered = []
     for lvl in levels[:-1]:
         sib = jnp.asarray((idx ^ 1).astype(np.int32))
-        per_level.append(np.asarray(jnp.take(lvl, sib, axis=0)))
+        gathered.append(bb.from_mont(jnp.take(lvl, sib, axis=0)))  # device
         idx = idx >> 1
+    if not gathered:
+        return [[] for _ in indices]
+    # ONE host transfer for the whole path set
+    flat = np.asarray(jnp.concatenate([g.reshape(-1) for g in gathered]))
+    per_level, off = [], 0
+    for g in gathered:
+        n = g.shape[0] * g.shape[1]
+        per_level.append(flat[off : off + n].reshape(g.shape))
+        off += n
     return [
         [per_level[lev][q] for lev in range(len(per_level))]
         for q in range(len(indices))

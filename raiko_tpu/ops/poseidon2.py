@@ -263,3 +263,24 @@ def hash_rows(rows: jax.Array) -> jax.Array:
         state = state.at[:, :RATE].set(bb.add(state[:, :RATE], blk))
         state = permute(state)
     return state[:, :OUT]
+
+
+def host_hash_row(row: list[int]) -> list[int]:
+    """Standard-form sponge hash of one row — bit-equal to ``hash_rows``
+    (host analog for verifier/channel paths where a device round-trip per
+    call would dominate: ~150 ms through the sandbox relay)."""
+    w = len(row)
+    nchunks = max(1, -(-w // RATE))
+    padded = [int(v) % bb.P for v in row] + [0] * (nchunks * RATE - w)
+    state = [0] * WIDTH
+    state[WIDTH - 1] = w % bb.P
+    for c in range(nchunks):
+        for i in range(RATE):
+            state[i] = (state[i] + padded[c * RATE + i]) % bb.P
+        state = host_permute(state)
+    return state[:OUT]
+
+
+def host_compress(left, right) -> list[int]:
+    """2-to-1 compression on standard-form ints — bit-equal to ``compress``."""
+    return host_permute([int(v) % bb.P for v in left] + [int(v) % bb.P for v in right])[:OUT]

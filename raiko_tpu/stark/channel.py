@@ -12,15 +12,20 @@ Query-index sampling uses rejection to stay unbiased.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..fields import babybear as bb
 from ..ops import poseidon2 as p2
 
 
 class Channel:
+    """State lives HOST-SIDE in standard form and permutes with the pinned
+    host Poseidon2 (bit-equal to the device kernel): a transcript makes
+    dozens-to-thousands of tiny sponge calls (grinding alone ~2^10), and a
+    device round-trip per call costs ~150 ms through the sandbox relay —
+    the host permutation is microseconds."""
+
     def __init__(self):
-        self._state = np.zeros(16, dtype=np.uint32)  # Montgomery domain
+        self._state = [0] * 16  # standard form
         self._pending: list[int] = []  # standard-form field elems to absorb
 
     # -- absorbing ------------------------------------------------------
@@ -31,7 +36,7 @@ class Channel:
 
     def absorb_digest(self, digest) -> None:
         """Absorb a Montgomery-form (8,) digest (Merkle root)."""
-        vals = np.asarray(bb.from_mont(jnp.asarray(digest))).tolist()
+        vals = bb.np_from_mont(np.asarray(digest)).tolist()
         self.absorb_elems(vals)
 
     def absorb_ef(self, x: tuple) -> None:
@@ -49,14 +54,10 @@ class Channel:
         self._pending = []
         for off in range(0, len(pend), 8):
             chunk = pend[off : off + 8]
-            block = np.zeros(8, dtype=np.uint64)
-            block[: len(chunk)] = chunk
-            block_m = ((block * bb.R) % bb.P).astype(np.uint32)
-            st = self._state.copy()
-            st[:8] = np.asarray(
-                bb.add(jnp.asarray(st[:8]), jnp.asarray(block_m))
-            )
-            self._state = np.asarray(p2.permute(jnp.asarray(st)[None, :]))[0]
+            st = list(self._state)
+            for i, v in enumerate(chunk):
+                st[i] = (st[i] + v) % bb.P
+            self._state = p2.host_permute(st)
 
     # -- squeezing ------------------------------------------------------
     def _squeeze_elems(self, n: int) -> list[int]:
@@ -64,15 +65,10 @@ class Channel:
             self._flush()
         out: list[int] = []
         while len(out) < n:
-            vals = np.asarray(
-                bb.from_mont(jnp.asarray(self._state[:8]))
-            ).tolist()
-            out.extend(int(v) for v in vals)
+            out.extend(int(v) for v in self._state[:8])
             # always advance the state after reading a block so consecutive
             # squeezes are independent
-            self._state = np.asarray(
-                p2.permute(jnp.asarray(self._state)[None, :])
-            )[0]
+            self._state = p2.host_permute(self._state)
         return out[:n]
 
     def challenge(self) -> int:

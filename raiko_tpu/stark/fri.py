@@ -231,11 +231,15 @@ def ef_pair_to_row(pair) -> np.ndarray:
 
 
 def _verify_leaf(leaf_row, index, path, root) -> bool:
-    leaf = np.asarray(p2.hash_rows(jnp.asarray(leaf_row)[None, :]))[0]
-    root_m = ((np.array(root, dtype=np.uint64) * bb.R) % bb.P).astype(np.uint32)
-    return merkle.verify_path(
-        leaf, index, [np.array(p, dtype=np.uint32) for p in path], root_m
-    )
+    """Host-side leaf + path check (8-wide FRI leaves: one host permutation
+    each; a device call per leaf would cost ~150 ms through the relay)."""
+    leaf_std = bb.np_from_mont(np.asarray(leaf_row)).tolist()
+    cur = p2.host_hash_row(leaf_std)
+    for sib in path:
+        sib = [int(v) % bb.P for v in sib]
+        cur = p2.host_compress(sib, cur) if index & 1 else p2.host_compress(cur, sib)
+        index >>= 1
+    return cur == [int(v) % bb.P for v in root]
 
 
 def _final_poly_ok(final_values, log_m: int, shift: int) -> bool:

@@ -95,12 +95,30 @@ def _row_to_mont(row: list[int]) -> np.ndarray:
     return ((np.array(row, dtype=np.uint64) * bb.R) % bb.P).astype(np.uint32)
 
 
+def _hash_rows_batch(rows: list[list[int]]) -> list[list[int]]:
+    """Leaf digests (standard form) for many rows: ONE device call for wide
+    rows (a 4160-wide row is ~520 host permutations), pure host for narrow
+    ones (a device round-trip costs ~150 ms through the sandbox relay)."""
+    w = len(rows[0])
+    if w <= 64:
+        return [p2.host_hash_row(r) for r in rows]
+    arr = ((np.array(rows, dtype=np.uint64) * bb.R) % bb.P).astype(np.uint32)
+    dig = np.asarray(bb.from_mont(p2.hash_rows(jnp.asarray(arr))))
+    return [d.tolist() for d in dig]
+
+
+def _host_path_ok(leaf_std, index: int, path, root) -> bool:
+    """Merkle path walk on standard-form ints (host Poseidon2)."""
+    cur = [int(v) % bb.P for v in leaf_std]
+    for sib in path:
+        sib = [int(v) % bb.P for v in sib]
+        cur = p2.host_compress(sib, cur) if index & 1 else p2.host_compress(cur, sib)
+        index >>= 1
+    return cur == [int(v) % bb.P for v in root]
+
+
 def _check_merkle(row, index, path, root) -> bool:
-    leaf = np.asarray(p2.hash_rows(jnp.asarray(_row_to_mont(row))[None, :]))[0]
-    root_m = _row_to_mont(root)
-    return merkle.verify_path(
-        leaf, index, [np.array(p, dtype=np.uint32) for p in path], root_m
-    )
+    return _host_path_ok(p2.host_hash_row(list(row)), index, path, root)
 
 
 def verify(air: Air, proof: StarkProof) -> bool:
@@ -184,12 +202,18 @@ def verify(air: Air, proof: StarkProof) -> bool:
     if len(proof.queries) != len(indices) or len(proof.fri_proof.query_proofs) != len(indices):
         return False
 
-    # per-query: Merkle rows + recompute DEEP value
+    # per-query: Merkle rows + recompute DEEP value.  Leaf hashing for the
+    # (possibly very wide) trace/quotient rows is batched into one device
+    # call each; path walks run on the host.
+    if len(proof.queries) == 0:
+        return False
+    t_leaves = _hash_rows_batch([list(q["trace_row"]) for q in proof.queries])
+    q_leaves = _hash_rows_batch([list(q["quot_row"]) for q in proof.queries])
     pairs = []
-    for idx, q in zip(indices, proof.queries):
-        if not _check_merkle(q["trace_row"], idx, q["trace_path"], proof.trace_root):
+    for qi, (idx, q) in enumerate(zip(indices, proof.queries)):
+        if not _host_path_ok(t_leaves[qi], idx, q["trace_path"], proof.trace_root):
             return False
-        if not _check_merkle(q["quot_row"], idx, q["quot_path"], proof.quotient_root):
+        if not _host_path_ok(q_leaves[qi], idx, q["quot_path"], proof.quotient_root):
             return False
         x = dom.xs_int[idx]
         s1 = ef.H_ZERO

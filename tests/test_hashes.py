@@ -132,10 +132,20 @@ def test_merkle_open_paths_batched_matches_single():
     )
     levels = merkle.commit(leaves)
     idxs = [0, 5, 31, 63, 5]
-    batched = merkle.open_paths(levels, idxs)
+    batched = merkle.open_paths(levels, idxs)  # standard form (wire format)
     for i, idx in enumerate(idxs):
-        single = merkle.open_path(levels, idx)
-        assert all((a == b).all() for a, b in zip(batched[i], single))
-        assert merkle.verify_path(
-            np.asarray(levels[0][idx]), idx, batched[i], np.asarray(merkle.root(levels))
+        single = merkle.open_path(levels, idx)  # Montgomery form
+        assert all(
+            (a == np.asarray(bb.from_mont(jnp.asarray(b)))).all()
+            for a, b in zip(batched[i], single)
         )
+        # host path walk over the standard-form path reaches the root
+        from raiko_tpu.ops.poseidon2 import host_compress
+
+        cur = np.asarray(bb.from_mont(levels[0][idx])).tolist()
+        k = idx
+        for sib in batched[i]:
+            s = sib.tolist()
+            cur = host_compress(s, cur) if k & 1 else host_compress(cur, s)
+            k >>= 1
+        assert cur == np.asarray(bb.from_mont(merkle.root(levels))).tolist()
