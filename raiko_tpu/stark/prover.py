@@ -66,12 +66,12 @@ class _ProverAlgebra:
         self,
         lde: jax.Array,
         next_perm: np.ndarray,
-        publics: list[int],
+        publics: jax.Array,
         fixed_lde: jax.Array | None = None,
     ):
         self._lde = lde  # (W, m) Montgomery
         self._next = jnp.asarray(next_perm)
-        self._publics = publics
+        self._publics = publics  # (k,) Montgomery device array (traced!)
         self._fixed = fixed_lde
 
     def local(self, c: int):
@@ -84,7 +84,7 @@ class _ProverAlgebra:
         return self._fixed[c]
 
     def public(self, i: int):
-        return self.constant(self._publics[i])
+        return self._publics[i]
 
     def constant(self, v: int):
         return jnp.uint32((v % bb.P) * bb.R % bb.P)
@@ -100,10 +100,7 @@ class _ProverAlgebra:
         return self._fixed[jnp.asarray(cols)]
 
     def public_block(self, idxs):
-        vals = np.array(
-            [(self._publics[i] % bb.P) * bb.R % bb.P for i in idxs], dtype=np.uint32
-        )
-        return jnp.asarray(vals)[:, None]  # (k, 1) broadcasts over the domain
+        return self._publics[jnp.asarray(idxs)][:, None]  # (k, 1) broadcast
 
     def scale(self, k: int, a):
         """Small-integer scaling via Montgomery constant multiply."""
@@ -267,6 +264,87 @@ def _inv_linear_dev(xs: jax.Array, nb: jax.Array, cdev: jax.Array) -> jax.Array:
     return bb.mont_mul(ef_acc, n_inv[:, None])
 
 
+# Cached per (AIR class, shape) jitted stages.  Requirement (holds for all
+# shipped AIRs): Air.eval must be STRUCTURE-pure — its constraint graph may
+# depend on the class and trace shape but not on per-instance data (per-
+# instance values flow through fixed columns and publics, which are traced
+# stage inputs).
+_QUOTIENT_STAGES: dict = {}
+
+
+def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
+    key = (type(air), air.width, dom.log_n, air.quotient_chunks, has_fixed)
+    fn = _QUOTIENT_STAGES.get(key)
+    if fn is not None:
+        return fn
+    nq = air.quotient_chunks
+    m = dom.m
+    next_perm = dom.next_perm
+    sels_np = {
+        "transition": dom.trans_sel,
+        "first_row": dom.first_inv,
+        "last_row": dom.last_inv,
+    }
+    shift = dom.shift
+    n = dom.n
+
+    @jax.jit
+    def qfn(t_lde_, fixed_m_, apows_, sinvp_, publics_dev):
+        fixed_lde = (
+            ntt.lde_from_coeffs(ntt.interpolate(fixed_m_), BLOWUP_LOG, shift)
+            if fixed_m_ is not None
+            else None
+        )
+        alg = _ProverAlgebra(t_lde_, next_perm, publics_dev, fixed_lde)
+        builder = ConstraintBuilder(alg)
+        air.eval(builder)
+        sels = {k: jnp.asarray(v) for k, v in sels_np.items()}
+        q_ef = jnp.zeros((m, 4), dtype=jnp.uint32)
+        for con, pd in zip(builder.constraints, apows_):
+            if con.count == 1:
+                base_val = bb.mont_mul(con.expr, sels[con.kind])  # (m,)
+                q_ef = ef.ef_add(
+                    q_ef, bb.mont_mul(pd[0][None, :], base_val[:, None])
+                )
+            else:
+                blk = bb.mont_mul(con.expr, sels[con.kind][None, :])  # (k, m)
+                contrib = bb.mont_mul(pd[:, None, :], blk[:, :, None])
+                q_ef = ef.ef_add(q_ef, _tree_sum_axis0(contrib))
+        # chunking: intt over the coset -> unshift -> nq chunks -> LDE+commit
+        q_coeffs = bb.mont_mul(ntt.intt(q_ef.T), sinvp_)
+        chunks = jnp.concatenate(
+            [q_coeffs[:, j * n : (j + 1) * n] for j in range(nq)], axis=0
+        )  # (4*nq, n)
+        q_lde = ntt.lde_from_coeffs(chunks, BLOWUP_LOG, shift)
+        q_levels = merkle.commit(p2.hash_rows(q_lde.T))
+        return chunks, q_lde, q_levels
+
+    _QUOTIENT_STAGES[key] = qfn
+    return qfn
+
+
+@jax.jit
+def _ood_stage(t_coeffs_, chunks_, zp_, zgp_):
+    return (
+        _ef_dot(t_coeffs_, zp_),
+        _ef_dot(t_coeffs_, zgp_),
+        _ef_dot(chunks_, zp_),
+    )
+
+
+@jax.jit
+def _deep_stage(t_lde_, q_lde_, g1d, g2d, c1d, c2d, xs_, nbz, cdz, nbzg, cdzg):
+    m = t_lde_.shape[1]
+    p1 = jnp.concatenate([t_lde_, q_lde_], axis=0)
+    s1 = _tree_sum_axis0(bb.mont_mul(g1d[:, None, :], p1[:, :, None]))
+    s2 = _tree_sum_axis0(bb.mont_mul(g2d[:, None, :], t_lde_[:, :, None]))
+    inv_z = _inv_linear_dev(xs_, nbz, cdz)
+    inv_zg = _inv_linear_dev(xs_, nbzg, cdzg)
+    h1 = ef.ef_mul(ef.ef_sub(s1, jnp.broadcast_to(c1d, (m, 4))), inv_z)
+    h2 = ef.ef_mul(ef.ef_sub(s2, jnp.broadcast_to(c2d, (m, 4))), inv_zg)
+    return ef.ef_add(h1, h2)
+
+
 def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> StarkProof:
     """Prove one AIR execution.  trace: (n, W) uint32 standard-form.
 
@@ -309,46 +387,14 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
             apow = ef.h_mul(apow, alpha)
         apows.append(ef.to_device(pows))
     nq = air.quotient_chunks
-    sels_np = {
-        "transition": dom.trans_sel,
-        "first_row": dom.first_inv,
-        "last_row": dom.last_inv,
-    }
     sinvp = jnp.asarray(_sinv_pows(dom.shift, m))
-
-    @functools.partial(jax.jit, static_argnames=())
-    def _quotient_stage(t_lde_, fixed_m_, apows_, sinvp_):
-        fixed_lde = (
-            ntt.lde_from_coeffs(ntt.interpolate(fixed_m_), BLOWUP_LOG, dom.shift)
-            if fixed_m_ is not None
-            else None
-        )
-        alg = _ProverAlgebra(t_lde_, dom.next_perm, publics, fixed_lde)
-        builder = ConstraintBuilder(alg)
-        air.eval(builder)
-        sels = {k: jnp.asarray(v) for k, v in sels_np.items()}
-        q_ef = jnp.zeros((m, 4), dtype=jnp.uint32)
-        for con, pd in zip(builder.constraints, apows_):
-            if con.count == 1:
-                base_val = bb.mont_mul(con.expr, sels[con.kind])  # (m,)
-                q_ef = ef.ef_add(
-                    q_ef, bb.mont_mul(pd[0][None, :], base_val[:, None])
-                )
-            else:
-                blk = bb.mont_mul(con.expr, sels[con.kind][None, :])  # (k, m)
-                contrib = bb.mont_mul(pd[:, None, :], blk[:, :, None])
-                q_ef = ef.ef_add(q_ef, _tree_sum_axis0(contrib))
-        # chunking: intt over the coset -> unshift -> nq chunks -> LDE+commit
-        q_coeffs = bb.mont_mul(ntt.intt(q_ef.T), sinvp_)
-        chunks = jnp.concatenate(
-            [q_coeffs[:, j * dom.n : (j + 1) * dom.n] for j in range(nq)], axis=0
-        )  # (4*nq, n)
-        q_lde = ntt.lde_from_coeffs(chunks, BLOWUP_LOG, dom.shift)
-        q_levels = merkle.commit(p2.hash_rows(q_lde.T))
-        return chunks, q_lde, q_levels
+    publics_dev = jnp.asarray(
+        np.array([(p % bb.P) * bb.R % bb.P for p in publics], dtype=np.uint32)
+    )
+    qfn = _quotient_stage_for(air, dom, fixed_m is not None)
 
     _t = Measurement("stark.quotient")
-    chunks, q_lde, q_levels = _quotient_stage(t_lde, fixed_m, apows, sinvp)
+    chunks, q_lde, q_levels = qfn(t_lde, fixed_m, apows, sinvp, publics_dev)
     q_root = merkle.root(q_levels)
     channel.absorb_digest(q_root)
     _t.stop()
@@ -358,14 +404,6 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     zeta_g = ef.h_mul(zeta, ef.h_from_base(dom.g))
     zp = _ef_powers_device(zeta, dom.n)
     zgp = _ef_powers_device(zeta_g, dom.n)
-
-    @jax.jit
-    def _ood_stage(t_coeffs_, chunks_, zp_, zgp_):
-        return (
-            _ef_dot(t_coeffs_, zp_),
-            _ef_dot(t_coeffs_, zgp_),
-            _ef_dot(chunks_, zp_),
-        )
 
     _t = Measurement("stark.ood")
     tz, tzg, qz = _ood_stage(t_coeffs, chunks, zp, zgp)
@@ -396,17 +434,6 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     nb_z, cdev_z = _inv_linear_consts(zeta)
     nb_zg, cdev_zg = _inv_linear_consts(zeta_g)
     xs = jnp.asarray(dom.xs_mont)
-
-    @jax.jit
-    def _deep_stage(t_lde_, q_lde_, g1d, g2d, c1d, c2d, xs_, nbz, cdz, nbzg, cdzg):
-        p1 = jnp.concatenate([t_lde_, q_lde_], axis=0)
-        s1 = _tree_sum_axis0(bb.mont_mul(g1d[:, None, :], p1[:, :, None]))
-        s2 = _tree_sum_axis0(bb.mont_mul(g2d[:, None, :], t_lde_[:, :, None]))
-        inv_z = _inv_linear_dev(xs_, nbz, cdz)
-        inv_zg = _inv_linear_dev(xs_, nbzg, cdzg)
-        h1 = ef.ef_mul(ef.ef_sub(s1, jnp.broadcast_to(c1d, (m, 4))), inv_z)
-        h2 = ef.ef_mul(ef.ef_sub(s2, jnp.broadcast_to(c2d, (m, 4))), inv_zg)
-        return ef.ef_add(h1, h2)
 
     h = _deep_stage(
         t_lde,

@@ -17,6 +17,7 @@ from ..fields import babybear_ext as ef
 from ..ops import merkle, poseidon2 as p2
 from . import fri
 from .air import Air, ConstraintBuilder
+from ..utils.measurement import Measurement
 from .channel import Channel
 from .domain import Domain
 from .prover import BLOWUP_LOG, GRIND_BITS, NUM_QUERIES, StarkProof
@@ -141,10 +142,13 @@ def verify(air: Air, proof: StarkProof) -> bool:
         channel.absorb_ef(tuple(v))
 
     # DEEP-ALI identity at zeta: sum alpha^i c_i(zeta) sel_i(zeta) == Q(zeta)
+    _t = Measurement("verify.fixed_eval")
     fixed_at_zeta = None
     fixed = air.fixed_columns(dom.n)
     if fixed is not None:
         fixed_at_zeta = _eval_fixed_at(fixed, zeta)
+    _t.stop()
+    _t = Measurement("verify.constraints")
     alg = _VerifierAlgebra(
         proof.trace_at_zeta, proof.trace_at_zeta_g, publics, fixed_at_zeta
     )
@@ -169,6 +173,7 @@ def verify(air: Air, proof: StarkProof) -> bool:
         chunk = _chunk_at(proof.quotient_at_zeta[4 * j : 4 * j + 4])
         q_at_zeta = ef.h_add(q_at_zeta, ef.h_mul(znj, chunk))
         znj = ef.h_mul(znj, zn)
+    _t.stop()
     if acc != q_at_zeta:
         return False
 
@@ -207,6 +212,7 @@ def verify(air: Air, proof: StarkProof) -> bool:
     # call each; path walks run on the host.
     if len(proof.queries) == 0:
         return False
+    _t = Measurement("verify.queries")
     t_leaves = _hash_rows_batch([list(q["trace_row"]) for q in proof.queries])
     q_leaves = _hash_rows_batch([list(q["quot_row"]) for q in proof.queries])
     pairs = []
@@ -239,10 +245,15 @@ def verify(air: Air, proof: StarkProof) -> bool:
             ef.h_mul(ef.h_sub(s1, c1), inv_z), ef.h_mul(ef.h_sub(s2, c2), inv_zg)
         )
         pairs.append((idx, h_val))
+    _t.stop()
 
-    return fri.check_queries(
-        proof.fri_proof, betas, log_n + BLOWUP_LOG, dom.shift, pairs
-    )
+    _t = Measurement("verify.fri_queries")
+    try:
+        return fri.check_queries(
+            proof.fri_proof, betas, log_n + BLOWUP_LOG, dom.shift, pairs
+        )
+    finally:
+        _t.stop()
 
 
 def _eval_fixed_at(fixed: np.ndarray, zeta: tuple) -> list[tuple]:
