@@ -202,6 +202,46 @@ class BlockResult:
     senders: list
 
 
+_BATCH_RECOVER_MIN = 16
+
+
+def _batch_recover_senders(txs) -> list | None:
+    """One TPU launch recovering every tx sender (reference analog:
+    with_recovered_senders, lib/src/builder.rs:108-110; SURVEY §2.2
+    "batched ecrecover kernel").  Returns a list aligned with txs whose
+    entries are 20-byte addresses or the per-tx ValueError to raise at
+    that tx's slot; None when the device path is off/too small (per-tx
+    host recovery is cheaper below _BATCH_RECOVER_MIN lanes)."""
+    if len(txs) < _BATCH_RECOVER_MIN:
+        return None
+    from ..ops import secp
+
+    if not secp.use_device_recovery():
+        return None
+    from ..utils.native import keccak256
+
+    items = []
+    slots: list = [None] * len(txs)
+    idxs = []
+    for i, tx in enumerate(txs):
+        try:
+            msg_hash, rec_id = tx.signature_parts()
+        except ValueError as exc:
+            slots[i] = exc
+            continue
+        items.append((msg_hash, tx.r, tx.s, rec_id))
+        idxs.append(i)
+    if items:
+        pubs = secp.recover_pubkeys_batch(items)
+        for i, q in zip(idxs, pubs):
+            if q is None:
+                slots[i] = ValueError("signature recovery failed")
+            else:
+                pub = q[0].to_bytes(32, "big") + q[1].to_bytes(32, "big")
+                slots[i] = keccak256(pub)[12:]
+    return slots
+
+
 def execute_block_txs(
     state: StateJournal,
     block: BlockEnv,
@@ -216,9 +256,17 @@ def execute_block_txs(
     receipts = []
     cumulative = 0
     recovered = []
+    batch_senders = None if senders else _batch_recover_senders(txs)
     for i, tx in enumerate(txs):
         try:
-            sender = senders[i] if senders else tx.recover_sender()
+            if senders:
+                sender = senders[i]
+            elif batch_senders is not None:
+                sender = batch_senders[i]
+                if isinstance(sender, Exception):
+                    raise sender
+            else:
+                sender = tx.recover_sender()
             recovered.append(sender)
             is_anchor = is_taiko and i == 0
             if is_anchor and sender != GOLDEN_TOUCH:

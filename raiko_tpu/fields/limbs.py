@@ -88,13 +88,17 @@ class LimbField:
     def _carry_normalize(self, s):
         """Normalize limbs to < 2^16.  Input limbs must be < 2^31.
         Returns (normalized, top_carry)."""
+        # the top limb's high half carries past the last position; for
+        # moduli within a bit of 2^(16n) (secp256k1: 2p > 2^256) it is
+        # routinely nonzero and must flow into top_carry, not vanish
+        dropped = s[..., -1] >> 16
         # one elementwise pass leaves limbs < 2^16 + 2^15 with carries <= 1
         s = (s & MASK16) + self._shift_down(s >> 16, 1, 0)
         g = s >> 16
         p = ((s & MASK16) == MASK16).astype(jnp.uint32)
         carry_out = self._ks_carry(g, p)
         carry_in = self._shift_down(carry_out, 1, 0)
-        return (s + carry_in) & MASK16, carry_out[..., -1]
+        return (s + carry_in) & MASK16, carry_out[..., -1] + dropped
 
     def _sub_limbs(self, a, b):
         """(a - b) limbwise with borrow lookahead; both normalized.

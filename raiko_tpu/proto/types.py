@@ -239,7 +239,10 @@ class Transaction:
         return keccak256(self.encode())
 
     # -- signature ------------------------------------------------------
-    def recover_sender(self) -> bytes:
+    def signature_parts(self) -> tuple[bytes, int]:
+        """(signing_hash, rec_id) after v / chain-id / EIP-2 validation.
+        Shared by per-tx recovery and the batched TPU path
+        (ops/secp.recover_pubkeys_batch)."""
         if self.tx_type == 0:
             if self.v >= 35:  # EIP-155
                 rec_id = (self.v - 35) % 2
@@ -260,7 +263,11 @@ class Transaction:
         # EIP-2: high-s signatures invalid since homestead
         if self.s > secp256k1.N // 2:
             raise ValueError("high-s signature")
-        addr = secp256k1.ecrecover(self.signing_hash(), 27 + rec_id, self.r, self.s)
+        return self.signing_hash(), rec_id
+
+    def recover_sender(self) -> bytes:
+        msg_hash, rec_id = self.signature_parts()
+        addr = secp256k1.ecrecover(msg_hash, 27 + rec_id, self.r, self.s)
         if addr is None:
             raise ValueError("signature recovery failed")
         return addr

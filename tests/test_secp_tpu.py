@@ -1,0 +1,82 @@
+"""Batched TPU secp256k1 recovery vs the host reference implementation."""
+
+import numpy as np
+import pytest
+
+from raiko_tpu.utils import secp256k1 as host
+
+
+def test_point_formulas_match_host():
+    import jax.numpy as jnp
+
+    from raiko_tpu.ops import secp
+
+    rng = np.random.default_rng(21)
+    pts = [host._mul(host.G, int(rng.integers(1, 1 << 62))) for _ in range(6)]
+    dev = jnp.asarray(np.stack([secp.make_point(*p) for p in pts]))
+    # pairwise adds (includes P+P handled by completeness? no: distinct)
+    got = secp.add(dev[:3], dev[3:])
+    for i in range(3):
+        assert secp.to_affine(np.asarray(got[i])) == host._add(pts[i], pts[3 + i])
+    # doubling
+    got2 = secp.double(dev)
+    for i in range(6):
+        assert secp.to_affine(np.asarray(got2[i])) == host._add(pts[i], pts[i])
+    # identity handling (complete formulas)
+    idn = secp.identity((3,))
+    got3 = secp.add(dev[:3], idn)
+    for i in range(3):
+        assert secp.to_affine(np.asarray(got3[i])) == pts[i]
+
+
+def test_batch_sender_recovery_matches_per_tx(monkeypatch):
+    """execute.py's batched sender path == per-tx recover_sender."""
+    from raiko_tpu.evm import execute
+    from raiko_tpu.proto.types import Transaction
+
+    monkeypatch.setenv("RAIKO_TPU_ECRECOVER", "1")
+    rng = np.random.default_rng(23)
+    txs = []
+    for i in range(17):
+        tx = Transaction(
+            tx_type=2,
+            chain_id=167001,
+            nonce=i,
+            max_fee_per_gas=10**9,
+            gas_limit=21000,
+            to=bytes(rng.integers(0, 256, 20, dtype=np.uint8)),
+            value=int(rng.integers(0, 10**9)),
+        )
+        tx.sign(int(rng.integers(1, 1 << 62)))
+        txs.append(tx)
+    # corrupt one signature so an error lane is exercised
+    txs[9].s = 1  # valid range but wrong signature -> wrong (not None) key
+    txs[4].v = 7  # invalid y_parity -> ValueError slot
+    got = execute._batch_recover_senders(txs)
+    assert got is not None
+    for i, tx in enumerate(txs):
+        try:
+            want = tx.recover_sender()
+        except ValueError:
+            assert isinstance(got[i], Exception)
+            continue
+        assert got[i] == want
+
+
+def test_recover_batch_matches_host():
+    from raiko_tpu.ops import secp
+
+    rng = np.random.default_rng(22)
+    items = []
+    for i in range(5):
+        secret = int(rng.integers(1, 1 << 62))
+        h = rng.bytes(32)
+        r, s, rec = host.sign(h, secret)
+        items.append((h, r, s, rec))
+    # one corrupted signature (x not on curve / wrong parity still recovers
+    # a DIFFERENT key; make one definitively invalid: r = 0)
+    items.append((rng.bytes(32), 0, 5, 0))
+    got = secp.recover_pubkeys_batch(items)
+    want = [host.recover_pubkey(*it) for it in items]
+    assert got == want
+    assert want[0] is not None and want[-1] is None
