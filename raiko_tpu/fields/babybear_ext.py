@@ -131,6 +131,21 @@ def h_pow(a, e: int):
     return result
 
 
+def h_batch_inv(vals: list[tuple]) -> list[tuple]:
+    """Batch inversion (Montgomery's trick): one h_inv + 3(k-1) h_muls."""
+    if not vals:
+        return []
+    prefix = [H_ONE]
+    for v in vals:
+        prefix.append(h_mul(prefix[-1], v))
+    inv = h_inv(prefix[-1])
+    out: list[tuple] = [H_ZERO] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        out[i] = h_mul(prefix[i], inv)
+        inv = h_mul(inv, vals[i])
+    return out
+
+
 def h_inv(a):
     """Inverse via the norm map: a^{-1} = conj / norm with
     conj = a^{p} * a^{p^2} * a^{p^3} (norm lands in F_p)."""

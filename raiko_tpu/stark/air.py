@@ -64,6 +64,58 @@ class ConstraintBuilder:
     def constant(self, v: int):
         return self.alg.constant(v)
 
+    # auxiliary (second committed segment) access ------------------------
+    def aux(self, col: int):
+        """Column of the auxiliary trace segment: committed by the prover
+        AFTER the main trace, so it may depend on transcript challenges
+        (permutation / lookup accumulators)."""
+        return self.alg.aux(col)
+
+    def aux_next(self, col: int):
+        return self.alg.aux_next(col)
+
+    def aux_block(self, cols) -> Any:
+        return self.alg.aux_block(list(cols))
+
+    def aux_next_block(self, cols) -> Any:
+        return self.alg.aux_next_block(list(cols))
+
+    def challenge_coord(self, k: int):
+        """Base-field coordinate k of the aux challenges (challenge i's
+        EF coordinates are k = 4i .. 4i+3).  Squeezed from the channel
+        after the main-trace commitment."""
+        return self.alg.challenge_coord(k)
+
+    def challenge_ef(self, i: int) -> list:
+        return [self.challenge_coord(4 * i + c) for c in range(4)]
+
+    # EF-as-4-columns helpers (x^4 = 11 tower, fields/babybear_ext) ------
+    def ef_add4(self, a: list, b: list) -> list:
+        return [self.add(x, y) for x, y in zip(a, b)]
+
+    def ef_sub4(self, a: list, b: list) -> list:
+        return [self.sub(x, y) for x, y in zip(a, b)]
+
+    def ef_mul4(self, a: list, b: list) -> list:
+        """Schoolbook quartic product of two 4-coordinate values; degree
+        adds.  Works identically under both algebras (pure add/mul/scale
+        composition)."""
+        c: list = [None] * 7
+        for i in range(4):
+            for j in range(4):
+                t = self.mul(a[i], b[j])
+                c[i + j] = t if c[i + j] is None else self.add(c[i + j], t)
+        return [
+            self.add(c[0], self.scale(11, c[4])),
+            self.add(c[1], self.scale(11, c[5])),
+            self.add(c[2], self.scale(11, c[6])),
+            c[3],
+        ]
+
+    def ef_from_base4(self, x) -> list:
+        z = self.constant(0)
+        return [x, z, z, z]
+
     # algebra ----------------------------------------------------------
     def add(self, a, b):
         return self.alg.add(a, b)
@@ -118,16 +170,32 @@ class Air:
     typically a trace generator used by the calling prover pipeline).
     ``fixed_columns(n)`` optionally returns an (F, n) uint32 array of
     public preprocessed columns.  ``quotient_chunks`` = max constraint
-    degree - 1 (2 supports degree <= 3, 4 supports degree <= 5)."""
+    degree - 1 (2 supports degree <= 3, 4 supports degree <= 5).
+
+    Auxiliary segment (permutation / lookup arguments): set ``aux_width``
+    and ``num_aux_challenges`` > 0 and implement ``aux_trace``.  The
+    prover commits the main trace, squeezes ``num_aux_challenges`` EF
+    challenges from the transcript, calls ``aux_trace``, and commits the
+    result as a second segment with its own Merkle root, OOD openings
+    and query openings.  EF-valued accumulators are laid out as 4
+    consecutive base columns (builder.ef_mul4 et al. do the tower math).
+    """
 
     width: int = 0
     quotient_chunks: int = 2
+    aux_width: int = 0
+    num_aux_challenges: int = 0
 
     def eval(self, b: ConstraintBuilder) -> None:
         raise NotImplementedError
 
     def fixed_columns(self, n: int):
         return None
+
+    def aux_trace(self, trace, challenges: list[tuple]):
+        """(n, aux_width) uint32 standard-form aux segment; ``challenges``
+        is a list of EF 4-tuples (standard-form ints)."""
+        raise NotImplementedError
 
     def num_constraints(self) -> int:
         class _Probe:

@@ -57,6 +57,11 @@ class StarkProof:
     quotient_at_zeta: list  # 8 EF tuples (2 chunks x 4 coords)
     fri_proof: fri.FriProof
     queries: list  # per query: trace_row, trace_path, quot_row, quot_path
+    # auxiliary segment (permutation/lookup arguments); empty when unused.
+    # queries additionally carry aux_row/aux_path.
+    aux_root: list = field(default_factory=list)
+    aux_at_zeta: list = field(default_factory=list)
+    aux_at_zeta_g: list = field(default_factory=list)
 
 
 class _ProverAlgebra:
@@ -68,11 +73,15 @@ class _ProverAlgebra:
         next_perm: np.ndarray,
         publics: jax.Array,
         fixed_lde: jax.Array | None = None,
+        aux_lde: jax.Array | None = None,
+        chal: jax.Array | None = None,
     ):
         self._lde = lde  # (W, m) Montgomery
         self._next = jnp.asarray(next_perm)
         self._publics = publics  # (k,) Montgomery device array (traced!)
         self._fixed = fixed_lde
+        self._aux = aux_lde  # (aux_W, m) Montgomery
+        self._chal = chal  # (4 * num_challenges,) Montgomery (traced!)
 
     def local(self, c: int):
         return self._lde[c]
@@ -82,6 +91,15 @@ class _ProverAlgebra:
 
     def fixed(self, c: int):
         return self._fixed[c]
+
+    def aux(self, c: int):
+        return self._aux[c]
+
+    def aux_next(self, c: int):
+        return self._aux[c][self._next]
+
+    def challenge_coord(self, k: int):
+        return self._chal[k]
 
     def public(self, i: int):
         return self._publics[i]
@@ -98,6 +116,12 @@ class _ProverAlgebra:
 
     def fixed_block(self, cols):
         return self._fixed[jnp.asarray(cols)]
+
+    def aux_block(self, cols):
+        return self._aux[jnp.asarray(cols)]
+
+    def aux_next_block(self, cols):
+        return self._aux[jnp.asarray(cols)][:, self._next]
 
     def public_block(self, idxs):
         return self._publics[jnp.asarray(idxs)][:, None]  # (k, 1) broadcast
@@ -273,7 +297,14 @@ _QUOTIENT_STAGES: dict = {}
 
 
 def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
-    key = (type(air), air.width, dom.log_n, air.quotient_chunks, has_fixed)
+    key = (
+        type(air),
+        air.width,
+        air.aux_width,
+        dom.log_n,
+        air.quotient_chunks,
+        has_fixed,
+    )
     fn = _QUOTIENT_STAGES.get(key)
     if fn is not None:
         return fn
@@ -289,13 +320,15 @@ def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
     n = dom.n
 
     @jax.jit
-    def qfn(t_lde_, fixed_m_, apows_, sinvp_, publics_dev):
+    def qfn(t_lde_, aux_lde_, chal_, fixed_m_, apows_, sinvp_, publics_dev):
         fixed_lde = (
             ntt.lde_from_coeffs(ntt.interpolate(fixed_m_), BLOWUP_LOG, shift)
             if fixed_m_ is not None
             else None
         )
-        alg = _ProverAlgebra(t_lde_, next_perm, publics_dev, fixed_lde)
+        alg = _ProverAlgebra(
+            t_lde_, next_perm, publics_dev, fixed_lde, aux_lde_, chal_
+        )
         builder = ConstraintBuilder(alg)
         air.eval(builder)
         sels = {k: jnp.asarray(v) for k, v in sels_np.items()}
@@ -357,8 +390,9 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     assert 1 << log_n == n and width == air.width
     dom = Domain(log_n, BLOWUP_LOG)
     m = dom.m
+    aux_w = air.aux_width
     channel = Channel()
-    channel.absorb_elems([log_n, width, len(publics)])
+    channel.absorb_elems([log_n, width, aux_w, len(publics)])
     channel.absorb_elems(publics)
 
     # 1. trace LDE + commit (one jitted stage)
@@ -368,6 +402,26 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     t_root = merkle.root(t_levels)
     channel.absorb_digest(t_root)
     _t.stop()
+
+    # 1b. auxiliary segment: challenges -> aux trace -> second commitment
+    a_coeffs = a_lde = a_levels = None
+    chal_dev = None
+    aux_root_std: list = []
+    if aux_w:
+        challenges = [channel.challenge_ef() for _ in range(air.num_aux_challenges)]
+        _t = Measurement("stark.aux_commit")
+        aux = air.aux_trace(trace, challenges)
+        assert aux.shape == (n, aux_w)
+        aux_m = bb.to_mont(jnp.asarray(aux.T.copy()))
+        a_coeffs, a_lde, a_levels = _commit_cols(aux_m, dom.shift)
+        a_root = merkle.root(a_levels)
+        channel.absorb_digest(a_root)
+        aux_root_std = np.asarray(bb.from_mont(a_root)).tolist()
+        coords = [c for ch in challenges for c in ch]
+        chal_dev = jnp.asarray(
+            np.array([(c % bb.P) * bb.R % bb.P for c in coords], dtype=np.uint32)
+        )
+        _t.stop()
 
     # 2+3. constraint evaluation + quotient + chunk commit (one stage)
     alpha = channel.challenge_ef()
@@ -394,7 +448,9 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     qfn = _quotient_stage_for(air, dom, fixed_m is not None)
 
     _t = Measurement("stark.quotient")
-    chunks, q_lde, q_levels = qfn(t_lde, fixed_m, apows, sinvp, publics_dev)
+    chunks, q_lde, q_levels = qfn(
+        t_lde, a_lde, chal_dev, fixed_m, apows, sinvp, publics_dev
+    )
     q_root = merkle.root(q_levels)
     channel.absorb_digest(q_root)
     _t.stop()
@@ -406,37 +462,48 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     zgp = _ef_powers_device(zeta_g, dom.n)
 
     _t = Measurement("stark.ood")
-    tz, tzg, qz = _ood_stage(t_coeffs, chunks, zp, zgp)
-    trace_at_zeta = ef.from_device(tz)
-    trace_at_zeta_g = ef.from_device(tzg)
+    o_coeffs = (
+        jnp.concatenate([t_coeffs, a_coeffs], axis=0) if aux_w else t_coeffs
+    )
+    tz, tzg, qz = _ood_stage(o_coeffs, chunks, zp, zgp)
+    opened_at_zeta = ef.from_device(tz)
+    opened_at_zeta_g = ef.from_device(tzg)
     quotient_at_zeta = ef.from_device(qz)
+    trace_at_zeta, aux_at_zeta = opened_at_zeta[:width], opened_at_zeta[width:]
+    trace_at_zeta_g, aux_at_zeta_g = (
+        opened_at_zeta_g[:width],
+        opened_at_zeta_g[width:],
+    )
     _t.stop()
-    for v in trace_at_zeta + trace_at_zeta_g + quotient_at_zeta:
+    for v in opened_at_zeta + opened_at_zeta_g + quotient_at_zeta:
         channel.absorb_ef(v)
 
-    # 5. DEEP composition (one stage)
+    # 5. DEEP composition (one stage).  The opened segment = trace ++ aux
+    # (two Merkle trees, one gamma-combined composition).
     gamma = channel.challenge_ef()
     nq4 = 4 * nq
-    n_open = 2 * width + nq4
+    ow = width + aux_w
+    n_open = 2 * ow + nq4
     gammas = [ef.H_ONE]
     for _ in range(n_open - 1):
         gammas.append(ef.h_mul(gammas[-1], gamma))
-    g1 = [gammas[k] for k in range(width)] + [
-        gammas[2 * width + j] for j in range(nq4)
+    g1 = [gammas[k] for k in range(ow)] + [
+        gammas[2 * ow + j] for j in range(nq4)
     ]
-    g2 = [gammas[width + k] for k in range(width)]
+    g2 = [gammas[ow + k] for k in range(ow)]
     c1 = ef.H_ZERO
-    for g, v in zip(g1, trace_at_zeta + quotient_at_zeta):
+    for g, v in zip(g1, opened_at_zeta + quotient_at_zeta):
         c1 = ef.h_add(c1, ef.h_mul(g, v))
     c2 = ef.H_ZERO
-    for g, v in zip(g2, trace_at_zeta_g):
+    for g, v in zip(g2, opened_at_zeta_g):
         c2 = ef.h_add(c2, ef.h_mul(g, v))
     nb_z, cdev_z = _inv_linear_consts(zeta)
     nb_zg, cdev_zg = _inv_linear_consts(zeta_g)
     xs = jnp.asarray(dom.xs_mont)
 
+    o_lde = jnp.concatenate([t_lde, a_lde], axis=0) if aux_w else t_lde
     h = _deep_stage(
-        t_lde,
+        o_lde,
         q_lde,
         ef.to_device(g1),
         ef.to_device(g2),
@@ -466,16 +533,21 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
     q_sel = np.asarray(bb.from_mont(jnp.take(q_lde.T, idx_dev, axis=0)))
     t_paths = merkle.open_paths(t_levels, indices)
     q_paths = merkle.open_paths(q_levels, indices)
+    if aux_w:
+        a_sel = np.asarray(bb.from_mont(jnp.take(a_lde.T, idx_dev, axis=0)))
+        a_paths = merkle.open_paths(a_levels, indices)
     queries = []
     for qi, idx in enumerate(indices):
-        queries.append(
-            {
-                "trace_row": t_sel[qi].tolist(),
-                "trace_path": [p.tolist() for p in t_paths[qi]],
-                "quot_row": q_sel[qi].tolist(),
-                "quot_path": [p.tolist() for p in q_paths[qi]],
-            }
-        )
+        q = {
+            "trace_row": t_sel[qi].tolist(),
+            "trace_path": [p.tolist() for p in t_paths[qi]],
+            "quot_row": q_sel[qi].tolist(),
+            "quot_path": [p.tolist() for p in q_paths[qi]],
+        }
+        if aux_w:
+            q["aux_row"] = a_sel[qi].tolist()
+            q["aux_path"] = [p.tolist() for p in a_paths[qi]]
+        queries.append(q)
     _t.stop()
     fri_proof = fri.FriProof(
         layer_roots=layer_roots,
@@ -494,4 +566,7 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
         quotient_at_zeta=quotient_at_zeta,
         fri_proof=fri_proof,
         queries=queries,
+        aux_root=aux_root_std,
+        aux_at_zeta=aux_at_zeta,
+        aux_at_zeta_g=aux_at_zeta_g,
     )

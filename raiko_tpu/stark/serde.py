@@ -37,9 +37,20 @@ def proof_to_dict(p: StarkProof) -> dict:
                 "trace_path": [[int(v) for v in d] for d in q["trace_path"]],
                 "quot_row": [int(v) for v in q["quot_row"]],
                 "quot_path": [[int(v) for v in d] for d in q["quot_path"]],
+                **(
+                    {
+                        "aux_row": [int(v) for v in q["aux_row"]],
+                        "aux_path": [[int(v) for v in d] for d in q["aux_path"]],
+                    }
+                    if "aux_row" in q
+                    else {}
+                ),
             }
             for q in p.queries
         ],
+        "aux_root": [int(v) for v in p.aux_root],
+        "aux_at_zeta": [[int(v) for v in t] for t in p.aux_at_zeta],
+        "aux_at_zeta_g": [[int(v) for v in t] for t in p.aux_at_zeta_g],
     }
 
 
@@ -74,7 +85,18 @@ def proof_from_dict(d: dict) -> StarkProof:
                 "trace_path": [list(x) for x in q["trace_path"]],
                 "quot_row": list(q["quot_row"]),
                 "quot_path": [list(x) for x in q["quot_path"]],
+                **(
+                    {
+                        "aux_row": list(q["aux_row"]),
+                        "aux_path": [list(x) for x in q["aux_path"]],
+                    }
+                    if "aux_row" in q
+                    else {}
+                ),
             }
             for q in d["queries"]
         ],
+        aux_root=list(d.get("aux_root", [])),
+        aux_at_zeta=[tuple(t) for t in d.get("aux_at_zeta", [])],
+        aux_at_zeta_g=[tuple(t) for t in d.get("aux_at_zeta_g", [])],
     )

@@ -26,11 +26,23 @@ from .prover import BLOWUP_LOG, GRIND_BITS, NUM_QUERIES, StarkProof
 class _VerifierAlgebra:
     """Scalar EF evaluation of constraints at the OOD point."""
 
-    def __init__(self, at_zeta, at_zeta_g, publics, fixed_at_zeta=None):
+    def __init__(
+        self,
+        at_zeta,
+        at_zeta_g,
+        publics,
+        fixed_at_zeta=None,
+        aux_at_zeta=None,
+        aux_at_zeta_g=None,
+        chal=None,
+    ):
         self._z = at_zeta
         self._zg = at_zeta_g
         self._publics = publics
         self._fixed = fixed_at_zeta
+        self._aux_z = aux_at_zeta
+        self._aux_zg = aux_at_zeta_g
+        self._chal = chal  # flat list of base-field challenge coords
 
     def local(self, c):
         return tuple(self._z[c])
@@ -40,6 +52,15 @@ class _VerifierAlgebra:
 
     def fixed(self, c):
         return tuple(self._fixed[c])
+
+    def aux(self, c):
+        return tuple(self._aux_z[c])
+
+    def aux_next(self, c):
+        return tuple(self._aux_zg[c])
+
+    def challenge_coord(self, k):
+        return ef.h_from_base(self._chal[k])
 
     def public(self, i):
         return ef.h_from_base(self._publics[i])
@@ -56,6 +77,12 @@ class _VerifierAlgebra:
 
     def fixed_block(self, cols):
         return [tuple(self._fixed[c]) for c in cols]
+
+    def aux_block(self, cols):
+        return [tuple(self._aux_z[c]) for c in cols]
+
+    def aux_next_block(self, cols):
+        return [tuple(self._aux_zg[c]) for c in cols]
 
     def public_block(self, idxs):
         return [ef.h_from_base(self._publics[i]) for i in idxs]
@@ -126,19 +153,31 @@ def verify(air: Air, proof: StarkProof) -> bool:
     publics = proof.publics
     log_n = proof.log_n
     width = proof.width
+    aux_w = air.aux_width
     if width != air.width:
+        return False
+    if len(proof.aux_at_zeta) != aux_w or len(proof.aux_at_zeta_g) != aux_w:
+        return False
+    if aux_w and len(proof.aux_root) != 8:
         return False
     dom = Domain(log_n, BLOWUP_LOG)
     m = dom.m
     channel = Channel()
-    channel.absorb_elems([log_n, width, len(publics)])
+    channel.absorb_elems([log_n, width, aux_w, len(publics)])
     channel.absorb_elems(publics)
     channel.absorb_elems(proof.trace_root)
+    chal: list[int] = []
+    if aux_w:
+        for _ in range(air.num_aux_challenges):
+            chal.extend(channel.challenge_ef())
+        channel.absorb_elems(proof.aux_root)
     alpha = channel.challenge_ef()
     channel.absorb_elems(proof.quotient_root)
     zeta = channel.challenge_ef()
     zeta_g = ef.h_mul(zeta, ef.h_from_base(dom.g))
-    for v in proof.trace_at_zeta + proof.trace_at_zeta_g + proof.quotient_at_zeta:
+    opened_at_zeta = list(proof.trace_at_zeta) + list(proof.aux_at_zeta)
+    opened_at_zeta_g = list(proof.trace_at_zeta_g) + list(proof.aux_at_zeta_g)
+    for v in opened_at_zeta + opened_at_zeta_g + proof.quotient_at_zeta:
         channel.absorb_ef(tuple(v))
 
     # DEEP-ALI identity at zeta: sum alpha^i c_i(zeta) sel_i(zeta) == Q(zeta)
@@ -146,11 +185,17 @@ def verify(air: Air, proof: StarkProof) -> bool:
     fixed_at_zeta = None
     fixed = air.fixed_columns(dom.n)
     if fixed is not None:
-        fixed_at_zeta = _eval_fixed_at(fixed, zeta)
+        fixed_at_zeta = _eval_fixed_at(fixed, zeta, dom)
     _t.stop()
     _t = Measurement("verify.constraints")
     alg = _VerifierAlgebra(
-        proof.trace_at_zeta, proof.trace_at_zeta_g, publics, fixed_at_zeta
+        proof.trace_at_zeta,
+        proof.trace_at_zeta_g,
+        publics,
+        fixed_at_zeta,
+        proof.aux_at_zeta,
+        proof.aux_at_zeta_g,
+        chal,
     )
     builder = ConstraintBuilder(alg)
     air.eval(builder)
@@ -177,24 +222,25 @@ def verify(air: Air, proof: StarkProof) -> bool:
     if acc != q_at_zeta:
         return False
 
-    # DEEP composition coefficients
+    # DEEP composition coefficients (opened segment = trace ++ aux)
     gamma = channel.challenge_ef()
     nq4 = 4 * nq
-    n_open = 2 * width + nq4
+    ow = width + aux_w
+    n_open = 2 * ow + nq4
     gammas = [ef.H_ONE]
     for _ in range(n_open - 1):
         gammas.append(ef.h_mul(gammas[-1], gamma))
     c1 = ef.H_ZERO
-    for k in range(width):
-        c1 = ef.h_add(c1, ef.h_mul(gammas[k], tuple(proof.trace_at_zeta[k])))
+    for k in range(ow):
+        c1 = ef.h_add(c1, ef.h_mul(gammas[k], tuple(opened_at_zeta[k])))
     for j in range(nq4):
         c1 = ef.h_add(
-            c1, ef.h_mul(gammas[2 * width + j], tuple(proof.quotient_at_zeta[j]))
+            c1, ef.h_mul(gammas[2 * ow + j], tuple(proof.quotient_at_zeta[j]))
         )
     c2 = ef.H_ZERO
-    for k in range(width):
+    for k in range(ow):
         c2 = ef.h_add(
-            c2, ef.h_mul(gammas[width + k], tuple(proof.trace_at_zeta_g[k]))
+            c2, ef.h_mul(gammas[ow + k], tuple(opened_at_zeta_g[k]))
         )
 
     # FRI transcript replay, then query indices
@@ -215,29 +261,38 @@ def verify(air: Air, proof: StarkProof) -> bool:
     _t = Measurement("verify.queries")
     t_leaves = _hash_rows_batch([list(q["trace_row"]) for q in proof.queries])
     q_leaves = _hash_rows_batch([list(q["quot_row"]) for q in proof.queries])
+    if aux_w:
+        if any(len(q.get("aux_row", [])) != aux_w for q in proof.queries):
+            return False
+        a_leaves = _hash_rows_batch([list(q["aux_row"]) for q in proof.queries])
     pairs = []
     for qi, (idx, q) in enumerate(zip(indices, proof.queries)):
         if not _host_path_ok(t_leaves[qi], idx, q["trace_path"], proof.trace_root):
             return False
         if not _host_path_ok(q_leaves[qi], idx, q["quot_path"], proof.quotient_root):
             return False
+        if aux_w and not _host_path_ok(
+            a_leaves[qi], idx, q["aux_path"], proof.aux_root
+        ):
+            return False
         x = dom.xs_int[idx]
+        opened_row = list(q["trace_row"]) + (list(q["aux_row"]) if aux_w else [])
         s1 = ef.H_ZERO
-        for k in range(width):
+        for k in range(ow):
             s1 = ef.h_add(
-                s1, ef.h_mul(gammas[k], ef.h_from_base(q["trace_row"][k]))
+                s1, ef.h_mul(gammas[k], ef.h_from_base(opened_row[k]))
             )
         if len(q["quot_row"]) != nq4:
             return False
         for j in range(nq4):
             s1 = ef.h_add(
                 s1,
-                ef.h_mul(gammas[2 * width + j], ef.h_from_base(q["quot_row"][j])),
+                ef.h_mul(gammas[2 * ow + j], ef.h_from_base(q["quot_row"][j])),
             )
         s2 = ef.H_ZERO
-        for k in range(width):
+        for k in range(ow):
             s2 = ef.h_add(
-                s2, ef.h_mul(gammas[width + k], ef.h_from_base(q["trace_row"][k]))
+                s2, ef.h_mul(gammas[ow + k], ef.h_from_base(opened_row[k]))
             )
         inv_z = ef.h_inv(ef.h_sub(ef.h_from_base(x), zeta))
         inv_zg = ef.h_inv(ef.h_sub(ef.h_from_base(x), zeta_g))
@@ -256,21 +311,39 @@ def verify(air: Air, proof: StarkProof) -> bool:
         _t.stop()
 
 
-def _eval_fixed_at(fixed: np.ndarray, zeta: tuple) -> list[tuple]:
-    """Evaluate public fixed columns at the OOD point: interpolate over the
-    trace subgroup, then one vectorized coeff·zeta^i contraction (the same
-    _ef_dot the prover uses) — scalar Horner per column is O(F·n) host EF
-    ops, prohibitive for wide fixed sets like the keccak sponge AIRs."""
-    import jax.numpy as jnp
+def _eval_fixed_at(fixed: np.ndarray, zeta: tuple, dom: Domain) -> list[tuple]:
+    """Evaluate public fixed columns at the OOD point via the sparse
+    Lagrange basis: f_c(zeta) = sum_r fixed[c, r] * L_r(zeta) with
+    L_r(zeta) = (zeta^n - 1)/n * g^r / (zeta - g^r).
 
-    from ..ops import ntt
-    from .prover import _ef_dot, _ef_powers_device
-
-    coeffs = ntt.interpolate(
-        bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))
-    )  # (F, n) Montgomery
-    zpows = _ef_powers_device(zeta, coeffs.shape[1])
-    return ef.from_device(_ef_dot(coeffs, zpows))
+    Cost is O(nnz) numpy mod-mul-adds plus one batched EF inversion over
+    the distinct nonzero rows — device-free and, for the selector-style
+    fixed columns of the shipped AIRs (keccak sponge: bit-valued absorb/
+    RC/message lanes), far below the dense O(F·n log n) interpolation the
+    prover pays."""
+    F, n = fixed.shape
+    assert n == dom.n
+    cols_nz, rows_nz = np.nonzero(fixed)
+    if cols_nz.size == 0:
+        return [ef.H_ZERO] * F
+    uniq_rows, row_idx = np.unique(rows_nz, return_inverse=True)
+    zn = ef.h_pow(zeta, n)
+    n_inv = pow(n, bb.P - 2, bb.P)
+    zh_over_n = tuple(c * n_inv % bb.P for c in ef.h_sub(zn, ef.H_ONE))
+    g_pows = [pow(dom.g, int(r), bb.P) for r in uniq_rows]
+    denom_invs = ef.h_batch_inv(
+        [ef.h_sub(zeta, ef.h_from_base(gr)) for gr in g_pows]
+    )
+    lag = np.empty((len(uniq_rows), 4), dtype=np.uint64)
+    for i, (gr, inv) in enumerate(zip(g_pows, denom_invs)):
+        lag[i] = ef.h_mul(zh_over_n, tuple(c * gr % bb.P for c in inv))
+    vals = fixed[cols_nz, rows_nz].astype(np.uint64)
+    acc = np.zeros((F, 4), dtype=np.uint64)
+    for c in range(4):
+        terms = (vals * lag[row_idx, c]) % bb.P  # < 2^31 each
+        np.add.at(acc[:, c], cols_nz, terms)  # <= n terms/col: < 2^51 sum
+    acc %= bb.P
+    return [tuple(int(v) for v in row) for row in acc]
 
 
 def _chunk_at(coords) -> tuple:

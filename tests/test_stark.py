@@ -75,6 +75,32 @@ def test_tampered_proof_fields_rejected(fib_proof):
     assert not verifier.verify(air, p)
 
 
+def test_sparse_fixed_eval_matches_interpolation():
+    """_eval_fixed_at (sparse Lagrange, device-free) must agree with the
+    dense NTT-interpolation route the prover uses."""
+    import jax.numpy as jnp
+
+    from raiko_tpu.ops import ntt
+    from raiko_tpu.stark.domain import Domain
+    from raiko_tpu.stark.prover import _ef_dot, _ef_powers_device
+    from raiko_tpu.stark.verifier import _eval_fixed_at
+
+    rng = np.random.default_rng(7)
+    n = 64
+    dom = Domain(n.bit_length() - 1)
+    # sparse bit-style columns + one dense column + one all-zero column
+    fixed = np.zeros((5, n), dtype=np.uint32)
+    fixed[0, rng.choice(n, 9, replace=False)] = 1
+    fixed[1, rng.choice(n, 3, replace=False)] = rng.integers(1, bb.P, 3)
+    fixed[2] = rng.integers(0, bb.P, n)
+    fixed[4, 0] = bb.P - 1
+    zeta = tuple(int(v) for v in rng.integers(0, bb.P, 4))
+    got = _eval_fixed_at(fixed, zeta, dom)
+    coeffs = ntt.interpolate(bb.to_mont(jnp.asarray(fixed)))
+    want = ef.from_device(_ef_dot(coeffs, _ef_powers_device(zeta, n)))
+    assert got == want
+
+
 def test_proof_is_succinct(fib_proof):
     """The proof must not contain the trace itself (spot size check)."""
     _, trace, _, proof = fib_proof
