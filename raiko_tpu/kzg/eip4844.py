@@ -129,6 +129,27 @@ def blob_to_kzg_commitment(blob: bytes, use_tpu: bool = True) -> bytes:
     return hc.g1_compress(_msm(fields, use_tpu))
 
 
+def blobs_to_kzg_commitments(blobs: list[bytes], use_tpu: bool = True) -> list[bytes]:
+    """Commitments for several blobs in ONE device launch (ops/msm.msm_multi):
+    all EIP-4844 MSMs share the trusted-setup points, so B blobs become one
+    (B, 4096)-scalar batch over one sort + segmented scan, amortizing the
+    fixed per-launch cost that dominates a lone 4096-point MSM."""
+    if not blobs:
+        return []
+    field_sets = [blob_to_field_elements(b) for b in blobs]
+    if not use_tpu:
+        pts = setup()["g1_lagrange"]
+        return [hc.g1_compress(hc.g1_msm(pts, f)) for f in field_sets]
+    import jax.numpy as jnp
+
+    from ..ops import msm as msmmod
+    from . import curve
+
+    limbs = np.stack([msmmod.scalars_to_limbs(f) for f in field_sets])
+    res = np.asarray(msmmod.msm_multi(_device_setup(), jnp.asarray(limbs)))
+    return [hc.g1_compress(curve.to_affine(res[i])) for i in range(len(blobs))]
+
+
 def commitment_to_version_hash(commitment: bytes) -> bytes:
     h = bytearray(hashlib.sha256(commitment).digest())
     h[0] = VERSIONED_HASH_VERSION_KZG

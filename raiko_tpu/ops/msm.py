@@ -174,6 +174,51 @@ def msm(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
     return combine_buckets(bucket_matrix(points, scalar_limbs))
 
 
+@jax.jit
+def msm_multi(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
+    """B independent MSMs over the SAME point set in one launch.
+
+    points: (N, 3, 24); scalar_limbs: (B, N, 16) -> (B, 3, 24).
+
+    The per-blob KZG workload (EIP-4844: every commitment/opening is an
+    MSM over the same 4096-point trusted setup) makes this the natural
+    batch shape.  One flat key space of B*N*32 entries shares a single
+    sort + segmented scan + suffix-sum reduction, amortizing the fixed
+    sort/dispatch cost that dominates a lone 4096-point MSM (BASELINE.md
+    "batch several blobs per launch" roadmap item)."""
+    bsz, n = scalar_limbs.shape[:2]
+    per = NWINDOWS * NBUCKETS
+    dump = bsz * per
+    lo = scalar_limbs & 0xFF
+    hi = scalar_limbs >> 8
+    digits = jnp.stack([lo, hi], axis=-1).reshape(bsz, n, NWINDOWS)
+    win_ids = jnp.arange(NWINDOWS, dtype=jnp.uint32)[None, None, :]
+    batch_ids = jnp.arange(bsz, dtype=jnp.uint32)[:, None, None]
+    keys = batch_ids * per + win_ids * NBUCKETS + digits
+    keys = jnp.where(digits == 0, jnp.uint32(dump), keys).reshape(-1)
+    order = jnp.argsort(keys)
+    keys_sorted = keys[order]
+    point_idx = (order // NWINDOWS) % n  # flat e = (b*n + i)*32 + w
+    pts = points[point_idx]
+    starts = jnp.concatenate(
+        [
+            jnp.ones(1, jnp.uint32),
+            (keys_sorted[1:] != keys_sorted[:-1]).astype(jnp.uint32),
+        ]
+    )
+    valid = keys_sorted != dump
+    pts = curve.select(valid, pts, curve.identity((pts.shape[0],)))
+    scanned = _segmented_scan(pts, starts)
+    is_last = jnp.concatenate(
+        [(keys_sorted[1:] != keys_sorted[:-1]), jnp.ones(1, bool)]
+    )
+    scatter_keys = jnp.where(is_last & valid, keys_sorted, jnp.uint32(dump))
+    buckets = curve.identity((dump + 1,))
+    buckets = buckets.at[scatter_keys].set(scanned)
+    buckets = buckets[:dump].reshape(bsz, NWINDOWS, NBUCKETS, 3, 24)
+    return jax.vmap(combine_buckets)(buckets)
+
+
 def bucket_matrix(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
     """Steps 1-4 of the Pippenger pipeline: per-(window, bucket) partial
     sums as a dense (NWINDOWS, NBUCKETS, 3, 24) matrix.  Exposed separately

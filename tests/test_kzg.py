@@ -116,3 +116,30 @@ def test_tpu_msm_matches_host():
         jnp.asarray(msmmod.scalars_to_limbs(scalars)),
     )
     assert curve.to_affine(np.asarray(res)) == hc.g1_msm(pts, scalars)
+
+
+@pytest.mark.slow
+def test_tpu_msm_multi_matches_host():
+    """Batched multi-MSM (shared points, B scalar vectors) vs host."""
+    import jax.numpy as jnp
+
+    from raiko_tpu.kzg import curve
+    from raiko_tpu.ops import msm as msmmod
+
+    rng = np.random.default_rng(6)
+    n, b = 8, 3
+    pts = [hc.g1_mul(hc.G1_GEN, int(rng.integers(1, 1 << 62))) for _ in range(n)]
+    pts[2] = None
+    scal = [
+        [int.from_bytes(rng.bytes(32), "big") % hc.R for _ in range(n)]
+        for _ in range(b)
+    ]
+    scal[1][4] = 0
+    limbs = np.stack([msmmod.scalars_to_limbs(s) for s in scal])
+    res = np.asarray(
+        msmmod.msm_multi(
+            jnp.asarray(curve.points_from_affine(pts)), jnp.asarray(limbs)
+        )
+    )
+    for i in range(b):
+        assert curve.to_affine(res[i]) == hc.g1_msm(pts, scal[i])
