@@ -89,6 +89,16 @@ class ConstraintBuilder:
     def challenge_ef(self, i: int) -> list:
         return [self.challenge_coord(4 * i + c) for c in range(4)]
 
+    def bus_coord(self, k: int):
+        """Base-field coordinate k of this table's bus values —
+        challenge-dependent public EF scalars (Air.bus_values) absorbed
+        into the transcript after the aux commitments; verify_tables
+        checks the global sum over all tables vanishes."""
+        return self.alg.bus_coord(k)
+
+    def bus_ef(self, i: int) -> list:
+        return [self.bus_coord(4 * i + c) for c in range(4)]
+
     # EF-as-4-columns helpers (x^4 = 11 tower, fields/babybear_ext) ------
     def ef_add4(self, a: list, b: list) -> list:
         return [self.add(x, y) for x, y in zip(a, b)]
@@ -185,6 +195,7 @@ class Air:
     quotient_chunks: int = 2
     aux_width: int = 0
     num_aux_challenges: int = 0
+    num_bus_values: int = 0
 
     def eval(self, b: ConstraintBuilder) -> None:
         raise NotImplementedError
@@ -195,6 +206,21 @@ class Air:
     def aux_trace(self, trace, challenges: list[tuple]):
         """(n, aux_width) uint32 standard-form aux segment; ``challenges``
         is a list of EF 4-tuples (standard-form ints)."""
+        raise NotImplementedError
+
+    def structure_key(self) -> tuple:
+        """Hashable key for everything INSTANCE-specific that changes the
+        constraint GRAPH (not just its inputs) — e.g. a direction constant
+        baked into eval().  The prover caches jitted quotient stages per
+        (class, shapes, structure_key); forgetting to override this when
+        eval() bakes instance data produces wrong proofs via stage reuse."""
+        return ()
+
+    def bus_values(self, trace, challenges: list[tuple]) -> list[tuple]:
+        """num_bus_values EF tuples: this table's net contributions to the
+        global LogUp bus.  Must be bound by this table's constraints (via
+        bus_coord/bus_ef, e.g. last-row accumulator equality); the
+        multi-table verifier checks sum over all tables == 0."""
         raise NotImplementedError
 
     def num_constraints(self) -> int:

@@ -62,6 +62,8 @@ class StarkProof:
     aux_root: list = field(default_factory=list)
     aux_at_zeta: list = field(default_factory=list)
     aux_at_zeta_g: list = field(default_factory=list)
+    # challenge-dependent public EF scalars (global LogUp bus contributions)
+    bus: list = field(default_factory=list)
 
 
 class _ProverAlgebra:
@@ -75,6 +77,7 @@ class _ProverAlgebra:
         fixed_lde: jax.Array | None = None,
         aux_lde: jax.Array | None = None,
         chal: jax.Array | None = None,
+        bus: jax.Array | None = None,
     ):
         self._lde = lde  # (W, m) Montgomery
         self._next = jnp.asarray(next_perm)
@@ -82,6 +85,7 @@ class _ProverAlgebra:
         self._fixed = fixed_lde
         self._aux = aux_lde  # (aux_W, m) Montgomery
         self._chal = chal  # (4 * num_challenges,) Montgomery (traced!)
+        self._bus = bus  # (4 * num_bus_values,) Montgomery (traced!)
 
     def local(self, c: int):
         return self._lde[c]
@@ -100,6 +104,9 @@ class _ProverAlgebra:
 
     def challenge_coord(self, k: int):
         return self._chal[k]
+
+    def bus_coord(self, k: int):
+        return self._bus[k]
 
     def public(self, i: int):
         return self._publics[i]
@@ -299,6 +306,7 @@ _QUOTIENT_STAGES: dict = {}
 def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
     key = (
         type(air),
+        air.structure_key(),
         air.width,
         air.aux_width,
         dom.log_n,
@@ -320,14 +328,14 @@ def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
     n = dom.n
 
     @jax.jit
-    def qfn(t_lde_, aux_lde_, chal_, fixed_m_, apows_, sinvp_, publics_dev):
+    def qfn(t_lde_, aux_lde_, chal_, bus_, fixed_m_, apows_, sinvp_, publics_dev):
         fixed_lde = (
             ntt.lde_from_coeffs(ntt.interpolate(fixed_m_), BLOWUP_LOG, shift)
             if fixed_m_ is not None
             else None
         )
         alg = _ProverAlgebra(
-            t_lde_, next_perm, publics_dev, fixed_lde, aux_lde_, chal_
+            t_lde_, next_perm, publics_dev, fixed_lde, aux_lde_, chal_, bus_
         )
         builder = ConstraintBuilder(alg)
         air.eval(builder)
@@ -379,49 +387,130 @@ def _deep_stage(t_lde_, q_lde_, g1d, g2d, c1d, c2d, xs_, nbz, cdz, nbzg, cdzg):
 
 
 def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> StarkProof:
-    """Prove one AIR execution.  trace: (n, W) uint32 standard-form.
+    """Prove one AIR execution.  trace: (n, W) uint32 standard-form."""
+    return prove_tables([(air, trace, publics or [])])[0]
+
+
+def prove_tables(
+    tables: list[tuple[Air, np.ndarray, list[int]]],
+) -> list[StarkProof]:
+    """Prove several AIR tables in ONE Fiat-Shamir transcript with SHARED
+    aux challenges and a global LogUp bus.
+
+    The transcript absorbs every table's preamble + publics, then every
+    main-trace root, and only THEN squeezes the shared challenges — so no
+    table's committed data can be chosen adaptively against the bus
+    challenge (the standard multi-table / "interactions" construction of
+    the vendored sp1/plonky3-style provers, SURVEY.md §2.2).  Each
+    table's net bus contribution (Air.bus_values) is absorbed and bound
+    by that table's own constraints; verify_tables checks the global sum
+    vanishes.
 
     The pipeline runs as a handful of jitted stages with host Fiat-Shamir
     absorbs between them (one relay round-trip per transcript point, not
     one per op — eager dispatch through the TPU tunnel costs ~5 ms/op)."""
-    publics = publics or []
-    n, width = trace.shape
-    log_n = n.bit_length() - 1
-    assert 1 << log_n == n and width == air.width
-    dom = Domain(log_n, BLOWUP_LOG)
-    m = dom.m
-    aux_w = air.aux_width
     channel = Channel()
-    channel.absorb_elems([log_n, width, aux_w, len(publics)])
-    channel.absorb_elems(publics)
+    channel.absorb_elems([len(tables)])
+    ctxs = []
+    for air, trace, publics in tables:
+        publics = publics or []
+        n, width = trace.shape
+        log_n = n.bit_length() - 1
+        assert 1 << log_n == n and width == air.width
+        channel.absorb_elems(
+            [log_n, width, air.aux_width, air.num_bus_values, len(publics)]
+        )
+        channel.absorb_elems(publics)
+        ctxs.append(
+            {
+                "air": air,
+                "trace": trace,
+                "publics": publics,
+                "dom": Domain(log_n, BLOWUP_LOG),
+                "log_n": log_n,
+                "width": width,
+            }
+        )
 
-    # 1. trace LDE + commit (one jitted stage)
+    # 1. every table's trace LDE + commit, roots absorbed in order
     _t = Measurement("stark.trace_commit")
-    trace_m = bb.to_mont(jnp.asarray(trace.T.copy()))  # (W, n)
-    t_coeffs, t_lde, t_levels = _commit_cols(trace_m, dom.shift)
-    t_root = merkle.root(t_levels)
-    channel.absorb_digest(t_root)
+    for c in ctxs:
+        trace_m = bb.to_mont(jnp.asarray(c["trace"].T.copy()))  # (W, n)
+        c["t_coeffs"], c["t_lde"], c["t_levels"] = _commit_cols(
+            trace_m, c["dom"].shift
+        )
+        c["t_root"] = merkle.root(c["t_levels"])
+        channel.absorb_digest(c["t_root"])
     _t.stop()
 
-    # 1b. auxiliary segment: challenges -> aux trace -> second commitment
-    a_coeffs = a_lde = a_levels = None
-    chal_dev = None
-    aux_root_std: list = []
-    if aux_w:
-        challenges = [channel.challenge_ef() for _ in range(air.num_aux_challenges)]
-        _t = Measurement("stark.aux_commit")
-        aux = air.aux_trace(trace, challenges)
-        assert aux.shape == (n, aux_w)
-        aux_m = bb.to_mont(jnp.asarray(aux.T.copy()))
-        a_coeffs, a_lde, a_levels = _commit_cols(aux_m, dom.shift)
-        a_root = merkle.root(a_levels)
-        channel.absorb_digest(a_root)
-        aux_root_std = np.asarray(bb.from_mont(a_root)).tolist()
-        coords = [c for ch in challenges for c in ch]
-        chal_dev = jnp.asarray(
-            np.array([(c % bb.P) * bb.R % bb.P for c in coords], dtype=np.uint32)
+    # 2. shared challenges (AFTER all trace roots), then aux commitments
+    nchal = max((c["air"].num_aux_challenges for c in ctxs), default=0)
+    challenges = [channel.challenge_ef() for _ in range(nchal)]
+    for c in ctxs:
+        air = c["air"]
+        c["a_coeffs"] = c["a_lde"] = c["a_levels"] = None
+        c["chal_dev"] = None
+        c["aux_root_std"] = []
+        if air.aux_width:
+            _t = Measurement("stark.aux_commit")
+            chal_t = challenges[: air.num_aux_challenges]
+            aux = air.aux_trace(c["trace"], chal_t)
+            assert aux.shape == (c["trace"].shape[0], air.aux_width)
+            aux_m = bb.to_mont(jnp.asarray(aux.T.copy()))
+            c["a_coeffs"], c["a_lde"], c["a_levels"] = _commit_cols(
+                aux_m, c["dom"].shift
+            )
+            a_root = merkle.root(c["a_levels"])
+            channel.absorb_digest(a_root)
+            c["aux_root_std"] = np.asarray(bb.from_mont(a_root)).tolist()
+            coords = [x for ch in chal_t for x in ch]
+            c["chal_dev"] = jnp.asarray(
+                np.array(
+                    [(x % bb.P) * bb.R % bb.P for x in coords], dtype=np.uint32
+                )
+            )
+            _t.stop()
+
+    # 3. bus values (challenge-dependent public EF scalars), absorbed
+    for c in ctxs:
+        air = c["air"]
+        c["bus"] = []
+        if air.num_bus_values:
+            chal_t = challenges[: air.num_aux_challenges]
+            c["bus"] = [tuple(v) for v in air.bus_values(c["trace"], chal_t)]
+            assert len(c["bus"]) == air.num_bus_values
+            for v in c["bus"]:
+                channel.absorb_ef(v)
+
+    # 4+. per-table quotient / OOD / DEEP / FRI / queries on the shared
+    # channel, in table order
+    return [_finish_table(c, channel) for c in ctxs]
+
+
+def _finish_table(c: dict, channel: Channel) -> StarkProof:
+    air = c["air"]
+    dom = c["dom"]
+    publics = c["publics"]
+    log_n, width = c["log_n"], c["width"]
+    m = dom.m
+    n = dom.n
+    aux_w = air.aux_width
+    t_coeffs, t_lde, t_levels, t_root = (
+        c["t_coeffs"],
+        c["t_lde"],
+        c["t_levels"],
+        c["t_root"],
+    )
+    a_coeffs, a_lde, a_levels = c["a_coeffs"], c["a_lde"], c["a_levels"]
+    chal_dev = c["chal_dev"]
+    aux_root_std = c["aux_root_std"]
+    bus = c["bus"]
+    bus_dev = None
+    if bus:
+        coords = [x for v in bus for x in v]
+        bus_dev = jnp.asarray(
+            np.array([(x % bb.P) * bb.R % bb.P for x in coords], dtype=np.uint32)
         )
-        _t.stop()
 
     # 2+3. constraint evaluation + quotient + chunk commit (one stage)
     alpha = channel.challenge_ef()
@@ -449,7 +538,7 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
 
     _t = Measurement("stark.quotient")
     chunks, q_lde, q_levels = qfn(
-        t_lde, a_lde, chal_dev, fixed_m, apows, sinvp, publics_dev
+        t_lde, a_lde, chal_dev, bus_dev, fixed_m, apows, sinvp, publics_dev
     )
     q_root = merkle.root(q_levels)
     channel.absorb_digest(q_root)
@@ -569,4 +658,5 @@ def prove(air: Air, trace: np.ndarray, publics: list[int] | None = None) -> Star
         aux_root=aux_root_std,
         aux_at_zeta=aux_at_zeta,
         aux_at_zeta_g=aux_at_zeta_g,
+        bus=bus,
     )

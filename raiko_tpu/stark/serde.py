@@ -51,6 +51,7 @@ def proof_to_dict(p: StarkProof) -> dict:
         "aux_root": [int(v) for v in p.aux_root],
         "aux_at_zeta": [[int(v) for v in t] for t in p.aux_at_zeta],
         "aux_at_zeta_g": [[int(v) for v in t] for t in p.aux_at_zeta_g],
+        "bus": [[int(v) for v in t] for t in p.bus],
     }
 
 
@@ -99,4 +100,5 @@ def proof_from_dict(d: dict) -> StarkProof:
         aux_root=list(d.get("aux_root", [])),
         aux_at_zeta=[tuple(t) for t in d.get("aux_at_zeta", [])],
         aux_at_zeta_g=[tuple(t) for t in d.get("aux_at_zeta_g", [])],
+        bus=[tuple(t) for t in d.get("bus", [])],
     )

@@ -35,6 +35,7 @@ class _VerifierAlgebra:
         aux_at_zeta=None,
         aux_at_zeta_g=None,
         chal=None,
+        bus=None,
     ):
         self._z = at_zeta
         self._zg = at_zeta_g
@@ -43,6 +44,7 @@ class _VerifierAlgebra:
         self._aux_z = aux_at_zeta
         self._aux_zg = aux_at_zeta_g
         self._chal = chal  # flat list of base-field challenge coords
+        self._bus = bus  # flat list of base-field bus-value coords
 
     def local(self, c):
         return tuple(self._z[c])
@@ -61,6 +63,9 @@ class _VerifierAlgebra:
 
     def challenge_coord(self, k):
         return ef.h_from_base(self._chal[k])
+
+    def bus_coord(self, k):
+        return ef.h_from_base(self._bus[k])
 
     def public(self, i):
         return ef.h_from_base(self._publics[i])
@@ -150,27 +155,65 @@ def _check_merkle(row, index, path, root) -> bool:
 
 
 def verify(air: Air, proof: StarkProof) -> bool:
+    return verify_tables([air], [proof])
+
+
+def verify_tables(airs: list[Air], proofs: list[StarkProof]) -> bool:
+    """Verify a shared-transcript multi-table proof (prover.prove_tables):
+    per-table STARK checks plus the global LogUp-bus balance — the sum of
+    every table's bus values must vanish, which (with the shared
+    challenge squeezed after all trace roots) makes cross-table lookups
+    sound."""
+    if len(airs) != len(proofs) or not proofs:
+        return False
+    channel = Channel()
+    channel.absorb_elems([len(airs)])
+    for air, proof in zip(airs, proofs):
+        if proof.width != air.width:
+            return False
+        aux_w = air.aux_width
+        if len(proof.aux_at_zeta) != aux_w or len(proof.aux_at_zeta_g) != aux_w:
+            return False
+        if aux_w and len(proof.aux_root) != 8:
+            return False
+        if len(proof.bus) != air.num_bus_values:
+            return False
+        channel.absorb_elems(
+            [proof.log_n, proof.width, aux_w, air.num_bus_values, len(proof.publics)]
+        )
+        channel.absorb_elems(proof.publics)
+    for proof in proofs:
+        channel.absorb_elems(proof.trace_root)
+    nchal = max((air.num_aux_challenges for air in airs), default=0)
+    shared = [channel.challenge_ef() for _ in range(nchal)]
+    for air, proof in zip(airs, proofs):
+        if air.aux_width:
+            channel.absorb_elems(proof.aux_root)
+    bus_total = ef.H_ZERO
+    any_bus = False
+    for air, proof in zip(airs, proofs):
+        for v in proof.bus:
+            channel.absorb_ef(tuple(v))
+            bus_total = ef.h_add(bus_total, tuple(v))
+            any_bus = True
+    if any_bus and bus_total != ef.H_ZERO:
+        return False
+    for air, proof in zip(airs, proofs):
+        chal = [x for t in shared[: air.num_aux_challenges] for x in t]
+        if not _verify_table(air, proof, channel, chal):
+            return False
+    return True
+
+
+def _verify_table(
+    air: Air, proof: StarkProof, channel: Channel, chal: list[int]
+) -> bool:
     publics = proof.publics
     log_n = proof.log_n
     width = proof.width
     aux_w = air.aux_width
-    if width != air.width:
-        return False
-    if len(proof.aux_at_zeta) != aux_w or len(proof.aux_at_zeta_g) != aux_w:
-        return False
-    if aux_w and len(proof.aux_root) != 8:
-        return False
     dom = Domain(log_n, BLOWUP_LOG)
     m = dom.m
-    channel = Channel()
-    channel.absorb_elems([log_n, width, aux_w, len(publics)])
-    channel.absorb_elems(publics)
-    channel.absorb_elems(proof.trace_root)
-    chal: list[int] = []
-    if aux_w:
-        for _ in range(air.num_aux_challenges):
-            chal.extend(channel.challenge_ef())
-        channel.absorb_elems(proof.aux_root)
     alpha = channel.challenge_ef()
     channel.absorb_elems(proof.quotient_root)
     zeta = channel.challenge_ef()
@@ -196,6 +239,7 @@ def verify(air: Air, proof: StarkProof) -> bool:
         proof.aux_at_zeta,
         proof.aux_at_zeta_g,
         chal,
+        [x for v in proof.bus for x in v],
     )
     builder = ConstraintBuilder(alg)
     air.eval(builder)
