@@ -114,6 +114,47 @@ def main() -> None:
         for _ in range(3)
     )
 
+    # ---- secondary: batched multi-blob commitment (amortized s/blob) --
+    nblobs = 4
+    limbs4 = jnp.asarray(
+        np.stack(
+            [
+                msmmod.scalars_to_limbs(
+                    [int.from_bytes(rng.bytes(32), "little") for _ in range(4096)]
+                )
+                for _ in range(nblobs)
+            ]
+        )
+    )
+    np.asarray(msmmod.msm_multi(pts, limbs4))  # compile + warm
+    msm_multi_s = min(
+        (
+            lambda t0: (
+                np.asarray(msmmod.msm_multi(pts, limbs4)),
+                time.perf_counter() - t0,
+            )[1]
+        )(time.perf_counter())
+        for _ in range(3)
+    )
+
+    # ---- secondary: batched ecrecover (tx sender recovery) ------------
+    from raiko_tpu.ops import secp
+    from raiko_tpu.utils import secp256k1 as hostsecp
+
+    nrec = 256
+    items = []
+    for i in range(nrec):
+        h = rng.bytes(32)
+        r, s, rec = hostsecp.sign(h, int(rng.integers(1, 1 << 62)))
+        items.append((h, r, s, rec))
+    secp.recover_pubkeys_batch(items)  # compile + warm
+    rec_s = min(
+        (
+            lambda t0: (secp.recover_pubkeys_batch(items), time.perf_counter() - t0)[1]
+        )(time.perf_counter())
+        for _ in range(3)
+    )
+
     print(
         json.dumps(
             {
@@ -127,6 +168,8 @@ def main() -> None:
                     "poseidon2_perms_per_s": round(p2_rate),
                     "keccak_f1600_per_s": round(keccak_rate),
                     "kzg_blob_commitment_s": round(msm_s, 4),
+                    "kzg_blob_commitment_amortized_s": round(msm_multi_s / nblobs, 4),
+                    "ecrecover_batch_txs_per_s": round(nrec / rec_s),
                 },
             }
         )

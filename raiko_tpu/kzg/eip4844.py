@@ -110,6 +110,32 @@ def blob_to_field_elements(blob: bytes) -> list[int]:
     return out
 
 
+_MOD_WORDS = np.frombuffer(BLS_MODULUS.to_bytes(32, "big"), dtype=">u8").astype(
+    np.uint64
+)
+
+
+def blob_to_limbs(blob: bytes) -> np.ndarray:
+    """Blob bytes -> validated (4096, 16) u32 16-bit-limb scalars, fully
+    vectorized (the int round-trip costs ~100 ms/blob, comparable to the
+    whole device MSM)."""
+    if len(blob) != BYTES_PER_BLOB:
+        raise Eip4844Error(f"blob must be {BYTES_PER_BLOB} bytes, got {len(blob)}")
+    words = np.frombuffer(blob, dtype=">u8").reshape(FIELD_ELEMENTS_PER_BLOB, 4)
+    words = words.astype(np.uint64)
+    # lexicographic v < modulus over 4 big-endian u64 words
+    lt = np.zeros(FIELD_ELEMENTS_PER_BLOB, dtype=bool)
+    eq = np.ones(FIELD_ELEMENTS_PER_BLOB, dtype=bool)
+    for j in range(4):
+        lt |= eq & (words[:, j] < _MOD_WORDS[j])
+        eq &= words[:, j] == _MOD_WORDS[j]
+    if not lt.all():
+        bad = int(np.nonzero(~lt)[0][0])
+        raise Eip4844Error(f"field element {bad} out of range")
+    limbs_be = np.frombuffer(blob, dtype=">u2").reshape(FIELD_ELEMENTS_PER_BLOB, 16)
+    return limbs_be[:, ::-1].astype(np.uint32)
+
+
 def _msm(scalars: list[int], use_tpu: bool) -> tuple[int, int] | None:
     pts = setup()["g1_lagrange"]
     if use_tpu:
@@ -125,8 +151,16 @@ def _msm(scalars: list[int], use_tpu: bool) -> tuple[int, int] | None:
 
 def blob_to_kzg_commitment(blob: bytes, use_tpu: bool = True) -> bytes:
     """48-byte compressed commitment (ref calc_kzg_proof_commitment :80-89)."""
-    fields = blob_to_field_elements(blob)
-    return hc.g1_compress(_msm(fields, use_tpu))
+    if use_tpu:
+        import jax.numpy as jnp
+
+        from ..ops import msm as msmmod
+        from . import curve
+
+        limbs = blob_to_limbs(blob)
+        res = msmmod.msm(_device_setup(), jnp.asarray(limbs))
+        return hc.g1_compress(curve.to_affine(np.asarray(res)))
+    return hc.g1_compress(_msm(blob_to_field_elements(blob), use_tpu=False))
 
 
 def blobs_to_kzg_commitments(blobs: list[bytes], use_tpu: bool = True) -> list[bytes]:
@@ -136,16 +170,18 @@ def blobs_to_kzg_commitments(blobs: list[bytes], use_tpu: bool = True) -> list[b
     fixed per-launch cost that dominates a lone 4096-point MSM."""
     if not blobs:
         return []
-    field_sets = [blob_to_field_elements(b) for b in blobs]
     if not use_tpu:
         pts = setup()["g1_lagrange"]
-        return [hc.g1_compress(hc.g1_msm(pts, f)) for f in field_sets]
+        return [
+            hc.g1_compress(hc.g1_msm(pts, blob_to_field_elements(b)))
+            for b in blobs
+        ]
     import jax.numpy as jnp
 
     from ..ops import msm as msmmod
     from . import curve
 
-    limbs = np.stack([msmmod.scalars_to_limbs(f) for f in field_sets])
+    limbs = np.stack([blob_to_limbs(b) for b in blobs])
     res = np.asarray(msmmod.msm_multi(_device_setup(), jnp.asarray(limbs)))
     return [hc.g1_compress(curve.to_affine(res[i])) for i in range(len(blobs))]
 

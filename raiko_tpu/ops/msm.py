@@ -48,12 +48,14 @@ _DUMP = NWINDOWS * NBUCKETS  # dump slot for zero digits
 
 
 def scalars_to_limbs(scalars: list[int]) -> np.ndarray:
-    """Host: scalar ints -> (N, 16) u32 array of 16-bit limbs (LE)."""
-    out = np.zeros((len(scalars), 16), dtype=np.uint32)
-    for i, s in enumerate(scalars):
-        for j in range(16):
-            out[i, j] = (s >> (16 * j)) & 0xFFFF
-    return out
+    """Host: scalar ints -> (N, 16) u32 array of 16-bit limbs (LE).
+    Packs through bytes + frombuffer (one to_bytes per scalar) instead of
+    16 Python shifts each — the old loop cost ~80 ms per 4096-scalar blob,
+    comparable to the whole device MSM."""
+    buf = b"".join(s.to_bytes(32, "little") for s in scalars)
+    return (
+        np.frombuffer(buf, dtype="<u2").reshape(len(scalars), 16).astype(np.uint32)
+    )
 
 
 def _add(p: jax.Array, q: jax.Array) -> jax.Array:

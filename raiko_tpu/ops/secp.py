@@ -169,12 +169,11 @@ def _shamir(table: jax.Array, bits1: jax.Array, bits2: jax.Array) -> jax.Array:
 
 
 def _bits_msb(vals: list[int]) -> np.ndarray:
-    """(256, B) uint32, bits1[k] = bit (255-k) of vals[b]."""
-    out = np.zeros((256, len(vals)), dtype=np.uint32)
-    for b, v in enumerate(vals):
-        for k in range(256):
-            out[k, b] = (v >> (255 - k)) & 1
-    return out
+    """(256, B) uint32, out[k, b] = bit (255-k) of vals[b] (vectorized:
+    the Python double loop cost ~0.1 s per 256-tx block)."""
+    buf = b"".join(v.to_bytes(32, "big") for v in vals)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    return bits.reshape(len(vals), 256).T.astype(np.uint32)
 
 
 _NEG_G = (host.GX, host.P - host.GY)

@@ -97,6 +97,24 @@ def test_proof_of_equivalence_deterministic():
     assert y == int.from_bytes(y1, "big")
 
 
+def test_blob_to_limbs_matches_int_path():
+    rng = np.random.default_rng(8)
+    blob = b"".join(
+        (int.from_bytes(rng.bytes(31), "big")).to_bytes(32, "big")
+        for _ in range(e.FIELD_ELEMENTS_PER_BLOB)
+    )
+    limbs = e.blob_to_limbs(blob)
+    fields = e.blob_to_field_elements(blob)
+    from raiko_tpu.ops import msm as msmmod
+
+    assert np.array_equal(limbs, msmmod.scalars_to_limbs(fields))
+    # out-of-range element rejected at the right index
+    bad = bytearray(blob)
+    bad[32 * 7 : 32 * 8] = e.BLS_MODULUS.to_bytes(32, "big")
+    with pytest.raises(e.Eip4844Error, match="element 7"):
+        e.blob_to_limbs(bytes(bad))
+
+
 @pytest.mark.slow
 def test_tpu_msm_matches_host():
     """Tiny MSM through the full TPU Pippenger pipeline."""
