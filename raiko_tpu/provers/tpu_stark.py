@@ -66,11 +66,18 @@ class TpuStarkProver(Prover):
             raise GuestError("instance hash mismatch in tpu_stark guest")
         payload = prove_transcript(ih)
         if config.get("mpt_statement", True) and "state_trie" in collect:
-            payload["mpt"] = prove_mpt_preimages(
-                collect["state_trie"],
-                header.state_root,
-                storage_tries=collect.get("storage_tries"),
-            )
+            if int(config.get("mpt_version", 2)) >= 2:
+                payload["mpt"] = prove_mpt_containment(
+                    collect["state_trie"],
+                    header.state_root,
+                    storage_tries=collect.get("storage_tries"),
+                )
+            else:
+                payload["mpt"] = prove_mpt_preimages(
+                    collect["state_trie"],
+                    header.state_root,
+                    storage_tries=collect.get("storage_tries"),
+                )
         return Proof(
             proof=json.dumps(payload),
             input_hash="0x" + ih.hex(),
@@ -163,6 +170,152 @@ def prove_mpt_preimages(
     }
 
 
+PERMS_PER_CHUNK = 23  # sponge trace n = 1024 per chunk
+
+
+def _collect_preimages(state_trie, state_root, storage_tries=None):
+    """DFS-ordered keccak preimages with containment-aware packing (v1
+    semantics): a message is kept only if an earlier kept message
+    references its digest, capped at MAX_MSGS."""
+    from ..mpt.trie import hashed_preimages
+    from ..stark.airs.containment import MAX_BLOCKS, MAX_MSGS, RATE_BYTES
+    from ..utils import keccak256
+
+    all_msgs = hashed_preimages(state_trie)
+    for st in (storage_tries or {}).values():
+        all_msgs.extend(hashed_preimages(st))
+    msgs: list[bytes] = []
+    blob = b""
+    for m in all_msgs:
+        if len(m) // RATE_BYTES + 1 > MAX_BLOCKS:
+            continue
+        if blob and keccak256(m) not in blob:
+            continue
+        if len(msgs) == MAX_MSGS:
+            break
+        msgs.append(m)
+        blob += m
+    assert msgs and keccak256(msgs[0]) == state_root
+    return msgs, len(all_msgs)
+
+
+def prove_mpt_containment(
+    state_trie,
+    state_root: bytes,
+    storage_tries=None,
+    perms_per_chunk: int = PERMS_PER_CHUNK,
+) -> dict:
+    """The SUCCINCT batched keccak/MPT statement (keccak-mpt-v2): the
+    payload carries NO preimage bytes and NO digests — just the table
+    structure and the multi-table STARK.  See airs/containment.py for
+    the three bus channels that bind the sponge, byte, and claim tables;
+    the public input is the state root alone.
+
+    Reference analog: the keccak calls of calculate_state_root
+    (lib/src/primitives/mpt.rs:117-121, builder.rs:191-264)."""
+    from ..stark import prover as sp
+    from ..stark.airs.containment import ByteCodeAir, ContainAir, pad_keccak
+    from ..stark.airs.keccak_air import KeccakSpongeV2Air
+    from ..utils import keccak256
+
+    msgs, total = _collect_preimages(state_trie, state_root, storage_tries)
+    padded = [pad_keccak(m) for m in msgs]
+    # containment claims + triple multiplicities
+    claims = []
+    mults: dict = {}
+    for k in range(1, len(msgs)):
+        digest = keccak256(msgs[k])
+        parent = off = None
+        for p in range(k):
+            idx = msgs[p].find(digest)
+            if idx >= 0:
+                parent, off = p, idx
+                break
+        assert parent is not None, "collection guarantees containment"
+        claims.append((digest, parent, off))
+        for j in range(32):
+            key = (parent, off + j)
+            mults[key] = mults.get(key, 0) + 1
+    # chunk messages into sponge tables by permutation budget
+    chunks: list[list[int]] = [[]]
+    perms = 0
+    for mi, p in enumerate(padded):
+        need = len(p) // 136
+        if chunks[-1] and perms + need > perms_per_chunk:
+            chunks.append([])
+            perms = 0
+        chunks[-1].append(mi)
+        perms += need
+    tables = []
+    block_counts_per_chunk = []
+    for ci, idxs in enumerate(chunks):
+        air = KeccakSpongeV2Air.from_messages(
+            [msgs[i] for i in idxs], msg_id_offset=idxs[0], bind_root=(ci == 0)
+        )
+        tables.append((air, air.trace(), air.publics()))
+        block_counts_per_chunk.append(air.block_counts)
+    bytetab = ByteCodeAir([len(p) for p in padded])
+    tables.append((bytetab, bytetab.trace(msgs, mults), []))
+    if len(msgs) > 1:
+        claimt = ContainAir(len(msgs) - 1)
+        tables.append((claimt, claimt.trace(claims), []))
+    proofs = sp.prove_tables(tables)
+    return {
+        "kind": "keccak-mpt-v2",
+        "state_root": state_root.hex(),
+        "block_counts": block_counts_per_chunk,
+        "covered": len(msgs),
+        "total": total,
+        "starks": [proof_to_dict(p) for p in proofs],
+    }
+
+
+def verify_mpt_v2_payload(mpt: dict, state_root: bytes | None = None) -> bool:
+    """Verify the succinct statement from STRUCTURE + state root alone."""
+    from ..stark import verifier as sv
+    from ..stark.airs.containment import (
+        ByteCodeAir,
+        ContainAir,
+        MAX_MSGS,
+        RATE_BYTES,
+    )
+    from ..stark.airs.keccak_air import KeccakSpongeV2Air, _digest_bits
+
+    if mpt.get("kind") != "keccak-mpt-v2":
+        return False
+    root = bytes.fromhex(mpt["state_root"])
+    if state_root is not None and root != state_root:
+        return False
+    bc_chunks = mpt.get("block_counts")
+    if not bc_chunks or not all(c for c in bc_chunks):
+        return False
+    flat = [c for chunk in bc_chunks for c in chunk]
+    if not (0 < len(flat) <= MAX_MSGS):
+        return False
+    airs = []
+    offset = 0
+    for ci, counts in enumerate(bc_chunks):
+        airs.append(
+            KeccakSpongeV2Air(
+                counts, msg_id_offset=offset, root_digest=root if ci == 0 else None
+            )
+        )
+        offset += len(counts)
+    airs.append(ByteCodeAir([c * RATE_BYTES for c in flat]))
+    if len(flat) > 1:
+        airs.append(ContainAir(len(flat) - 1))
+    starks = mpt.get("starks", [])
+    if len(starks) != len(airs):
+        return False
+    proofs = [proof_from_dict(d) for d in starks]
+    if proofs[0].publics != _digest_bits(root):
+        return False
+    for p in proofs[1:]:
+        if p.publics:
+            return False
+    return sv.verify_tables(airs, proofs)
+
+
 def verify_mpt_payload(mpt: dict, state_root: bytes | None = None) -> bool:
     """Check the batched keccak MPT statement from public data alone:
     (a) each chunk's STARK attests digest_k = keccak256(message_k);
@@ -225,6 +378,8 @@ def verify_payload(payload: dict) -> bool:
     if not stark_verifier.verify(air, sp):
         return False
     if "mpt" in payload:
+        if payload["mpt"].get("kind") == "keccak-mpt-v2":
+            return verify_mpt_v2_payload(payload["mpt"])
         return verify_mpt_payload(payload["mpt"])
     return True
 

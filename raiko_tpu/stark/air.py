@@ -126,6 +126,32 @@ class ConstraintBuilder:
         z = self.constant(0)
         return [x, z, z, z]
 
+    def bit_block_code(self, bits_block, chi4: list, key, nbytes: int) -> list:
+        """Geometric byte code of a bit block (little-endian bits):
+
+            key + sum_{j<nbytes} byte_j * chi^{j+1},
+            byte_j = sum_{b<8} bits[8j+b] * 2^b
+
+        as a 4-coordinate EF value.  The prover algebra overrides this
+        with a stacked-weight contraction (a handful of device ops); the
+        generic path below loops per byte (verifier/debug evaluate it
+        once per proof, not per LDE point)."""
+        if hasattr(self.alg, "bit_block_code"):
+            res = self.alg.bit_block_code(bits_block, chi4, key, nbytes)
+            # probe algebras answer every method with a scalar sentinel
+            return res if isinstance(res, list) else [res] * 4
+        acc = self.ef_from_base4(key)
+        pw = list(chi4)
+        for j in range(nbytes):
+            byte_e = None
+            for bit in range(8):
+                t = self.scale(1 << bit, bits_block[8 * j + bit])
+                byte_e = t if byte_e is None else self.add(byte_e, t)
+            acc = self.ef_add4(acc, [self.mul(pw[c], byte_e) for c in range(4)])
+            if j + 1 < nbytes:
+                pw = self.ef_mul4(pw, chi4)
+        return acc
+
     # algebra ----------------------------------------------------------
     def add(self, a, b):
         return self.alg.add(a, b)

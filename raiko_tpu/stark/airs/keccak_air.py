@@ -36,6 +36,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...fields import babybear as bb
+from ...fields import babybear_ext as ef
 from ...utils.keccak_py import RHO_OFFSETS, ROUND_CONSTANTS, keccak_f1600
 from ..air import Air, ConstraintBuilder
 
@@ -454,6 +455,353 @@ def _digest_bits(digest: bytes) -> list[int]:
         for bit in range(8):
             out.append((byte >> bit) & 1)
     return out
+
+
+class KeccakSpongeV2Air(Air):
+    """Batched sponge with NO message/digest data in fixed columns — the
+    succinct form (PARITY roadmap #1).
+
+    Same 4160-wide trace as KeccakBatchSpongeAir; the instance-specific
+    fixed columns shrink to layout selectors + per-row keys.  Message
+    content is bound through the containment bus (airs/containment.py):
+
+    - absorbed rate bits are DERIVED in-constraint (absorb: A' xor A;
+      restart/first: A' resp. A directly) and exported as one rate-block
+      code receive per absorb (channel 0, balancing ByteCodeAir's sends);
+    - each message's digest bytes are exported as one digest-code send
+      (channel 1, consumed by ContainAir);
+    - message 0's digest bits are bound to the publics (the state root).
+
+    Trace layout matches KeccakBatchSpongeAir: messages' permutations
+    back to back, >= 1 trailing all-copy pad perm, power-of-two total.
+    """
+
+    width = WIDTH
+    quotient_chunks = 4
+    aux_width = 8  # busacc_B (4), busacc_D (4) — exclusive prefixes
+    num_aux_challenges = 4  # gamma_B, chi, gamma_D, gamma_T (shared set)
+    num_bus_values = 3
+
+    # fixed column indices (beyond the shared N_FIXED selector/RC set)
+    F2_ABSORB = N_FIXED
+    F2_RESTART = N_FIXED + 1
+    F2_FIRST = N_FIXED + 2  # row 0 (first block absorbed from zero state)
+    F2_DIGEST = N_FIXED + 3
+    F2_KEY = N_FIXED + 4  # key of the block absorbed on this transition
+    F2_MSGID = N_FIXED + 5  # msg id of the digest sent on this row
+    F2_ROOT = N_FIXED + 6  # digest row of the root message (publics bind)
+    N_FIXED_V2 = N_FIXED + 7
+
+    RATE_BITS = 1088  # 136 bytes = lanes 0..16 (A columns 0..1087)
+
+    def __init__(
+        self,
+        block_counts: list[int],
+        msg_id_offset: int = 0,
+        root_digest: bytes | None = None,
+    ):
+        """Verifier-side construction: PUBLIC structure only — per-message
+        rate-block counts, the global msg-id offset of this chunk, and
+        (for the root chunk) the public root digest.  Use from_messages()
+        on the prover side (adds trace/aux capability)."""
+        from .containment import MAX_BLOCKS
+
+        assert block_counts
+        for c in block_counts:
+            assert 0 < c <= MAX_BLOCKS
+        self.block_counts = list(block_counts)
+        self.msg_id_offset = msg_id_offset
+        self.root_digest = bytes(root_digest) if root_digest else None
+        self.bind_root = root_digest is not None
+        self.messages: list[bytes] | None = None
+        self.msg_blocks = None
+        self.digests = None
+        self.active_perms = sum(block_counts)
+        self.num_perms = 1 << (self.active_perms + 1 - 1).bit_length()
+
+    @classmethod
+    def from_messages(
+        cls, messages: list[bytes], msg_id_offset: int = 0, bind_root: bool = False
+    ) -> "KeccakSpongeV2Air":
+        from ...utils.keccak_py import keccak256
+
+        assert messages
+        msg_blocks = [_pad_message(m) for m in messages]
+        digests = [keccak256(m) for m in messages]
+        air = cls(
+            [len(b) for b in msg_blocks],
+            msg_id_offset,
+            root_digest=digests[0] if bind_root else None,
+        )
+        air.messages = [bytes(m) for m in messages]
+        air.msg_blocks = msg_blocks
+        air.digests = digests
+        return air
+
+    def structure_key(self) -> tuple:
+        return (self.bind_root,)
+
+    def _layout(self):
+        out = []
+        for mi, count in enumerate(self.block_counts):
+            for bi in range(count):
+                out.append((mi, bi))
+        return out
+
+    def publics(self) -> list[int]:
+        if not self.bind_root:
+            return []
+        return _digest_bits(self.root_digest)
+
+    def fixed_columns(self, n: int):
+        assert n == ROWS * self.num_perms
+        cols = np.zeros((self.N_FIXED_V2, n), dtype=np.uint32)
+        layout = self._layout()
+        from .containment import MAX_BLOCKS
+
+        for perm in range(self.num_perms):
+            base = ROWS * perm
+            if perm < self.active_perms:
+                cols[F_ROUND, base : base + N_ROUNDS] = 1
+                cols[F_COPY, base + N_ROUNDS : base + ROWS - 1] = 1
+                for r in range(N_ROUNDS):
+                    rc = ROUND_CONSTANTS[r]
+                    for z in range(64):
+                        cols[F_RC + a_col(0, 0, z), base + r] = (rc >> z) & 1
+            else:
+                cols[F_COPY, base : base + ROWS - 1] = 1
+            end = base + ROWS - 1
+            if perm + 1 < self.active_perms:
+                mi, bi = layout[perm]
+                nmi, nbi = layout[perm + 1]
+                key = (self.msg_id_offset + nmi) * MAX_BLOCKS + nbi
+                if nmi == mi:
+                    cols[self.F2_ABSORB, end] = 1
+                else:
+                    cols[self.F2_RESTART, end] = 1
+                cols[self.F2_KEY, end] = key
+                if nmi != mi:
+                    if mi == 0 and self.bind_root:
+                        # the root's digest binds via publics, not the bus
+                        cols[self.F2_ROOT, end] = 1
+                    else:
+                        cols[self.F2_DIGEST, end] = 1
+                        cols[self.F2_MSGID, end] = self.msg_id_offset + mi
+            else:
+                cols[F_COPY, end] = 1
+                if perm + 1 == self.active_perms:
+                    mi, _ = layout[perm]
+                    if mi == 0 and self.bind_root:
+                        cols[self.F2_ROOT, end] = 1
+                    else:
+                        cols[self.F2_DIGEST, end] = 1
+                        cols[self.F2_MSGID, end] = self.msg_id_offset + mi
+        cols[self.F2_FIRST, 0] = 1
+        cols[self.F2_KEY, 0] = self.msg_id_offset * MAX_BLOCKS
+        cols[F_COPY, n - 1] = 0
+        return cols
+
+    def trace(self) -> np.ndarray:
+        # identical state evolution to KeccakBatchSpongeAir.trace
+        assert self.messages is not None, "prover-side only (from_messages)"
+        helper = KeccakBatchSpongeAir(self.messages, digests=self.digests)
+        assert helper.num_perms == self.num_perms
+        return helper.trace()
+
+    # -- bus contributions ------------------------------------------------
+    def _contributions(self, challenges: list[tuple]):
+        """[(row, channel, term)] with EXCLUSIVE-prefix accounting: the
+        term is added to the accumulator AFTER `row`."""
+        from .containment import MAX_BLOCKS, block_code, digest_code
+
+        gamma_b = challenges[0]
+        chi = challenges[1]
+        gamma_d = challenges[2]
+        layout = self._layout()
+        denoms = []
+        meta = []
+        for perm in range(self.active_perms):
+            end = ROWS * perm + ROWS - 1
+            mi, bi = layout[perm]
+            if perm + 1 < self.active_perms:
+                nmi, nbi = layout[perm + 1]
+                key = (self.msg_id_offset + nmi) * MAX_BLOCKS + nbi
+                blk = _block_bytes(self.msg_blocks[nmi][nbi])
+                denoms.append(ef.h_sub(gamma_b, block_code(key, blk, chi)))
+                meta.append((end, 0, -1))
+            if perm + 1 >= self.active_perms or layout[perm + 1][0] != mi:
+                if not (mi == 0 and self.bind_root):
+                    code = digest_code(
+                        self.msg_id_offset + mi, self.digests[mi], chi
+                    )
+                    denoms.append(ef.h_sub(gamma_d, code))
+                    meta.append((end, 1, +1))
+        # row 0: first block of message 0
+        key0 = self.msg_id_offset * MAX_BLOCKS
+        blk0 = _block_bytes(self.msg_blocks[0][0])
+        denoms.append(ef.h_sub(gamma_b, block_code(key0, blk0, chi)))
+        meta.append((0, 0, -1))
+        invs = ef.h_batch_inv(denoms)
+        out = []
+        for (row, chan, sign), iv in zip(meta, invs):
+            term = iv if sign > 0 else ef.h_neg(iv)
+            out.append((row, chan, term))
+        return out
+
+    def aux_trace(self, trace: np.ndarray, challenges: list[tuple]) -> np.ndarray:
+        n = trace.shape[0]
+        aux = np.zeros((n, 8), dtype=np.uint32)
+        per_row: dict[int, list] = {}
+        for row, chan, term in self._contributions(challenges):
+            per_row.setdefault(row, []).append((chan, term))
+        acc = [ef.H_ZERO, ef.H_ZERO]  # channels 0 (blocks), 1 (digests)
+        for row in range(n):
+            aux[row, 0:4] = acc[0]
+            aux[row, 4:8] = acc[1]
+            for chan, term in per_row.get(row, []):
+                acc[chan] = ef.h_add(acc[chan], term)
+        return aux
+
+    def bus_values(self, trace: np.ndarray, challenges: list[tuple]) -> list[tuple]:
+        acc = [ef.H_ZERO, ef.H_ZERO]
+        for _, chan, term in self._contributions(challenges):
+            acc[chan] = ef.h_add(acc[chan], term)
+        return [acc[0], acc[1], ef.H_ZERO]
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        from .containment import MAX_BLOCKS  # noqa: F401 (doc anchor)
+
+        a_cols = list(range(A0, A0 + 1600))
+        A = b.local_block(a_cols)
+        nA = b.next_block(a_cols)
+        C = b.local_block(range(C0, C0 + 320))
+        H0 = b.local_block(range(H0_0, H0_0 + 320))
+        H1 = b.local_block(range(H1_0, H1_0 + 320))
+        AMID = b.local_block(range(AMID0, AMID0 + 1600))
+        sel_round = b.fixed(F_ROUND)
+        sel_copy = b.fixed(F_COPY)
+        s_abs = b.fixed(self.F2_ABSORB)
+        s_res = b.fixed(self.F2_RESTART)
+        s_first = b.fixed(self.F2_FIRST)
+        s_dig = b.fixed(self.F2_DIGEST)
+        f_key = b.fixed(self.F2_KEY)
+        f_msgid = b.fixed(self.F2_MSGID)
+        s_root = b.fixed(self.F2_ROOT)
+        RC = b.fixed_block([F_RC + i for i in range(1600)])
+        one = b.constant(1)
+
+        def xor(p, q):
+            return b.sub(b.add(p, q), b.scale(2, b.mul(p, q)))
+
+        # -- keccak permutation constraints (identical to v1) -----------
+        s = None
+        for y in range(5):
+            blk = b.local_block(
+                [a_col(x, y, z) for x in range(5) for z in range(64)]
+            )
+            s = blk if s is None else b.add(s, blk)
+        rhs = b.add(b.add(C, b.scale(2, H0)), b.scale(4, H1))
+        b.transition_block(b.sub(s, rhs), 320)
+        for blk in (C, H0, H1):
+            b.transition_block(b.mul(blk, b.sub(blk, one)), 320)
+        c1 = b.local_block(_D_C1.tolist())
+        c2 = b.local_block(_D_C2.tolist())
+        b.transition_block(b.sub(AMID, xor(A, xor(c1, c2))), 1600)
+        B_blk = b.local_block(_B_SRC.tolist())
+        B1 = b.local_block(_B_SRC[_B1].tolist())
+        B2 = b.local_block(_B_SRC[_B2].tolist())
+        chi_blk = xor(B_blk, b.mul(b.sub(one, B1), B2))
+        chi_iota = xor(chi_blk, RC)
+        b.transition_block(
+            b.add(
+                b.mul(sel_round, b.sub(nA, chi_iota)),
+                b.mul(sel_copy, b.sub(nA, A)),
+            ),
+            1600,
+        )
+
+        # -- absorb structure (v2: no MSG columns) -----------------------
+        RB = self.RATE_BITS
+        A_rate = b.local_block(range(A0, A0 + RB))
+        nA_rate = b.next_block(range(A0, A0 + RB))
+        A_capv = b.local_block(range(A0 + RB, A0 + 1600))
+        nA_cap = b.next_block(range(A0 + RB, A0 + 1600))
+        s_ar = b.add(s_abs, s_res)
+        # capacity: absorb preserves, restart zeroes
+        b.transition_block(b.mul(s_abs, b.sub(nA_cap, A_capv)), 1600 - RB)
+        b.transition_block(b.mul(s_res, nA_cap), 1600 - RB)
+        # absorbed rate bits boolean (they are otherwise unconstrained)
+        b.transition_block(
+            b.mul(s_ar, b.mul(nA_rate, b.sub(nA_rate, one))), RB
+        )
+        # row 0: capacity zero, rate bits boolean
+        b.first_row_block(A_capv, 1600 - RB)
+        b.first_row_block(b.mul(A_rate, b.sub(A_rate, one)), RB)
+
+        # -- rate-block / digest codes (vectorized bit_block_code) -------
+        chi_c = b.challenge_ef(1)
+        gamma_b = b.challenge_ef(0)
+        gamma_d = b.challenge_ef(2)
+        gamma_t = b.challenge_ef(3)
+
+        # absorbed-block bits: first -> A, absorb -> A xor A', restart -> A'
+        xorb = xor(A_rate, nA_rate)
+        mb = b.add(
+            b.mul(s_first, A_rate),
+            b.add(b.mul(s_abs, xorb), b.mul(s_res, nA_rate)),
+        )
+        code_b = b.bit_block_code(mb, chi_c, f_key, 136)
+
+        # digest bytes from A at digest rows (lanes 0..3 = 32 bytes)
+        code_d = b.bit_block_code(
+            b.local_block(_DIGEST_COLS), chi_c, f_msgid, 32
+        )
+
+        # -- bus accumulators (exclusive prefixes) -----------------------
+        accB = [b.aux(c) for c in range(4)]
+        accB_n = [b.aux_next(c) for c in range(4)]
+        accD = [b.aux(4 + c) for c in range(4)]
+        accD_n = [b.aux_next(4 + c) for c in range(4)]
+        s_any = b.add(s_ar, s_first)
+        # receive: (acc' - acc)*(gamma_b - code_b) = -s_any
+        dB = b.ef_sub4(accB_n, accB)
+        prodB = b.ef_mul4(dB, b.ef_sub4(gamma_b, code_b))
+        sany4 = b.ef_from_base4(s_any)
+        for c in range(4):
+            b.transition(b.add(prodB[c], sany4[c]))
+            b.first_row(accB[c])
+        # send: (acc' - acc)*(gamma_d - code_d) = s_dig
+        dD = b.ef_sub4(accD_n, accD)
+        prodD = b.ef_mul4(dD, b.ef_sub4(gamma_d, code_d))
+        sdig4 = b.ef_from_base4(s_dig)
+        for c in range(4):
+            b.transition(b.sub(prodD[c], sdig4[c]))
+            b.first_row(accD[c])
+        # bindings on the (pad-perm) last row
+        for c in range(4):
+            b.last_row(b.sub(accB[c], b.bus_coord(4 * 0 + c)))
+            b.last_row(b.sub(accD[c], b.bus_coord(4 * 1 + c)))
+            b.last_row(b.bus_coord(4 * 2 + c))
+        # keep gamma_t in the challenge set (shared indices across tables)
+        _ = gamma_t
+
+        # -- root binding: message 0's digest bits are the publics -------
+        if self.bind_root:
+            b.transition_block(
+                b.mul(s_root, b.sub(b.local_block(_DIGEST_COLS), b.public_block(range(256)))),
+                256,
+            )
+
+
+def _block_bytes(bits: np.ndarray) -> bytes:
+    """(1600,) bit vector -> 136 rate bytes."""
+    out = bytearray(136)
+    for i in range(136):
+        v = 0
+        for bit in range(8):
+            v |= int(bits[8 * i + bit]) << bit
+        out[i] = v
+    return bytes(out)
 
 
 class KeccakBatchSpongeAir(Air):

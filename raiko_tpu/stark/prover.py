@@ -137,6 +137,32 @@ class _ProverAlgebra:
         """Small-integer scaling via Montgomery constant multiply."""
         return bb.mont_mul(a, self.constant(k))
 
+    def bit_block_code(self, bits_block, chi4: list, key, nbytes: int) -> list:
+        """Fast path for ConstraintBuilder.bit_block_code: one stacked
+        weight tensor + a log-depth modular reduction instead of ~10k
+        scalar graph nodes (which XLA:CPU compiles for tens of minutes).
+
+        bits_block: (8*nbytes, m); chi4: 4 scalar traced values; key: (m,)
+        or scalar.  Returns 4 (m,)-coordinate arrays."""
+        chi = jnp.stack([jnp.asarray(c).reshape(()) for c in chi4])  # (4,)
+        # chi^1..chi^nbytes via doubling on growing (j, 4) arrays
+        pows = chi[None, :]  # pows[i] = chi^(i+1)
+        while pows.shape[0] < nbytes:
+            top = pows[-1]  # chi^L
+            ext = ef.ef_mul(pows, top[None, :])  # chi^(L+1) .. chi^(2L)
+            pows = jnp.concatenate([pows, ext], axis=0)
+        pows = pows[:nbytes]  # (nbytes, 4) Montgomery
+        scales = jnp.asarray(
+            np.array([(1 << b) * bb.R % bb.P for b in range(8)], dtype=np.uint32)
+        )
+        w = bb.mont_mul(pows[:, None, :], scales[None, :, None])  # (nb, 8, 4)
+        w = w.reshape(8 * nbytes, 4)
+        t = bb.mont_mul(bits_block[:, :, None], w[:, None, :])  # (k, m, 4)
+        s = _tree_sum_axis0(t)  # (m, 4)
+        out = [s[:, c] for c in range(4)]
+        out[0] = bb.add(out[0], key)
+        return out
+
     def add(self, a, b):
         return bb.add(a, b)
 

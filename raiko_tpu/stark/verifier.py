@@ -189,14 +189,16 @@ def verify_tables(airs: list[Air], proofs: list[StarkProof]) -> bool:
     for air, proof in zip(airs, proofs):
         if air.aux_width:
             channel.absorb_elems(proof.aux_root)
-    bus_total = ef.H_ZERO
-    any_bus = False
+    # global balance PER BUS INDEX: index i is its own channel (tables
+    # with fewer bus values simply don't contribute to higher channels)
+    bus_totals: list[tuple] = []
     for air, proof in zip(airs, proofs):
-        for v in proof.bus:
+        for i, v in enumerate(proof.bus):
             channel.absorb_ef(tuple(v))
-            bus_total = ef.h_add(bus_total, tuple(v))
-            any_bus = True
-    if any_bus and bus_total != ef.H_ZERO:
+            while len(bus_totals) <= i:
+                bus_totals.append(ef.H_ZERO)
+            bus_totals[i] = ef.h_add(bus_totals[i], tuple(v))
+    if any(t != ef.H_ZERO for t in bus_totals):
         return False
     for air, proof in zip(airs, proofs):
         chal = [x for t in shared[: air.num_aux_challenges] for x in t]

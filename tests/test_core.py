@@ -234,5 +234,8 @@ def test_tpu_stark_prove_taiko_block_with_mpt(world):
     assert verify_payload(payload)
     # detaching or corrupting the mpt component must fail verification
     bad = _json.loads(proof.proof)
-    bad["mpt"]["digests"][0] = "11" * 32
+    if bad["mpt"]["kind"] == "keccak-mpt-v2":
+        bad["mpt"]["state_root"] = "11" * 32  # breaks the publics binding
+    else:
+        bad["mpt"]["digests"][0] = "11" * 32
     assert not verify_payload(bad)
