@@ -159,6 +159,85 @@ def h_inv(a):
     return tuple(c * n_inv % bb.P for c in conj)
 
 
+# ------------------------------------------------- vectorized host side --
+# Standard-form (n, 4) uint64 numpy arrays — for challenge-dependent aux
+# traces (LogUp helpers) over 10k+ rows, where per-row Python-tuple math
+# would dominate proving time.
+
+_PU = np.uint64(bb.P)
+
+
+def npef_from_base(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(x.shape + (4,), dtype=np.uint64)
+    out[..., 0] = x % _PU
+    return out
+
+
+def npef_add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a + b) % _PU
+
+
+def npef_sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a + _PU - b % _PU) % _PU
+
+
+def npef_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Schoolbook quartic product; operands broadcast over leading axes."""
+    a = a % _PU
+    b = b % _PU
+    shape = np.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    c = [np.zeros(shape, dtype=np.uint64) for _ in range(7)]
+    for i in range(4):
+        for j in range(4):
+            c[i + j] = (c[i + j] + (a[..., i] * b[..., j]) % _PU) % _PU
+    w = np.uint64(W)
+    return np.stack(
+        [
+            (c[0] + w * c[4]) % _PU,
+            (c[1] + w * c[5]) % _PU,
+            (c[2] + w * c[6]) % _PU,
+            c[3],
+        ],
+        axis=-1,
+    )
+
+
+def _npef_pow(a: np.ndarray, e: int) -> np.ndarray:
+    result = np.zeros_like(a)
+    result[..., 0] = 1
+    base = a
+    while e:
+        if e & 1:
+            result = npef_mul(result, base)
+        base = npef_mul(base, base)
+        e >>= 1
+    return result
+
+
+def _np_base_inv(x: np.ndarray) -> np.ndarray:
+    """Vectorized Fermat inverse in the base field ((n,) uint64)."""
+    result = np.ones_like(x)
+    base = x % _PU
+    e = bb.P - 2
+    while e:
+        if e & 1:
+            result = (result * base) % _PU
+        base = (base * base) % _PU
+        e >>= 1
+    return result
+
+
+def npef_inv(a: np.ndarray) -> np.ndarray:
+    """Vectorized EF inverse via the norm map (see h_inv)."""
+    ap = _npef_pow(a, bb.P)
+    ap2 = _npef_pow(ap, bb.P)
+    ap3 = _npef_pow(ap2, bb.P)
+    conj = npef_mul(npef_mul(ap, ap2), ap3)
+    norm = npef_mul(a, conj)
+    n_inv = _np_base_inv(norm[..., 0])
+    return (conj * n_inv[..., None]) % _PU
+
+
 def to_device(vals: list[tuple]) -> jax.Array:
     """Host EF tuples -> (N, 4) Montgomery device array."""
     arr = np.array(vals, dtype=np.uint64)

@@ -41,7 +41,10 @@ class TpuShardProver(Prover):
         ih = pi.instance_hash()
         if ih != output.hash:
             raise GuestError("instance hash mismatch in tpu_shard guest")
-        payload = prove_sharded(ih)
+        if (config or {}).get("recursion"):
+            payload = prove_sharded_recursive(ih)
+        else:
+            payload = prove_sharded(ih)
         return Proof(proof=json.dumps(payload), input_hash="0x" + ih.hex())
 
     def cancel(self, key) -> None:
@@ -73,6 +76,74 @@ def prove_sharded(instance_hash: bytes, shard_blocks: int = SHARD_BLOCKS) -> dic
         "digest": boundaries[-1][:8],
         "shards": shards,
     }
+
+
+def _shard_tables(
+    ih: bytes, shard_blocks: int, boundaries: list[list[int]]
+) -> list:
+    """The shard statement as recursion InnerTables: one Poseidon2
+    transcript AIR per shard, publics chaining through the boundary
+    states (SP1-style shard continuity, now enforced INSIDE one proof)."""
+    from ..stark import recursion
+
+    blocks = transcript_blocks(ih)
+    log_n = (32 * shard_blocks).bit_length() - 1
+    tables = []
+    for i in range(len(blocks) // shard_blocks):
+        air = Poseidon2TranscriptAir(
+            blocks[i * shard_blocks : (i + 1) * shard_blocks],
+            initial_state=boundaries[i],
+            expose_full_state=True,
+        )
+        tables.append(
+            recursion.InnerTable(air, log_n, air.publics_for(boundaries[i + 1]))
+        )
+    return tables
+
+
+def prove_sharded_recursive(
+    instance_hash: bytes, shard_blocks: int = SHARD_BLOCKS
+) -> dict:
+    """Shard proving + recursive aggregation: the S shard STARKs are
+    verified inside ONE outer proof (stark/recursion.py), so the final
+    artifact carries two STARKs regardless of shard count — the risc0/SP1
+    aggregation model (SURVEY.md §7 step 6)."""
+    from ..stark import recursion
+
+    base = prove_sharded(instance_hash, shard_blocks)
+    boundaries = base["boundaries"]
+    tables = _shard_tables(instance_hash, shard_blocks, boundaries)
+    inner = [proof_from_dict(s["stark"]) for s in base["shards"]]
+    outer = recursion.prove_recursion([[t] for t in tables], [[p] for p in inner])
+    return {
+        "kind": "poseidon2-transcript-sharded-recursive-v1",
+        "instance_hash": instance_hash.hex(),
+        "shard_blocks": shard_blocks,
+        "boundaries": boundaries,
+        "digest": boundaries[-1][:8],
+        "outer": [proof_to_dict(p) for p in outer],
+    }
+
+
+def verify_sharded_recursive(payload: dict) -> bool:
+    if payload.get("kind") != "poseidon2-transcript-sharded-recursive-v1":
+        return False
+    from ..stark import recursion
+
+    ih = bytes.fromhex(payload["instance_hash"])
+    blocks = transcript_blocks(ih)
+    sb = payload["shard_blocks"]
+    nshards = len(blocks) // sb
+    boundaries = payload["boundaries"]
+    if len(boundaries) != nshards + 1:
+        return False
+    if boundaries[0] != [0] * WIDTH:
+        return False
+    if payload["digest"] != boundaries[-1][:8]:
+        return False
+    tables = _shard_tables(ih, sb, boundaries)
+    outer = [proof_from_dict(d) for d in payload["outer"]]
+    return recursion.verify_recursion([[t] for t in tables], outer)
 
 
 def verify_sharded(payload: dict) -> bool:

@@ -15,6 +15,11 @@ Constraint kinds and their divisors (SURVEY.md §7 step 6 quotient scheme):
   (divisor Z_H(x) / (x - g^{n-1})).
 - ``first_row(expr)``: must vanish on row 0 (divisor x - 1).
 - ``last_row(expr)``: must vanish on row n-1 (divisor x - g^{n-1}).
+- ``all_rows(expr)``: must vanish on every row (divisor Z_H(x)) — for
+  per-row constraints that don't reference ``next`` (gate equations,
+  LogUp helper bindings).  Degree-d exprs quotient to degree dn-n, so
+  degree 3 fits quotient_chunks=2 here (unlike a last_row duplicate,
+  whose divisor is only linear).
 
 Max constraint degree 3 (blowup 4 leaves quotient degree < 2n < m).
 """
@@ -181,6 +186,61 @@ class ConstraintBuilder:
         """Multiply by a small integer constant (degree-preserving)."""
         return self.alg.scale(k, a)
 
+    # block-vectorization helpers ---------------------------------------
+    # Each dispatches to an algebra fast path when present (the prover
+    # stacks jnp arrays / does one integer matmul) and otherwise runs a
+    # generic scale/add composition (verifier EF lists, circuit wires).
+    def stack_block(self, exprs):
+        """Stack k row expressions into one block for *_block registration.
+        Pass-through when the value is already a stacked array (prover
+        block ops return arrays, generic algebras lists)."""
+        if not isinstance(exprs, list):
+            return exprs
+        if hasattr(self.alg, "stack"):
+            return self.alg.stack(list(exprs))
+        return list(exprs)
+
+    def linmap(self, mat, blk):
+        """out_i = sum_j mat[i][j] * blk[j] for a small integer matrix.
+        Prover: ONE u64 matmul + mod (Montgomery-transparent).  Rows with
+        entries up to p must keep sum_j mat[i][j]*(p-1) < 2^64."""
+        if hasattr(self.alg, "linmap"):
+            return self.alg.linmap(mat, blk)
+        out = []
+        for row in mat:
+            acc = None
+            for j, mij in enumerate(row):
+                if mij == 0:
+                    continue
+                term = blk[j] if mij == 1 else self.scale(int(mij), blk[j])
+                acc = term if acc is None else self.add(acc, term)
+            out.append(acc if acc is not None else self.constant(0))
+        return out
+
+    def const_vec(self, vals: list):
+        """Per-row constant column vector, broadcastable against a block."""
+        if hasattr(self.alg, "const_vec"):
+            return self.alg.const_vec(list(vals))
+        return [self.constant(int(v)) for v in vals]
+
+    def block_rowsum(self, blk):
+        """Sum of a block's rows (one row value)."""
+        if hasattr(self.alg, "block_rowsum"):
+            return self.alg.block_rowsum(blk)
+        acc = blk[0]
+        for r in blk[1:]:
+            acc = self.add(acc, r)
+        return acc
+
+    def concat_rows(self, parts: list):
+        """Concatenate blocks/row-lists along the row axis."""
+        if hasattr(self.alg, "concat_rows"):
+            return self.alg.concat_rows(list(parts))
+        out = []
+        for p in parts:
+            out.extend(p)
+        return out
+
     # constraint registration ------------------------------------------
     def transition(self, expr) -> None:
         self.constraints.append(Constraint("transition", expr))
@@ -191,6 +251,9 @@ class ConstraintBuilder:
     def last_row(self, expr) -> None:
         self.constraints.append(Constraint("last_row", expr))
 
+    def all_rows(self, expr) -> None:
+        self.constraints.append(Constraint("all_rows", expr))
+
     def transition_block(self, expr, count: int) -> None:
         self.constraints.append(Constraint("transition", expr, count))
 
@@ -199,6 +262,9 @@ class ConstraintBuilder:
 
     def last_row_block(self, expr, count: int) -> None:
         self.constraints.append(Constraint("last_row", expr, count))
+
+    def all_rows_block(self, expr, count: int) -> None:
+        self.constraints.append(Constraint("all_rows", expr, count))
 
 
 class Air:
@@ -250,10 +316,25 @@ class Air:
         raise NotImplementedError
 
     def num_constraints(self) -> int:
-        class _Probe:
-            def __getattr__(self, name):
-                return lambda *a, **k: 0
-
-        b = ConstraintBuilder(_Probe())
+        b = ConstraintBuilder(Probe())
         self.eval(b)
         return sum(c.count for c in b.constraints)
+
+
+class _ProbeVal:
+    """Inert value returned by Probe algebras: survives indexing/slicing
+    so structure-only eval passes (counts/kinds) never touch real math."""
+
+    def __getitem__(self, k):
+        return self
+
+
+_PROBE_VAL = _ProbeVal()
+
+
+class Probe:
+    """Algebra stub answering every method with an inert value — used to
+    enumerate an AIR's constraints without evaluating them."""
+
+    def __getattr__(self, name):
+        return lambda *a, **k: _PROBE_VAL

@@ -6,7 +6,8 @@ protocol non-interactive.  The sponge state is a width-16 Poseidon2 state;
 absorption XOR-free (field addition into the rate), squeezing reads rate
 elements, permuting between blocks — the standard duplex construction.
 
-Query-index sampling uses rejection to stay unbiased.
+Query-index sampling masks squeezed elements to the domain's low bits
+(negligible bias, static circuit form — see challenge_indices).
 """
 
 from __future__ import annotations
@@ -79,15 +80,16 @@ class Channel:
         return tuple(self._squeeze_elems(4))
 
     def challenge_indices(self, count: int, domain_size: int) -> list[int]:
-        """Unbiased query indices in [0, domain_size) via rejection."""
+        """Query indices in [0, domain_size): the low bits of one squeezed
+        element each.  The residual bias of masking a 31-bit BabyBear
+        element to k bits is <= 2^k/p per index (~2^-19 at k=12) — the
+        plonky3-style "sample bits" rule.  Chosen over rejection sampling
+        so the sampling is a STATIC circuit (fixed squeeze count, one bit
+        decomposition per index) for the recursive verifier
+        (stark/recursion.py); a data-dependent rejection loop has no
+        static-circuit form."""
         assert domain_size & (domain_size - 1) == 0
-        limit = (bb.P // domain_size) * domain_size
-        out: list[int] = []
-        while len(out) < count:
-            v = self.challenge()
-            if v < limit:
-                out.append(v % domain_size)
-        return out
+        return [self.challenge() & (domain_size - 1) for _ in range(count)]
 
     # -- grinding (FRI proof-of-work) -----------------------------------
     def grind(self, bits: int) -> int:

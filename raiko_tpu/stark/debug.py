@@ -78,17 +78,20 @@ class _DebugAlgebra:
     def public_block(self, idxs):
         return np.stack([self._bc(self._pub[i]) for i in idxs])
 
+    # np.asarray coercion: generic ConstraintBuilder block helpers
+    # (linmap/const_vec fallbacks) produce Python LISTS of rows, and
+    # list + list must mean elementwise add, not concatenation.
     def scale(self, k, a):
-        return (a * np.uint64(k % bb.P)) % _P
+        return (np.asarray(a) * np.uint64(k % bb.P)) % _P
 
     def add(self, a, b):
-        return (a + b) % _P
+        return (np.asarray(a) + np.asarray(b)) % _P
 
     def sub(self, a, b):
-        return (a + _P - b) % _P
+        return (np.asarray(a) + _P - np.asarray(b)) % _P
 
     def mul(self, a, b):
-        return (a * b) % _P
+        return (np.asarray(a) * np.asarray(b)) % _P
 
 
 def check_constraints(
@@ -147,6 +150,14 @@ def check_constraints(
             aux[:, -1:],
             aux[:, -1:],
             np.arange(n - 1, n),
+        ),
+        "all_rows": (
+            tr,
+            np.roll(tr, -1, axis=1),  # cyclic wrap, matching the LDE domain
+            fixed,
+            aux,
+            np.roll(aux, -1, axis=1),
+            np.arange(n),
         ),
     }
 

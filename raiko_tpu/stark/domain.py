@@ -62,6 +62,7 @@ class Domain:
                 dtype=np.uint32,
             )
         )
+        self.all_inv = bb.np_to_mont(np.array(zh_inv, dtype=np.uint32))
         self.first_inv = bb.np_to_mont(np.array(first_inv, dtype=np.uint32))
         self.last_inv = bb.np_to_mont(np.array(last_inv, dtype=np.uint32))
         self.xs_mont = bb.np_to_mont(np.array(self.xs_int, dtype=np.uint32))
@@ -85,4 +86,5 @@ class Domain:
             "transition": ef.h_mul(z_last, zh_inv),
             "first_row": ef.h_inv(z_first),
             "last_row": ef.h_inv(z_last),
+            "all_rows": zh_inv,
         }

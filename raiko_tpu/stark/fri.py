@@ -164,11 +164,16 @@ def replay_commit(proof: FriProof, log_m: int, shift: int, channel: Channel):
     betas = []
     cur_log = log_m
     n_layers = len(proof.layer_roots)
+    # the prover folds until <= FINAL_SIZE values remain; a domain already
+    # at or below FINAL_SIZE (tiny tables) legitimately has zero layers
+    expected_layers = max(0, log_m - (FINAL_SIZE.bit_length() - 1))
+    if n_layers != expected_layers:
+        return None
     for root in proof.layer_roots:
         channel.absorb_elems(root)
         betas.append(channel.challenge_ef())
         cur_log -= 1
-    if (1 << cur_log) != len(proof.final_values) or len(proof.final_values) != FINAL_SIZE:
+    if (1 << cur_log) != len(proof.final_values):
         return None
     for v in proof.final_values:
         channel.absorb_ef(tuple(v))

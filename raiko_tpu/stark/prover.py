@@ -172,6 +172,44 @@ class _ProverAlgebra:
     def mul(self, a, b):
         return bb.mont_mul(a, b)
 
+    # block fast paths (ConstraintBuilder.stack_block/linmap/...) --------
+    def stack(self, exprs):
+        return jnp.stack(exprs)
+
+    def linmap(self, mat, blk):
+        """Integer linear map of block rows: one broadcast Montgomery
+        multiply against the (k_out, k_in) constant matrix + a log-depth
+        modular reduction — a handful of HLO ops regardless of k (no u64
+        needed; jax runs without x64)."""
+        w = np.asarray(mat, dtype=np.uint64) % bb.P
+        w_mont = jnp.asarray(((w * bb.R) % bb.P).astype(np.uint32))
+        prods = bb.mont_mul(w_mont[:, :, None], blk[None, :, :])
+        t = prods
+        while t.shape[1] > 1:
+            if t.shape[1] % 2:
+                t = jnp.concatenate(
+                    [t, jnp.zeros((t.shape[0], 1, t.shape[2]), t.dtype)], axis=1
+                )
+            t = bb.add(t[:, 0::2], t[:, 1::2])
+        return t[:, 0]
+
+    def const_vec(self, vals):
+        arr = np.array([(int(v) % bb.P) * bb.R % bb.P for v in vals], np.uint32)
+        return jnp.asarray(arr)[:, None]
+
+    def block_rowsum(self, blk):
+        t = blk
+        while t.shape[0] > 1:
+            if t.shape[0] % 2:
+                t = jnp.concatenate([t, jnp.zeros((1,) + t.shape[1:], t.dtype)])
+            t = bb.add(t[0::2], t[1::2])
+        return t[0]
+
+    def concat_rows(self, parts):
+        return jnp.concatenate(
+            [p if p.ndim == 2 else p[None, :] for p in parts], axis=0
+        )
+
 
 def _tree_sum_axis0(x: jax.Array) -> jax.Array:
     """Modular sum over axis 0 via a log-depth add tree (pads to pow2)."""
@@ -276,11 +314,9 @@ def _sinv_pows(shift: int, m: int) -> np.ndarray:
 
 
 def _constraint_counts(air: Air) -> list[int]:
-    class _Probe:
-        def __getattr__(self, name):
-            return lambda *a, **k: 0
+    from .air import Probe
 
-    b = ConstraintBuilder(_Probe())
+    b = ConstraintBuilder(Probe())
     air.eval(b)
     return [c.count for c in b.constraints]
 
@@ -349,6 +385,7 @@ def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
         "transition": dom.trans_sel,
         "first_row": dom.first_inv,
         "last_row": dom.last_inv,
+        "all_rows": dom.all_inv,
     }
     shift = dom.shift
     n = dom.n
