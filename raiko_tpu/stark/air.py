@@ -288,6 +288,13 @@ class Air:
     aux_width: int = 0
     num_aux_challenges: int = 0
     num_bus_values: int = 0
+    # When True (and fixed_columns is not None), the prover Merkle-commits
+    # the fixed columns and opens them at zeta + every query; the verifier
+    # recomputes the (deterministic) root from the statement and uses the
+    # openings instead of evaluating fixed polynomials itself.  Required
+    # for AIRs that appear as INNER statements of the recursive verifier
+    # with large fixed tables (stark/recursion.py).
+    commit_fixed: bool = False
 
     def eval(self, b: ConstraintBuilder) -> None:
         raise NotImplementedError

@@ -64,6 +64,13 @@ class StarkProof:
     aux_at_zeta_g: list = field(default_factory=list)
     # challenge-dependent public EF scalars (global LogUp bus contributions)
     bus: list = field(default_factory=list)
+    # committed fixed segment (Air.commit_fixed): deterministic
+    # preprocessed-column commitment whose root the verifier recomputes
+    # from the statement; openings replace the dense OOD evaluation so a
+    # recursive verifier pays O(F) wires instead of O(nnz) gates.
+    # queries additionally carry fixed_row/fixed_path.
+    fixed_root: list = field(default_factory=list)
+    fixed_at_zeta: list = field(default_factory=list)
 
 
 class _ProverAlgebra:
@@ -293,6 +300,30 @@ def _ef_inv_linear(xs: jax.Array, z: tuple) -> jax.Array:
     return bb.mont_mul(ef_acc, n_inv[:, None])
 
 
+_FIXED_ROOT_CACHE: dict = {}
+
+
+def fixed_commit_root(fixed: np.ndarray, shift: int) -> list[int]:
+    """Deterministic commitment root of a fixed-column matrix (the value
+    a committed-fixed proof's fixed_root must equal).  The verifier and
+    the recursion builder recompute it from the statement; cached by
+    content hash since statements repeat."""
+    import hashlib
+
+    key = (
+        hashlib.sha256(np.ascontiguousarray(fixed).tobytes()).digest(),
+        fixed.shape,
+        shift,
+    )
+    r = _FIXED_ROOT_CACHE.get(key)
+    if r is None:
+        fixed_m = bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))
+        _, _, levels = _commit_cols(fixed_m, shift)
+        r = np.asarray(bb.from_mont(merkle.root(levels))).tolist()
+        _FIXED_ROOT_CACHE[key] = r
+    return r
+
+
 @functools.partial(jax.jit, static_argnames=("shift",))
 def _commit_cols(cols_m: jax.Array, shift: int):
     """Columns (K, n) Montgomery -> (coeffs, lde, merkle levels)."""
@@ -480,8 +511,17 @@ def prove_tables(
         n, width = trace.shape
         log_n = n.bit_length() - 1
         assert 1 << log_n == n and width == air.width
+        fixed = air.fixed_columns(n)
+        committed_fixed = bool(getattr(air, "commit_fixed", False)) and fixed is not None
         channel.absorb_elems(
-            [log_n, width, air.aux_width, air.num_bus_values, len(publics)]
+            [
+                log_n,
+                width,
+                air.aux_width,
+                air.num_bus_values,
+                len(publics),
+                int(committed_fixed),
+            ]
         )
         channel.absorb_elems(publics)
         ctxs.append(
@@ -492,10 +532,13 @@ def prove_tables(
                 "dom": Domain(log_n, BLOWUP_LOG),
                 "log_n": log_n,
                 "width": width,
+                "fixed": fixed,
+                "committed_fixed": committed_fixed,
             }
         )
 
-    # 1. every table's trace LDE + commit, roots absorbed in order
+    # 1. every table's trace LDE + commit, roots absorbed in order; a
+    # committed fixed segment's (deterministic) root follows its trace root
     _t = Measurement("stark.trace_commit")
     for c in ctxs:
         trace_m = bb.to_mont(jnp.asarray(c["trace"].T.copy()))  # (W, n)
@@ -504,6 +547,18 @@ def prove_tables(
         )
         c["t_root"] = merkle.root(c["t_levels"])
         channel.absorb_digest(c["t_root"])
+        c["f_coeffs"] = c["f_lde"] = c["f_levels"] = None
+        c["fixed_root_std"] = []
+        if c["committed_fixed"]:
+            fixed_m = bb.to_mont(
+                jnp.asarray(np.ascontiguousarray(c["fixed"]))
+            )
+            c["f_coeffs"], c["f_lde"], c["f_levels"] = _commit_cols(
+                fixed_m, c["dom"].shift
+            )
+            f_root = merkle.root(c["f_levels"])
+            channel.absorb_digest(f_root)
+            c["fixed_root_std"] = np.asarray(bb.from_mont(f_root)).tolist()
     _t.stop()
 
     # 2. shared challenges (AFTER all trace roots), then aux commitments
@@ -575,9 +630,13 @@ def _finish_table(c: dict, channel: Channel) -> StarkProof:
             np.array([(x % bb.P) * bb.R % bb.P for x in coords], dtype=np.uint32)
         )
 
+    committed_fixed = c["committed_fixed"]
+    f_coeffs, f_lde = c["f_coeffs"], c["f_lde"]
+    fw = c["fixed"].shape[0] if committed_fixed else 0
+
     # 2+3. constraint evaluation + quotient + chunk commit (one stage)
     alpha = channel.challenge_ef()
-    fixed = air.fixed_columns(n)
+    fixed = c["fixed"]
     fixed_m = (
         bb.to_mont(jnp.asarray(np.ascontiguousarray(fixed)))
         if fixed is not None
@@ -621,30 +680,34 @@ def _finish_table(c: dict, channel: Channel) -> StarkProof:
     opened_at_zeta = ef.from_device(tz)
     opened_at_zeta_g = ef.from_device(tzg)
     quotient_at_zeta = ef.from_device(qz)
+    fixed_at_zeta = (
+        ef.from_device(_ef_dot(f_coeffs, zp)) if committed_fixed else []
+    )
     trace_at_zeta, aux_at_zeta = opened_at_zeta[:width], opened_at_zeta[width:]
     trace_at_zeta_g, aux_at_zeta_g = (
         opened_at_zeta_g[:width],
         opened_at_zeta_g[width:],
     )
     _t.stop()
-    for v in opened_at_zeta + opened_at_zeta_g + quotient_at_zeta:
+    for v in opened_at_zeta + opened_at_zeta_g + quotient_at_zeta + fixed_at_zeta:
         channel.absorb_ef(v)
 
-    # 5. DEEP composition (one stage).  The opened segment = trace ++ aux
-    # (two Merkle trees, one gamma-combined composition).
+    # 5. DEEP composition (one stage).  The opened segment at zeta =
+    # trace ++ aux ++ committed-fixed; at zeta*g = trace ++ aux.
     gamma = channel.challenge_ef()
     nq4 = 4 * nq
     ow = width + aux_w
-    n_open = 2 * ow + nq4
+    n_open = 2 * ow + fw + nq4
     gammas = [ef.H_ONE]
     for _ in range(n_open - 1):
         gammas.append(ef.h_mul(gammas[-1], gamma))
-    g1 = [gammas[k] for k in range(ow)] + [
-        gammas[2 * ow + j] for j in range(nq4)
-    ]
-    g2 = [gammas[ow + k] for k in range(ow)]
+    g1 = (
+        [gammas[k] for k in range(ow + fw)]
+        + [gammas[2 * ow + fw + j] for j in range(nq4)]
+    )
+    g2 = [gammas[ow + fw + k] for k in range(ow)]
     c1 = ef.H_ZERO
-    for g, v in zip(g1, opened_at_zeta + quotient_at_zeta):
+    for g, v in zip(g1, opened_at_zeta + fixed_at_zeta + quotient_at_zeta):
         c1 = ef.h_add(c1, ef.h_mul(g, v))
     c2 = ef.H_ZERO
     for g, v in zip(g2, opened_at_zeta_g):
@@ -654,9 +717,12 @@ def _finish_table(c: dict, channel: Channel) -> StarkProof:
     xs = jnp.asarray(dom.xs_mont)
 
     o_lde = jnp.concatenate([t_lde, a_lde], axis=0) if aux_w else t_lde
+    extra_lde = (
+        jnp.concatenate([f_lde, q_lde], axis=0) if committed_fixed else q_lde
+    )
     h = _deep_stage(
         o_lde,
-        q_lde,
+        extra_lde,
         ef.to_device(g1),
         ef.to_device(g2),
         ef.to_device([c1])[0],
@@ -688,6 +754,9 @@ def _finish_table(c: dict, channel: Channel) -> StarkProof:
     if aux_w:
         a_sel = np.asarray(bb.from_mont(jnp.take(a_lde.T, idx_dev, axis=0)))
         a_paths = merkle.open_paths(a_levels, indices)
+    if committed_fixed:
+        f_sel = np.asarray(bb.from_mont(jnp.take(f_lde.T, idx_dev, axis=0)))
+        f_paths = merkle.open_paths(c["f_levels"], indices)
     queries = []
     for qi, idx in enumerate(indices):
         q = {
@@ -699,6 +768,9 @@ def _finish_table(c: dict, channel: Channel) -> StarkProof:
         if aux_w:
             q["aux_row"] = a_sel[qi].tolist()
             q["aux_path"] = [p.tolist() for p in a_paths[qi]]
+        if committed_fixed:
+            q["fixed_row"] = f_sel[qi].tolist()
+            q["fixed_path"] = [p.tolist() for p in f_paths[qi]]
         queries.append(q)
     _t.stop()
     fri_proof = fri.FriProof(
@@ -722,4 +794,6 @@ def _finish_table(c: dict, channel: Channel) -> StarkProof:
         aux_at_zeta=aux_at_zeta,
         aux_at_zeta_g=aux_at_zeta_g,
         bus=bus,
+        fixed_root=c["fixed_root_std"],
+        fixed_at_zeta=fixed_at_zeta,
     )

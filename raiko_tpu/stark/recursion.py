@@ -206,16 +206,39 @@ def _verify_tables_circuit(
 
     ch = _Sponge(b)
     ch.absorb_consts([len(tables)])
+    committed_flags = []
     for t in tables:
+        fixed = t.air.fixed_columns(1 << t.log_n)
+        committed = bool(getattr(t.air, "commit_fixed", False)) and fixed is not None
+        committed_flags.append(committed)
         ch.absorb_consts(
-            [t.log_n, t.air.width, t.air.aux_width, t.air.num_bus_values, len(t.publics)]
+            [
+                t.log_n,
+                t.air.width,
+                t.air.aux_width,
+                t.air.num_bus_values,
+                len(t.publics),
+                int(committed),
+            ]
         )
         ch.absorb_consts(t.publics)
     troots = []
+    froots = []
     for ti, t in enumerate(tables):
         root = inp_vec(lambda p, ti=ti: p[ti].trace_root, 8)
         troots.append(root)
         ch.absorb(root)
+        if committed_flags[ti]:
+            # deterministic statement value: recompute, absorb as constants
+            froot = prover_mod.fixed_commit_root(
+                t.air.fixed_columns(1 << t.log_n), bb.GENERATOR
+            )
+            if proofs is not None and list(proofs[ti].fixed_root) != froot:
+                raise ValueError("inner fixed commitment mismatch")
+            ch.absorb_consts(froot)
+            froots.append([(v, 0, 0, 0) for v in froot])
+        else:
+            froots.append(None)
     nchal = max((t.air.num_aux_challenges for t in tables), default=0)
     shared = [ch.challenge_ef() for _ in range(nchal)]
     aroots = []
@@ -246,7 +269,7 @@ def _verify_tables_circuit(
         chal_coords = [c for coords, _ in shared[: t.air.num_aux_challenges] for c in coords]
         _verify_table_circuit(
             b, ch, t, None if proofs is None else proofs[ti],
-            chal_coords, bus_all[ti], troots[ti], aroots[ti],
+            chal_coords, bus_all[ti], troots[ti], aroots[ti], froots[ti],
         )
 
 
@@ -278,7 +301,7 @@ def _merkle_check(b, leaf8, path_bits, root, path_fn, proofs):
         b.assert_eq(cur[k], root[k])
 
 
-def _verify_table_circuit(b, ch, t, proof, chal_coords, bus_pairs, troot, aroot):
+def _verify_table_circuit(b, ch, t, proof, chal_coords, bus_pairs, troot, aroot, froot):
     air = t.air
     log_n = t.log_n
     n = 1 << log_n
@@ -292,6 +315,9 @@ def _verify_table_circuit(b, ch, t, proof, chal_coords, bus_pairs, troot, aroot)
     nq = air.quotient_chunks
     nq4 = 4 * nq
     ow = width + aux_w
+    committed = froot is not None
+    fixed_cols = air.fixed_columns(n)
+    fw = fixed_cols.shape[0] if committed else 0
     num_queries = prover_mod.NUM_QUERIES
     grind_bits = prover_mod.GRIND_BITS
 
@@ -313,6 +339,7 @@ def _verify_table_circuit(b, ch, t, proof, chal_coords, bus_pairs, troot, aroot)
     tzg = [inp_ef_absorbed(lambda p, k=k: p.trace_at_zeta_g[k]) for k in range(width)]
     azg = [inp_ef_absorbed(lambda p, k=k: p.aux_at_zeta_g[k]) for k in range(aux_w)]
     qz = [inp_ef_absorbed(lambda p, k=k: p.quotient_at_zeta[k]) for k in range(nq4)]
+    fz = [inp_ef_absorbed(lambda p, k=k: p.fixed_at_zeta[k]) for k in range(fw)]
     opened_z = tz + az
     opened_zg = tzg + azg
 
@@ -320,12 +347,14 @@ def _verify_table_circuit(b, ch, t, proof, chal_coords, bus_pairs, troot, aroot)
     zn = zeta
     for _ in range(log_n):
         zn = b.mul(zn, zn)
-    fixed = air.fixed_columns(n)
-    fixed_at = (
-        _fixed_at_zeta_circuit(b, fixed, n, zeta, zn, g)
-        if fixed is not None
-        else None
-    )
+    if committed:
+        # committed fixed segment: the openings (DEEP-bound below) stand
+        # in for the statement-sized dense evaluation
+        fixed_at = fz
+    elif fixed_cols is not None:
+        fixed_at = _fixed_at_zeta_circuit(b, fixed_cols, n, zeta, zn, g)
+    else:
+        fixed_at = None
     bus_coords = [c for coords, _ in bus_pairs for c in coords]
     alg = _CircuitAlgebra(
         b, opened_z, opened_zg, t.publics, az, azg, chal_coords, bus_coords,
@@ -363,18 +392,18 @@ def _verify_table_circuit(b, ch, t, proof, chal_coords, bus_pairs, troot, aroot)
 
     # -- DEEP composition coefficients ------------------------------------
     _, gamma = ch.challenge_ef()
-    n_open = 2 * ow + nq4
+    n_open = 2 * ow + fw + nq4
     gammas = [ef.H_ONE]
     for _ in range(n_open - 1):
         gammas.append(b.mul(gammas[-1], gamma))
     c1 = (0, 0, 0, 0)
-    for k in range(ow):
-        c1 = b.add(c1, b.mul(gammas[k], opened_z[k]))
+    for k, v in enumerate(opened_z + fz):
+        c1 = b.add(c1, b.mul(gammas[k], v))
     for j in range(nq4):
-        c1 = b.add(c1, b.mul(gammas[2 * ow + j], qz[j]))
+        c1 = b.add(c1, b.mul(gammas[2 * ow + fw + j], qz[j]))
     c2 = (0, 0, 0, 0)
     for k in range(ow):
-        c2 = b.add(c2, b.mul(gammas[ow + k], opened_zg[k]))
+        c2 = b.add(c2, b.mul(gammas[ow + fw + k], opened_zg[k]))
 
     # -- FRI commit replay -------------------------------------------------
     n_layers = max(0, log_m - (FINAL_SIZE.bit_length() - 1))
@@ -413,7 +442,7 @@ def _verify_table_circuit(b, ch, t, proof, chal_coords, bus_pairs, troot, aroot)
         _query_circuit(
             b, t, proof, qi, bits, log_m, shift,
             zeta, zeta_g, gammas, c1, c2, betas, lroots, finals,
-            troot, qroot, aroot,
+            troot, qroot, aroot, froot, fw,
         )
 
 
@@ -474,7 +503,7 @@ def _final_poly_check(b, finals, n_layers, shift):
 def _query_circuit(
     b, t, proof, qi, bits, log_m, shift,
     zeta, zeta_g, gammas, c1, c2, betas, lroots, finals,
-    troot, qroot, aroot,
+    troot, qroot, aroot, froot, fw,
 ):
     air = t.air
     width = air.width
@@ -489,6 +518,7 @@ def _query_circuit(
     trow = [inp(lambda p, k=k: p.queries[qi]["trace_row"][k]) for k in range(width)]
     qrow = [inp(lambda p, k=k: p.queries[qi]["quot_row"][k]) for k in range(nq4)]
     arow = [inp(lambda p, k=k: p.queries[qi]["aux_row"][k]) for k in range(aux_w)]
+    frow = [inp(lambda p, k=k: p.queries[qi]["fixed_row"][k]) for k in range(fw)]
     _merkle_check(
         b, _sponge_hash_row(b, trow), bits, troot,
         lambda p, lvl: p.queries[qi]["trace_path"][lvl], proof,
@@ -502,17 +532,23 @@ def _query_circuit(
             b, _sponge_hash_row(b, arow), bits, aroot,
             lambda p, lvl: p.queries[qi]["aux_path"][lvl], proof,
         )
+    if fw:
+        _merkle_check(
+            b, _sponge_hash_row(b, frow), bits, froot,
+            lambda p, lvl: p.queries[qi]["fixed_path"][lvl], proof,
+        )
 
-    # DEEP composition value at the query point
-    opened = trow + arow
+    # DEEP composition value at the query point (zeta segment = trace ++
+    # aux ++ committed-fixed; zeta*g segment = trace ++ aux)
+    opened = trow + arow + frow
     s1 = (0, 0, 0, 0)
-    for k in range(ow):
+    for k in range(ow + fw):
         s1 = b.add(s1, b.mul(gammas[k], opened[k]))
     for j in range(nq4):
-        s1 = b.add(s1, b.mul(gammas[2 * ow + j], qrow[j]))
+        s1 = b.add(s1, b.mul(gammas[2 * ow + fw + j], qrow[j]))
     s2 = (0, 0, 0, 0)
     for k in range(ow):
-        s2 = b.add(s2, b.mul(gammas[ow + k], opened[k]))
+        s2 = b.add(s2, b.mul(gammas[ow + fw + k], opened[k]))
     # x = shift * w^bitrev(idx): product of per-bit selects
     x = (shift, 0, 0, 0)
     wgen = bb.two_adic_generator(log_m)

@@ -45,6 +45,14 @@ def proof_to_dict(p: StarkProof) -> dict:
                     if "aux_row" in q
                     else {}
                 ),
+                **(
+                    {
+                        "fixed_row": [int(v) for v in q["fixed_row"]],
+                        "fixed_path": [[int(v) for v in d] for d in q["fixed_path"]],
+                    }
+                    if "fixed_row" in q
+                    else {}
+                ),
             }
             for q in p.queries
         ],
@@ -52,6 +60,8 @@ def proof_to_dict(p: StarkProof) -> dict:
         "aux_at_zeta": [[int(v) for v in t] for t in p.aux_at_zeta],
         "aux_at_zeta_g": [[int(v) for v in t] for t in p.aux_at_zeta_g],
         "bus": [[int(v) for v in t] for t in p.bus],
+        "fixed_root": [int(v) for v in p.fixed_root],
+        "fixed_at_zeta": [[int(v) for v in t] for t in p.fixed_at_zeta],
     }
 
 
@@ -94,6 +104,14 @@ def proof_from_dict(d: dict) -> StarkProof:
                     if "aux_row" in q
                     else {}
                 ),
+                **(
+                    {
+                        "fixed_row": list(q["fixed_row"]),
+                        "fixed_path": [list(x) for x in q["fixed_path"]],
+                    }
+                    if "fixed_row" in q
+                    else {}
+                ),
             }
             for q in d["queries"]
         ],
@@ -101,4 +119,6 @@ def proof_from_dict(d: dict) -> StarkProof:
         aux_at_zeta=[tuple(t) for t in d.get("aux_at_zeta", [])],
         aux_at_zeta_g=[tuple(t) for t in d.get("aux_at_zeta_g", [])],
         bus=[tuple(t) for t in d.get("bus", [])],
+        fixed_root=list(d.get("fixed_root", [])),
+        fixed_at_zeta=[tuple(t) for t in d.get("fixed_at_zeta", [])],
     )

@@ -168,6 +168,7 @@ def verify_tables(airs: list[Air], proofs: list[StarkProof]) -> bool:
         return False
     channel = Channel()
     channel.absorb_elems([len(airs)])
+    fixeds = []
     for air, proof in zip(airs, proofs):
         if proof.width != air.width:
             return False
@@ -178,12 +179,37 @@ def verify_tables(airs: list[Air], proofs: list[StarkProof]) -> bool:
             return False
         if len(proof.bus) != air.num_bus_values:
             return False
+        try:
+            fixed = air.fixed_columns(1 << proof.log_n)
+        except AssertionError:
+            return False  # statement/proof shape mismatch
+        committed = bool(getattr(air, "commit_fixed", False)) and fixed is not None
+        fixeds.append((fixed, committed))
+        if committed and len(proof.fixed_at_zeta) != fixed.shape[0]:
+            return False
+        if not committed and (proof.fixed_root or proof.fixed_at_zeta):
+            return False
         channel.absorb_elems(
-            [proof.log_n, proof.width, aux_w, air.num_bus_values, len(proof.publics)]
+            [
+                proof.log_n,
+                proof.width,
+                aux_w,
+                air.num_bus_values,
+                len(proof.publics),
+                int(committed),
+            ]
         )
         channel.absorb_elems(proof.publics)
-    for proof in proofs:
+    for (fixed, committed), proof in zip(fixeds, proofs):
         channel.absorb_elems(proof.trace_root)
+        if committed:
+            # the fixed commitment is deterministic: recompute from the
+            # statement and demand equality before trusting any opening
+            from .prover import fixed_commit_root
+
+            if list(proof.fixed_root) != fixed_commit_root(fixed, bb.GENERATOR):
+                return False
+            channel.absorb_elems(proof.fixed_root)
     nchal = max((air.num_aux_challenges for air in airs), default=0)
     shared = [channel.challenge_ef() for _ in range(nchal)]
     for air, proof in zip(airs, proofs):
@@ -216,20 +242,27 @@ def _verify_table(
     aux_w = air.aux_width
     dom = Domain(log_n, BLOWUP_LOG)
     m = dom.m
+    fixed = air.fixed_columns(dom.n)
+    committed = bool(getattr(air, "commit_fixed", False)) and fixed is not None
+    fw = fixed.shape[0] if committed else 0
     alpha = channel.challenge_ef()
     channel.absorb_elems(proof.quotient_root)
     zeta = channel.challenge_ef()
     zeta_g = ef.h_mul(zeta, ef.h_from_base(dom.g))
     opened_at_zeta = list(proof.trace_at_zeta) + list(proof.aux_at_zeta)
     opened_at_zeta_g = list(proof.trace_at_zeta_g) + list(proof.aux_at_zeta_g)
-    for v in opened_at_zeta + opened_at_zeta_g + proof.quotient_at_zeta:
+    fixed_opened = [tuple(v) for v in proof.fixed_at_zeta] if committed else []
+    for v in opened_at_zeta + opened_at_zeta_g + proof.quotient_at_zeta + fixed_opened:
         channel.absorb_ef(tuple(v))
 
     # DEEP-ALI identity at zeta: sum alpha^i c_i(zeta) sel_i(zeta) == Q(zeta)
     _t = Measurement("verify.fixed_eval")
     fixed_at_zeta = None
-    fixed = air.fixed_columns(dom.n)
-    if fixed is not None:
+    if committed:
+        # committed fixed segment: the openings are DEEP-bound witnesses,
+        # no dense statement-sized evaluation needed
+        fixed_at_zeta = fixed_opened
+    elif fixed is not None:
         fixed_at_zeta = _eval_fixed_at(fixed, zeta, dom)
     _t.stop()
     _t = Measurement("verify.constraints")
@@ -268,25 +301,27 @@ def _verify_table(
     if acc != q_at_zeta:
         return False
 
-    # DEEP composition coefficients (opened segment = trace ++ aux)
+    # DEEP composition coefficients (opened at zeta = trace ++ aux ++
+    # committed-fixed; at zeta*g = trace ++ aux)
     gamma = channel.challenge_ef()
     nq4 = 4 * nq
     ow = width + aux_w
-    n_open = 2 * ow + nq4
+    n_open = 2 * ow + fw + nq4
     gammas = [ef.H_ONE]
     for _ in range(n_open - 1):
         gammas.append(ef.h_mul(gammas[-1], gamma))
     c1 = ef.H_ZERO
-    for k in range(ow):
-        c1 = ef.h_add(c1, ef.h_mul(gammas[k], tuple(opened_at_zeta[k])))
+    for k, v in enumerate(opened_at_zeta + fixed_opened):
+        c1 = ef.h_add(c1, ef.h_mul(gammas[k], tuple(v)))
     for j in range(nq4):
         c1 = ef.h_add(
-            c1, ef.h_mul(gammas[2 * ow + j], tuple(proof.quotient_at_zeta[j]))
+            c1,
+            ef.h_mul(gammas[2 * ow + fw + j], tuple(proof.quotient_at_zeta[j])),
         )
     c2 = ef.H_ZERO
     for k in range(ow):
         c2 = ef.h_add(
-            c2, ef.h_mul(gammas[ow + k], tuple(opened_at_zeta_g[k]))
+            c2, ef.h_mul(gammas[ow + fw + k], tuple(opened_at_zeta_g[k]))
         )
 
     # FRI transcript replay, then query indices
@@ -311,6 +346,10 @@ def _verify_table(
         if any(len(q.get("aux_row", [])) != aux_w for q in proof.queries):
             return False
         a_leaves = _hash_rows_batch([list(q["aux_row"]) for q in proof.queries])
+    if committed:
+        if any(len(q.get("fixed_row", [])) != fw for q in proof.queries):
+            return False
+        f_leaves = _hash_rows_batch([list(q["fixed_row"]) for q in proof.queries])
     pairs = []
     for qi, (idx, q) in enumerate(zip(indices, proof.queries)):
         if not _host_path_ok(t_leaves[qi], idx, q["trace_path"], proof.trace_root):
@@ -321,10 +360,15 @@ def _verify_table(
             a_leaves[qi], idx, q["aux_path"], proof.aux_root
         ):
             return False
+        if committed and not _host_path_ok(
+            f_leaves[qi], idx, q["fixed_path"], proof.fixed_root
+        ):
+            return False
         x = dom.xs_int[idx]
         opened_row = list(q["trace_row"]) + (list(q["aux_row"]) if aux_w else [])
+        opened_row += list(q["fixed_row"]) if committed else []
         s1 = ef.H_ZERO
-        for k in range(ow):
+        for k in range(ow + fw):
             s1 = ef.h_add(
                 s1, ef.h_mul(gammas[k], ef.h_from_base(opened_row[k]))
             )
@@ -333,12 +377,12 @@ def _verify_table(
         for j in range(nq4):
             s1 = ef.h_add(
                 s1,
-                ef.h_mul(gammas[2 * ow + j], ef.h_from_base(q["quot_row"][j])),
+                ef.h_mul(gammas[2 * ow + fw + j], ef.h_from_base(q["quot_row"][j])),
             )
         s2 = ef.H_ZERO
         for k in range(ow):
             s2 = ef.h_add(
-                s2, ef.h_mul(gammas[ow + k], ef.h_from_base(opened_row[k]))
+                s2, ef.h_mul(gammas[ow + fw + k], ef.h_from_base(opened_row[k]))
             )
         inv_z = ef.h_inv(ef.h_sub(ef.h_from_base(x), zeta))
         inv_zg = ef.h_inv(ef.h_sub(ef.h_from_base(x), zeta_g))
