@@ -137,6 +137,11 @@ class ByteCodeAir(Air):
     num_aux_challenges = NUM_CHALLENGES
     num_bus_values = 3
     quotient_chunks = 4
+    # the layout columns are statement-sized and DENSE (one active row per
+    # preimage byte): commit them (Air.commit_fixed) so verification reads
+    # 7 openings per query instead of an O(total_bytes) Lagrange sum —
+    # the enabler for recursing over this table (stark/recursion.py)
+    commit_fixed = True
 
     def __init__(self, padded_lens: list[int]):
         """padded_lens[m] = padded byte length of message m (multiple of
@@ -413,6 +418,7 @@ class ContainAir(Air):
     num_aux_challenges = NUM_CHALLENGES
     num_bus_values = 3
     quotient_chunks = 4
+    commit_fixed = True  # dense statement-sized layout (see ByteCodeAir)
 
     def __init__(self, num_children: int):
         assert 1 <= num_children < MAX_MSGS
