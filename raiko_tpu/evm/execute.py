@@ -107,6 +107,7 @@ def execute_transaction(
     is_taiko: bool = False,
     is_anchor: bool = False,
     treasury: bytes | None = None,
+    tracer=None,
 ) -> TxResult:
     """Execute one transaction.  Raises BlockError on invalid txs (a block
     containing one is invalid)."""
@@ -171,6 +172,7 @@ def execute_transaction(
         block,
         TxEnv(origin=sender, gas_price=gas_price, blob_hashes=list(tx.blob_versioned_hashes)),
         is_taiko=is_taiko,
+        tracer=tracer,
     )
     gas_exec = tx.gas_limit - ig
     if is_create:
@@ -250,14 +252,27 @@ def execute_block_txs(
     treasury: bytes | None = None,
     senders: list[bytes] | None = None,
     optimistic: bool = False,
+    trace_dir: str | None = None,
 ) -> BlockResult:
     """Execute all txs in order with consensus validations
-    (reference builder.rs:76-186)."""
+    (reference builder.rs:76-186).
+
+    ``trace_dir`` (or env RAIKO_TRACE_DIR) dumps a geth-style structLog
+    JSON per tx — the reference's execution-trace feature (README
+    "Execution Trace"; traces land in <dir>/<block>-<txidx>.json)."""
+    import os as _os
+
+    trace_dir = trace_dir or _os.environ.get("RAIKO_TRACE_DIR") or None
     receipts = []
     cumulative = 0
     recovered = []
     batch_senders = None if senders else _batch_recover_senders(txs)
     for i, tx in enumerate(txs):
+        tracer = None
+        if trace_dir:
+            from .tracer import StructTracer
+
+            tracer = StructTracer()
         try:
             if senders:
                 sender = senders[i]
@@ -276,7 +291,8 @@ def execute_block_txs(
             if cumulative + tx.gas_limit > block.gas_limit:
                 raise BlockError("block gas limit exceeded")
             result = execute_transaction(
-                state, block, tx, sender, is_taiko, is_anchor, treasury
+                state, block, tx, sender, is_taiko, is_anchor, treasury,
+                tracer=tracer,
             )
         except (BlockError, ValueError):
             if optimistic:
@@ -285,6 +301,17 @@ def execute_block_txs(
                 continue
             raise
         cumulative += result.gas_used
+        if tracer is not None:
+            from .tracer import write_trace
+
+            write_trace(
+                trace_dir,
+                block.number,
+                i,
+                tracer.finish(
+                    tx.hash(), result.gas_used, not result.success, result.output
+                ),
+            )
         receipts.append(
             Receipt(tx.tx_type, 1 if result.success else 0, cumulative, result.logs)
         )

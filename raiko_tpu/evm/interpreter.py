@@ -60,12 +60,22 @@ class EvmError(Exception):
 
 
 class EVM:
-    def __init__(self, state: StateJournal, block: BlockEnv, tx: TxEnv, is_taiko=False):
+    def __init__(
+        self,
+        state: StateJournal,
+        block: BlockEnv,
+        tx: TxEnv,
+        is_taiko=False,
+        tracer=None,
+    ):
         self.state = state
         self.block = block
         self.tx = tx
         self.depth = 0
         self.is_taiko = is_taiko
+        # optional per-step tracer (evm/tracer.StructTracer); None keeps
+        # the interpreter loop at one is-None check per step
+        self.tracer = tracer
 
     # ------------------------------------------------------------------
     def call(
@@ -229,9 +239,12 @@ class EVM:
             if size > 0 and (off > 1 << 32 or size > 1 << 32):
                 raise _OutOfGas()
 
+        tr = self.tracer
         try:
             while pc < len(code):
                 op = code[pc]
+                if tr is not None:
+                    tr.step(pc, op, gas_left, self.depth, stack)
                 pc += 1
                 # -- push family (most common) --
                 if 0x60 <= op <= 0x7F:

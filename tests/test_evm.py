@@ -248,3 +248,42 @@ def test_selfdestruct_eip6780():
     # EIP-6780: not created this tx -> balance moved but code stays
     assert st.balance(a_addr) == 0
     assert st.code(a_addr) == sd
+
+
+def test_execution_tracer(tmp_path):
+    """Per-tx structLog traces (evm/tracer.py) — the reference's optional
+    execution-trace dump (README "Execution Trace", SURVEY §5)."""
+    import json
+
+    st = fresh_state()
+    b = env()
+    tx0 = mktx(0, None, data=COUNTER_INITCODE, gas=200000)
+    tx0.sign(KEY)
+    contract = keccak256(rlp.encode([SENDER, 0]))[12:]
+    tx1 = mktx(1, contract)
+    tx1.sign(KEY)
+    result = execute_block_txs(st, b, [tx0, tx1], trace_dir=str(tmp_path))
+    assert result.gas_used > 0
+    docs = []
+    for i in range(2):
+        p = tmp_path / f"{b.number}-{i}.json"
+        assert p.exists()
+        docs.append(json.loads(p.read_text()))
+    create_doc, call_doc = docs
+    assert create_doc["txHash"] == "0x" + tx0.hash().hex()
+    assert not create_doc["failed"] and not call_doc["failed"]
+    ops = [s["op"] for s in call_doc["structLogs"]]
+    # the counter runtime: PUSH0 SLOAD PUSH1 ADD PUSH0 SSTORE STOP
+    assert ops == ["PUSH0", "SLOAD", "PUSH1", "ADD", "PUSH0", "SSTORE", "STOP"]
+    sstore = call_doc["structLogs"][5]
+    assert sstore["depth"] == 1 and sstore["stack"][-1] == "0x0"
+    # gas decreases monotonically within the frame; costs are filled in
+    gases = [s["gas"] for s in call_doc["structLogs"]]
+    assert all(a >= c for a, c in zip(gases, gases[1:]))
+    assert call_doc["structLogs"][1]["gasCost"] >= 2100  # cold SLOAD
+    # tracing off => no files, identical execution
+    st2 = fresh_state()
+    plain = mktx(0, b"\x99" * 20, gas=21000, value=5)
+    plain.sign(KEY)
+    r2 = execute_block_txs(st2, env(), [plain])
+    assert r2.gas_used == 21000
