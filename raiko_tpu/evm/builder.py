@@ -152,17 +152,26 @@ def calculate_block_header(
         )
     apply_withdrawals(state, input.withdrawals)
     state_root = finalize_state_root(state, state_trie, storage_tries)
+    tx_trie = _index_trie([_envelope(tx) for tx in txs])
+    receipts_trie = _index_trie([r.encode() for r in result.receipts])
     if collect is not None:
         collect["state_trie"] = state_trie
         collect["storage_tries"] = storage_tries
+        # proof-backend statements over the block body and history
+        # (reference: builder.rs:191-264 roots; :350-372 ancestor chain)
+        collect["tx_trie"] = tx_trie
+        collect["receipts_trie"] = receipts_trie
+        collect["header_chain"] = [input.parent_header] + list(
+            input.ancestor_headers
+        )
 
     new_header = BlockHeader(
         parent_hash=header.parent_hash,
         ommers_hash=header.ommers_hash,
         beneficiary=header.beneficiary,
         state_root=state_root,
-        transactions_root=_tx_root(txs),
-        receipts_root=_receipts_root(result.receipts),
+        transactions_root=tx_trie.hash(),
+        receipts_root=receipts_trie.hash(),
         logs_bloom=result.logs_bloom,
         difficulty=header.difficulty,
         number=header.number,
@@ -183,16 +192,17 @@ def calculate_block_header(
     return new_header
 
 
-def _tx_root(txs) -> bytes:
-    return index_trie_root([_envelope(tx) for tx in txs])
+def _index_trie(items: list[bytes]) -> MptNode:
+    """Trie keyed by rlp(index) — tx/receipt tries (kept as a node so the
+    proof backends can enumerate its hashed preimages)."""
+    t = MptNode.null()
+    for i, v in enumerate(items):
+        t.insert(to_nibs(rlp.encode(i)), v)
+    return t
 
 
 def _envelope(tx) -> bytes:
     return tx.encode()
-
-
-def _receipts_root(receipts) -> bytes:
-    return index_trie_root([r.encode() for r in receipts])
 
 
 def _withdrawals_root(withdrawals) -> bytes:

@@ -65,8 +65,9 @@ class TpuStarkProver(Prover):
         if ih != output.hash:
             raise GuestError("instance hash mismatch in tpu_stark guest")
         payload = prove_transcript(ih)
+        v2 = int(config.get("mpt_version", 2)) >= 2
         if config.get("mpt_statement", True) and "state_trie" in collect:
-            if int(config.get("mpt_version", 2)) >= 2:
+            if v2:
                 payload["mpt"] = prove_mpt_containment(
                     collect["state_trie"],
                     header.state_root,
@@ -78,6 +79,26 @@ class TpuStarkProver(Prover):
                     header.state_root,
                     storage_tries=collect.get("storage_tries"),
                 )
+        # block-body tries + ancestor chain: the same succinct containment
+        # system over the other keccak DAGs calculate_block_header checks
+        # (reference builder.rs:191-264 roots, :350-372 ancestor chain)
+        if v2 and config.get("body_statement", True) and "tx_trie" in collect:
+            from ..mpt.trie import hashed_preimages
+
+            for slot, trie, root in (
+                ("tx_mpt", collect["tx_trie"], header.transactions_root),
+                (
+                    "receipts_mpt",
+                    collect["receipts_trie"],
+                    header.receipts_root,
+                ),
+            ):
+                if hashed_preimages(trie):  # empty trie: nothing keccak'd
+                    payload[slot] = prove_mpt_containment(trie, root)
+        if v2 and config.get("chain_statement", True) and collect.get(
+            "header_chain"
+        ):
+            payload["chain"] = prove_header_chain(collect["header_chain"])
         return Proof(
             proof=json.dumps(payload),
             input_hash="0x" + ih.hex(),
@@ -213,12 +234,51 @@ def prove_mpt_containment(
 
     Reference analog: the keccak calls of calculate_state_root
     (lib/src/primitives/mpt.rs:117-121, builder.rs:191-264)."""
+    msgs, total = _collect_preimages(state_trie, state_root, storage_tries)
+    return _prove_containment(msgs, total, state_root, perms_per_chunk)
+
+
+def prove_header_chain(
+    headers, perms_per_chunk: int = PERMS_PER_CHUNK
+) -> dict:
+    """Ancestor-hash-chain statement: the same containment system over
+    header RLP preimages.  headers = [parent_header, ancestor_1, ...]
+    newest first (as create_mem_db receives them); for a valid chain
+    keccak(header_{k}) IS header_{k-1}.parent_hash, a 32-byte substring
+    of its RLP — so "digests chain to keccak(parent_header)" proves the
+    hash links of the ancestor chain (reference builder.rs:350-372).
+    The root digest equals the proven block's parent_hash, which the
+    instance hash binds via the block header."""
+    from ..stark.airs.containment import MAX_BLOCKS, MAX_MSGS, RATE_BYTES
+    from ..utils import keccak256
+
+    msgs: list[bytes] = []
+    prev = None
+    for h in headers:
+        m = h.encode()
+        if len(m) // RATE_BYTES + 1 > MAX_BLOCKS or len(msgs) == MAX_MSGS:
+            break
+        if prev is not None and keccak256(m) != prev.parent_hash:
+            break  # chain link broken: stop at verified prefix
+        msgs.append(m)
+        prev = h
+    assert msgs
+    return _prove_containment(
+        msgs, len(headers), keccak256(msgs[0]), perms_per_chunk
+    )
+
+
+def _prove_containment(
+    msgs: list[bytes], total: int, root: bytes, perms_per_chunk: int
+) -> dict:
+    """Multi-table containment STARK over a DFS-ordered preimage list
+    (digest 0 = root; every later digest contained in an earlier kept
+    preimage)."""
     from ..stark import prover as sp
     from ..stark.airs.containment import ByteCodeAir, ContainAir, pad_keccak
     from ..stark.airs.keccak_air import KeccakSpongeV2Air
     from ..utils import keccak256
 
-    msgs, total = _collect_preimages(state_trie, state_root, storage_tries)
     padded = [pad_keccak(m) for m in msgs]
     # containment claims + triple multiplicities
     claims = []
@@ -262,7 +322,9 @@ def prove_mpt_containment(
     proofs = sp.prove_tables(tables)
     return {
         "kind": "keccak-mpt-v2",
-        "state_root": state_root.hex(),
+        # the bound root digest (state root / tx root / receipts root /
+        # parent hash — whichever DAG this statement covers)
+        "state_root": root.hex(),
         "block_counts": block_counts_per_chunk,
         "covered": len(msgs),
         "total": total,
@@ -378,9 +440,19 @@ def verify_payload(payload: dict) -> bool:
     if not stark_verifier.verify(air, sp):
         return False
     if "mpt" in payload:
-        if payload["mpt"].get("kind") == "keccak-mpt-v2":
-            return verify_mpt_v2_payload(payload["mpt"])
-        return verify_mpt_payload(payload["mpt"])
+        ok = (
+            verify_mpt_v2_payload(payload["mpt"])
+            if payload["mpt"].get("kind") == "keccak-mpt-v2"
+            else verify_mpt_payload(payload["mpt"])
+        )
+        if not ok:
+            return False
+    # body-trie and ancestor-chain statements are the same containment
+    # system bound to their own roots (tx root / receipts root / the
+    # proven block's parent hash)
+    for slot in ("tx_mpt", "receipts_mpt", "chain"):
+        if slot in payload and not verify_mpt_v2_payload(payload[slot]):
+            return False
     return True
 
 

@@ -13,7 +13,7 @@ import copy
 from dataclasses import dataclass, field
 
 from raiko_tpu.chain import SupportedChainSpecs
-from raiko_tpu.evm.builder import _receipts_root, _tx_root, _withdrawals_root
+from raiko_tpu.evm.builder import _envelope, _index_trie, _withdrawals_root
 from raiko_tpu.evm.execute import (
     apply_withdrawals,
     execute_block_txs,
@@ -154,8 +154,8 @@ class ChainSim:
             parent_hash=parent.hash(),
             beneficiary=coinbase,
             state_root=root,
-            transactions_root=_tx_root(txs),
-            receipts_root=_receipts_root(result.receipts),
+            transactions_root=_index_trie([_envelope(tx) for tx in txs]).hash(),
+            receipts_root=_index_trie([r.encode() for r in result.receipts]).hash(),
             logs_bloom=result.logs_bloom,
             number=env.number,
             gas_limit=env.gas_limit,

@@ -22,8 +22,32 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the big-integer EC kernels compile slowly on
-# XLA:CPU; cache them across test runs
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".cache", "jax"))
+# XLA:CPU; cache them across test runs.  The directory is keyed by the
+# host's CPU feature set: XLA:CPU AOT executables embed machine features
+# and LOADING one compiled on a different machine (this sandbox's VMs
+# vary in avx512/amx exposure) hard-crashes the process with SIGILL —
+# a feature-keyed directory makes foreign entries invisible instead.
+
+
+def _cpu_cache_dir() -> str:
+    import hashlib
+
+    flags = b""
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    flags = b" ".join(sorted(line.split(b":")[1].split()))
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha256(flags).hexdigest()[:12]
+    return os.path.join(
+        os.path.dirname(__file__), "..", ".cache", f"jax-cpu-{tag}"
+    )
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -118,3 +118,48 @@ def test_mpt_v2_payload_roundtrip():
         payload["block_counts"][1:]
     )
     assert not verify_mpt_v2_payload(bad, root)
+
+
+def test_header_chain_containment():
+    """Ancestor-hash-chain statement (provers/tpu_stark.prove_header_chain):
+    keccak(h_k) == h_{k-1}.parent_hash links proven by the containment
+    system, root digest = the proven block's parent hash
+    (reference builder.rs:350-372)."""
+    from raiko_tpu.proto.types import BlockHeader
+    from raiko_tpu.provers.tpu_stark import (
+        prove_header_chain,
+        verify_mpt_v2_payload,
+    )
+
+    h2 = BlockHeader(number=100, timestamp=1)
+    h1 = BlockHeader(number=101, timestamp=2, parent_hash=h2.hash())
+    h0 = BlockHeader(number=102, timestamp=3, parent_hash=h1.hash())
+    payload = prove_header_chain([h0, h1, h2])
+    assert payload["covered"] == 3 and payload["total"] == 3
+    assert bytes.fromhex(payload["state_root"]) == h0.hash()
+    assert verify_mpt_v2_payload(payload, h0.hash())
+    assert not verify_mpt_v2_payload(payload, h1.hash())
+    # a broken link stops coverage at the verified prefix, explicitly
+    bad_tail = BlockHeader(number=99, timestamp=9)
+    payload2 = prove_header_chain([h0, h1, bad_tail])
+    assert payload2["covered"] == 2 and payload2["total"] == 3
+    assert verify_mpt_v2_payload(payload2, h0.hash())
+
+
+def test_index_trie_containment():
+    """Body-trie statement: the containment system over a tx-style
+    index trie (reference builder.rs:191-264 roots)."""
+    from raiko_tpu.evm.builder import _index_trie
+    from raiko_tpu.provers.tpu_stark import (
+        prove_mpt_containment,
+        verify_mpt_v2_payload,
+    )
+
+    rng = np.random.default_rng(21)
+    items = [bytes(rng.integers(0, 256, 90, dtype=np.uint8)) for _ in range(5)]
+    trie = _index_trie(items)
+    root = trie.hash()
+    payload = prove_mpt_containment(trie, root)
+    assert payload["covered"] >= 1
+    assert verify_mpt_v2_payload(payload, root)
+    assert not verify_mpt_v2_payload(payload, keccak256(b"no"))

@@ -231,6 +231,16 @@ def test_tpu_stark_prove_taiko_block_with_mpt(world):
 
     header = calculate_block_header(gi)
     assert bytes.fromhex(mpt["state_root"]) == header.state_root
+    # body tries + ancestor chain covered by the same containment system
+    assert "tx_mpt" in payload
+    assert bytes.fromhex(payload["tx_mpt"]["state_root"]) == header.transactions_root
+    assert "receipts_mpt" in payload
+    assert (
+        bytes.fromhex(payload["receipts_mpt"]["state_root"])
+        == header.receipts_root
+    )
+    assert "chain" in payload
+    assert bytes.fromhex(payload["chain"]["state_root"]) == header.parent_hash
     assert verify_payload(payload)
     # detaching or corrupting the mpt component must fail verification
     bad = _json.loads(proof.proof)
