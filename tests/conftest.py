@@ -18,6 +18,20 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
+# Large FINITE stack rlimit before any XLA thread spawns: glibc sizes new
+# pthread stacks from a finite RLIMIT_STACK, and LLVM codegen of the big
+# EC/MSM graphs has segfaulted XLA:CPU compile threads on this sandbox's
+# 8 MB default ("unlimited" does NOT enlarge thread stacks).
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 << 20
+    if _hard == resource.RLIM_INFINITY or _hard >= _want:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+except Exception:  # pragma: no cover
+    pass
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
