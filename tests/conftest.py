@@ -76,3 +76,43 @@ def mesh8():
     devs = np.array(jax.devices()[:8])
     assert devs.size == 8, f"expected 8 virtual devices, got {devs.size}"
     return Mesh(devs.reshape(8), ("d",))
+
+
+_ISOLATE_ENV = "RAIKO_ISOLATED_TEST"
+
+
+def subprocess_isolated(fn):
+    """Run the decorated test in a FRESH pytest subprocess.
+
+    The giant BLS12-381 MSM graphs reproducibly segfault XLA:CPU when
+    compiled (or even deserialized from the compilation cache) inside a
+    process already holding the suite's working set, while the identical
+    test passes every time in a fresh process.  Isolation both avoids
+    the crash and keeps a crash, if one still happens, from killing the
+    whole suite."""
+    import functools
+    import inspect
+    import subprocess
+    import sys
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if os.environ.get(_ISOLATE_ENV) == fn.__name__:
+            return fn(*args, **kwargs)
+        node = f"{inspect.getfile(fn)}::{fn.__name__}"
+        env = dict(os.environ)
+        env[_ISOLATE_ENV] = fn.__name__
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", node, "-q", "-p", "no:cacheprovider"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        assert r.returncode == 0, (
+            f"isolated test {fn.__name__} failed (rc {r.returncode}):\n"
+            + r.stdout[-3000:]
+            + r.stderr[-1500:]
+        )
+
+    return wrapper

@@ -115,7 +115,11 @@ def test_blob_to_limbs_matches_int_path():
         e.blob_to_limbs(bytes(bad))
 
 
+from conftest import subprocess_isolated
+
+
 @pytest.mark.slow
+@subprocess_isolated
 def test_tpu_msm_matches_host():
     """Tiny MSM through the full TPU Pippenger pipeline."""
     import jax.numpy as jnp
@@ -137,6 +141,7 @@ def test_tpu_msm_matches_host():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_tpu_msm_multi_matches_host():
     """Batched multi-MSM (shared points, B scalar vectors) vs host."""
     import jax.numpy as jnp

@@ -10,6 +10,7 @@ from raiko_tpu.fields import babybear as bb
 from raiko_tpu.ops import merkle, msm as msmmod, ntt as nttmod, poseidon2 as p2
 from raiko_tpu.parallel.msm_dist import make_msm_dist
 from raiko_tpu.parallel.ntt_dist import make_ntt_dist
+from conftest import subprocess_isolated
 from raiko_tpu.parallel.stark_dist import make_trace_commit_dist
 
 RNG = np.random.default_rng(21)
@@ -38,6 +39,7 @@ def test_trace_commit_dist_matches_single_chip(mesh8):
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_msm_dist_matches_single_chip(mesh8):
     from raiko_tpu.kzg import curve, host_curve as hc
 
