@@ -61,9 +61,17 @@ def _cpu_cache_dir() -> str:
     )
 
 
-jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent cache ONLY in subprocess-isolated children (fresh, short-
+# lived processes): serializing OR deserializing the big EC executables
+# inside the long-lived suite process segfaults XLA:CPU (observed at
+# cache get/put for the MSM and curve graphs, jaxlib 0.9.0), while the
+# identical put/get works every time in a fresh process.  The suite
+# process therefore compiles in-memory only; the expensive graphs are
+# wrapped in subprocess_isolated (below) so they still hit the cache.
+if os.environ.get("RAIKO_ISOLATED_TEST"):
+    jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
