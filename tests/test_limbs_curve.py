@@ -36,6 +36,10 @@ def test_limb_roundtrip():
     assert limbs_to_int(int_to_limbs(v, 24)) == v
 
 
+from conftest import subprocess_isolated
+
+
+@subprocess_isolated
 def test_device_curve_vs_host():
     ks = [1, 2, 3, 7, 123456789]
     pts = [hc.g1_mul(hc.G1_GEN, k) for k in ks]

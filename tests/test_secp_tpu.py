@@ -4,8 +4,10 @@ import numpy as np
 import pytest
 
 from raiko_tpu.utils import secp256k1 as host
+from conftest import subprocess_isolated
 
 
+@subprocess_isolated
 def test_point_formulas_match_host():
     import jax.numpy as jnp
 
@@ -29,6 +31,7 @@ def test_point_formulas_match_host():
         assert secp.to_affine(np.asarray(got3[i])) == pts[i]
 
 
+@subprocess_isolated
 def test_batch_sender_recovery_matches_per_tx(monkeypatch):
     """execute.py's batched sender path == per-tx recover_sender."""
     from raiko_tpu.evm import execute
@@ -63,6 +66,7 @@ def test_batch_sender_recovery_matches_per_tx(monkeypatch):
         assert got[i] == want
 
 
+@subprocess_isolated
 def test_recover_batch_matches_host():
     from raiko_tpu.ops import secp
 
