@@ -139,12 +139,14 @@ def calculate_block_header(
     treasury = None
     if spec.is_taiko and spec.l2_contract:
         treasury = bytes.fromhex(spec.l2_contract[2:].zfill(40))
+    frame_log: list | None = [] if collect is not None else None
     result = execute_block_txs(
         state,
         env,
         txs,
         is_taiko=spec.is_taiko,
         treasury=treasury,
+        frame_log=frame_log,
     )
     if result.gas_used != header.gas_used:
         raise BlockError(
@@ -164,6 +166,8 @@ def calculate_block_header(
         collect["header_chain"] = [input.parent_header] + list(
             input.ancestor_headers
         )
+        # top-level call-frame candidates for the EVM execution STARK
+        collect["frames"] = frame_log
 
     new_header = BlockHeader(
         parent_hash=header.parent_hash,

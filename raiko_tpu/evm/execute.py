@@ -108,6 +108,7 @@ def execute_transaction(
     is_anchor: bool = False,
     treasury: bytes | None = None,
     tracer=None,
+    frame_log: list | None = None,
 ) -> TxResult:
     """Execute one transaction.  Raises BlockError on invalid txs (a block
     containing one is invalid)."""
@@ -175,11 +176,38 @@ def execute_transaction(
         tracer=tracer,
     )
     gas_exec = tx.gas_limit - ig
+    frame_code = b"" if is_create else state.code(tx.to)
     if is_create:
         # create() computes the address from sender nonce - 1 (already bumped)
         res = evm.create(sender, tx.value, tx.data, gas_exec)
     else:
         res = evm.call(sender, tx.to, tx.value, tx.data, gas_exec)
+    if frame_log is not None and frame_code:
+        # top-level call-frame candidate for the EVM execution STARK
+        # (stark/airs/evm_air.py); the prover replays it with the covered
+        # stack machine and proves it when the frame stays in-coverage
+        frame_log.append(
+            {
+                "code": frame_code,
+                "gas": gas_exec,
+                "gas_left": res.gas_left,
+                "success": res.success,
+                "address": int.from_bytes(tx.to, "big"),
+                "origin": int.from_bytes(sender, "big"),
+                "caller": int.from_bytes(sender, "big"),
+                "callvalue": tx.value,
+                "calldatasize": len(tx.data),
+                "gasprice": gas_price,
+                "coinbase": int.from_bytes(block.coinbase, "big"),
+                "timestamp": block.timestamp,
+                "number": block.number,
+                "prevrandao": int.from_bytes(block.prevrandao, "big"),
+                "gaslimit": block.gas_limit,
+                "chainid": block.chain_id,
+                "basefee": block.base_fee,
+                "blobbasefee": block.blob_base_fee,
+            }
+        )
     used = tx.gas_limit - res.gas_left
     # refunds (EIP-3529: capped at 1/5 of used; none on revert-to-zero txs)
     if not res.success:
@@ -253,6 +281,7 @@ def execute_block_txs(
     senders: list[bytes] | None = None,
     optimistic: bool = False,
     trace_dir: str | None = None,
+    frame_log: list | None = None,
 ) -> BlockResult:
     """Execute all txs in order with consensus validations
     (reference builder.rs:76-186).
@@ -292,7 +321,7 @@ def execute_block_txs(
                 raise BlockError("block gas limit exceeded")
             result = execute_transaction(
                 state, block, tx, sender, is_taiko, is_anchor, treasury,
-                tracer=tracer,
+                tracer=tracer, frame_log=frame_log,
             )
         except (BlockError, ValueError):
             if optimistic:

@@ -99,6 +99,18 @@ class TpuStarkProver(Prover):
             "header_chain"
         ):
             payload["chain"] = prove_header_chain(collect["header_chain"])
+        # EVM execution statement: prove covered top-level call frames
+        # with the zkEVM tables (stark/airs/evm_air.py) — the TPU-native
+        # analog of the zkVM guests' re-execution proof (reference
+        # provers/risc0/guest/src/main.rs:15-29)
+        if config.get("evm_statement", True) and collect.get("frames"):
+            evm = prove_evm_frames(
+                collect["frames"],
+                max_frames=int(config.get("max_evm_frames", 2)),
+                max_steps=int(config.get("max_evm_steps", 4096)),
+            )
+            if evm is not None:
+                payload["evm"] = evm
         return Proof(
             proof=json.dumps(payload),
             input_hash="0x" + ih.hex(),
@@ -332,6 +344,60 @@ def _prove_containment(
     }
 
 
+def prove_evm_frames(
+    candidates: list[dict], max_frames: int = 2, max_steps: int = 4096
+) -> dict | None:
+    """Prove the block's covered top-level call frames with the EVM
+    execution tables.  A candidate is provable when the covered stack
+    machine replays it exactly (same halt, same gas left); coverage is
+    reported explicitly (covered/total), mirroring the MPT statement's
+    truncation discipline — frames outside coverage are skipped, never
+    mis-proven."""
+    from ..stark.airs import evm_air as ea
+
+    frames = []
+    for cand in candidates:
+        if len(frames) == max_frames:
+            break
+        if not cand.get("success") or cand["gas"] >= 1 << 32:
+            continue
+        code = cand["code"]
+        env = ea.FrameEnv(
+            codesize=len(code),
+            **{
+                k: int(cand[k])
+                for k in ea.ENV_OPS
+                if k != "codesize"
+            },
+        )
+        try:
+            ft = ea.execute_frame(code, env, int(cand["gas"]), max_steps)
+        except ea.UncoveredFrame:
+            continue
+        if ft.gas_f != cand["gas_left"]:
+            continue  # replay diverged from the interpreter: not covered
+        frames.append(ea.prove_frame_trace(ft))
+    if not frames:
+        return None
+    return {
+        "kind": "evm-frames-v1",
+        "total": len(candidates),
+        "covered": len(frames),
+        "frames": frames,
+    }
+
+
+def verify_evm_frames_payload(evm: dict) -> bool:
+    from ..stark.airs import evm_air as ea
+
+    if evm.get("kind") != "evm-frames-v1":
+        return False
+    frames = evm.get("frames", [])
+    if not frames or len(frames) != evm.get("covered"):
+        return False
+    return all(ea.verify_frame_payload(f) for f in frames)
+
+
 def verify_mpt_v2_payload(mpt: dict, state_root: bytes | None = None) -> bool:
     """Verify the succinct statement from STRUCTURE + state root alone."""
     from ..stark import verifier as sv
@@ -453,6 +519,8 @@ def verify_payload(payload: dict) -> bool:
     for slot in ("tx_mpt", "receipts_mpt", "chain"):
         if slot in payload and not verify_mpt_v2_payload(payload[slot]):
             return False
+    if "evm" in payload and not verify_evm_frames_payload(payload["evm"]):
+        return False
     return True
 
 
