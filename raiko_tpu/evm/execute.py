@@ -162,11 +162,15 @@ def execute_transaction(
         state.access_account(tx.to)
     for i in range(1, 11):
         state.access_account(bytes(19) + bytes([i]))
+    prewarm_slots: set[int] = set()
     for item in tx.access_list:
         addr_keys = item if isinstance(item, list) else item.rlp_item()
         state.access_account(bytes(addr_keys[0]))
         for k in addr_keys[1]:
-            state.access_slot(bytes(addr_keys[0]), int.from_bytes(k, "big"))
+            slot = int.from_bytes(k, "big")
+            state.access_slot(bytes(addr_keys[0]), slot)
+            if tx.to is not None and bytes(addr_keys[0]) == tx.to:
+                prewarm_slots.add(slot)
 
     evm = EVM(
         state,
@@ -196,7 +200,17 @@ def execute_transaction(
                 "origin": int.from_bytes(sender, "big"),
                 "caller": int.from_bytes(sender, "big"),
                 "callvalue": tx.value,
+                "calldata": tx.data,
                 "calldatasize": len(tx.data),
+                # pre-state storage originals (EIP-2200 per-tx semantics)
+                # + the tx access list's pre-warmed slots, for the
+                # storage-journal statement (stark/airs/evm_storage.py)
+                "storage": {
+                    slot: val
+                    for (addr, slot), val in state.orig_storage.items()
+                    if addr == tx.to
+                },
+                "warm_slots": sorted(prewarm_slots),
                 "gasprice": gas_price,
                 "coinbase": int.from_bytes(block.coinbase, "big"),
                 "timestamp": block.timestamp,

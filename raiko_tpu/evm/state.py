@@ -176,7 +176,10 @@ class StateJournal:
             else:
                 val = self.db.storage(address, slot)
             self.storage[key] = val
-            self.orig_storage.setdefault(key, val)
+        # EIP-2200 "original" = committed value at the START OF THIS TX:
+        # orig_storage is cleared in begin_tx, so the first access in a tx
+        # (every write path sloads first) seeds it from the current value
+        self.orig_storage.setdefault(key, self.storage[key])
         return self.storage[key]
 
     def original_storage(self, address: bytes, slot: int) -> int:
@@ -294,6 +297,8 @@ class StateJournal:
         self.warm_slots = set()
         self.touched = set()
         self._journal = []
+        # EIP-2200: "original" storage values reset at each tx boundary
+        self.orig_storage = {}
 
     def finish_tx(self):
         """Apply EIP-6780 selfdestructs + state-clearing of touched empties."""

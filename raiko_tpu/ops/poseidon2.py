@@ -258,10 +258,22 @@ def hash_rows(rows: jax.Array) -> jax.Array:
     state = jnp.zeros((bsz, WIDTH), dtype=jnp.uint32)
     # domain-separate by original width in the capacity section
     state = state.at[:, WIDTH - 1].set(jnp.uint32(bb.R * (w % bb.P) % bb.P))
-    for c in range(nchunks):
-        blk = padded[:, c * RATE : (c + 1) * RATE]
-        state = state.at[:, :RATE].set(bb.add(state[:, :RATE], blk))
-        state = permute(state)
+
+    def absorb(st, blk):
+        st = st.at[:, :RATE].set(bb.add(st[:, :RATE], blk))
+        return permute(st)
+
+    if nchunks <= 8:
+        for c in range(nchunks):
+            state = absorb(state, padded[:, c * RATE : (c + 1) * RATE])
+    else:
+        # wide rows (the 2000-4000-column zkEVM/keccak traces): a scan
+        # keeps the graph one permutation deep — the unrolled form makes
+        # XLA:CPU compile of the leaf-hash stage take minutes
+        blocks = padded.reshape(bsz, nchunks, RATE).transpose(1, 0, 2)
+        state, _ = jax.lax.scan(
+            lambda st, blk: (absorb(st, blk), None), state, blocks
+        )
     return state[:, :OUT]
 
 

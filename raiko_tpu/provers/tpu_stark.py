@@ -365,13 +365,21 @@ def prove_evm_frames(
         env = ea.FrameEnv(
             codesize=len(code),
             **{
-                k: int(cand[k])
+                k: int(cand.get(k, 0))
                 for k in ea.ENV_OPS
                 if k != "codesize"
             },
         )
         try:
-            ft = ea.execute_frame(code, env, int(cand["gas"]), max_steps)
+            ft = ea.execute_frame(
+                code,
+                env,
+                int(cand["gas"]),
+                max_steps,
+                calldata=cand.get("calldata"),
+                storage=cand.get("storage"),
+                warm_slots=set(cand.get("warm_slots", ())),
+            )
         except ea.UncoveredFrame:
             continue
         if ft.gas_f != cand["gas_left"]:

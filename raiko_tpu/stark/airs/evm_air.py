@@ -46,11 +46,47 @@ wrong.  Out-of-gas wraps the 32-bit-range-checked gas register mod p and
 is likewise unsatisfiable; stack under/overflow produces a slot address
 outside the stack table's 11-bit range and breaks the channel balance.
 
-Covered: STOP, ADD, SUB, LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT,
-POP, PUSH0-32, DUP1-16, SWAP1-16, JUMP/JUMPI/PC/GAS/JUMPDEST, and the
-constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).  MUL /
-memory / storage / KECCAK256 / calls are the documented roadmap; frames
-using them are reported uncovered, never mis-proven.
+  channel 2 (gamma_C, challenge 3): calldata loads.  An in-bounds
+      CALLDATALOAD (offset < calldatasize, proven through the shared
+      adder gadget against the public size) sends
+      code(offset, word) = offset + sum_j word_byte_j * chi^{j+1};
+      EvmCalldataAir — committed-fixed columns derived from the PUBLIC
+      calldata, one row per byte offset holding the zero-padded 32-byte
+      big-endian word at that offset — receives each load with a witness
+      multiplicity.  Out-of-bounds loads are forced to push zero.
+  channel 3 (gamma_M, challenge 4): memory.  Word-aligned MLOAD/MSTORE
+      send code(word_addr, 4*clk, iw, word); MemRamAir receives them
+      sorted by (word_addr, clk) with read-after-write consistency and
+      the EVM's zero-initialized semantics (a FRESH read sees zero).
+      The msize register M (words) is a held CPU column; expansion gas
+      3*dM + d(floor(M^2/512)) is charged through 9-bit remainder and
+      18-bit quotient-delta witnesses (sound because M is capped at
+      2^13 words, keeping M^2 < p).
+  channels 4-6 (gamma_B / gamma_D / gamma_K, challenges 5-7): the
+      KECCAK256 sponge bridge (stark/airs/evm_keccak.py).
+  channel 7 (gamma_ST, challenge 8): storage.  SLOAD/SSTORE send
+      code(4*clk, iw, cold, g1, g2, slot, value); EvmStorageAir
+      (stark/airs/evm_storage.py) receives them against the PUBLIC
+      per-slot (slot, original, count, prewarm) groups, enforcing read
+      values, cold-access flags, and the EIP-2200 gas-case flags that
+      price SSTORE on the CPU row.
+
+Covered: STOP, ADD, MUL, SUB, DIV, MOD, SIGNEXTEND, LT/GT/SLT/SGT, EQ,
+ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256 (32-byte-aligned
+offset), CALLDATALOAD, POP, MLOAD/MSTORE/MSIZE (32-byte-aligned, < 2^13
+words), PUSH0-32, DUP1-16, SWAP1-16, JUMP/JUMPI/PC/GAS/JUMPDEST, and the
+constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
+MUL is a schoolbook byte product with 13-bit range-checked carries;
+DIV/MOD prove q*b + r = a with a zero high half and r <= b - 1 via a
+byte borrow chain (division by zero pushes zero through the nonzero
+gadget); the shifts run in two one-hot stages (byte-granular via a
+32-wide one-hot, then bit-granular via an 8-wide one-hot), with SAR
+sign-filling and shift >= 256 handled by the nonzero gadget;
+SIGNEXTEND reuses the byte one-hot with sign fill.  SLOAD/SSTORE run
+against the storage journal (EIP-2929 warm/cold + EIP-2200 gas cases +
+the 2300-gas sentry).  Unaligned memory, SDIV/SMOD, and calls are the
+documented roadmap; frames using them are reported uncovered, never
+mis-proven.
 """
 
 from __future__ import annotations
@@ -71,7 +107,11 @@ from ..air import Air, ConstraintBuilder
 SIMPLE_OPS = {
     "stop": (0x00, 0, 0, 0),
     "add": (0x01, 3, 2, 1),
+    "mul": (0x02, 5, 2, 1),
     "sub": (0x03, 3, 2, 1),
+    "div": (0x04, 5, 2, 1),
+    "mod": (0x06, 5, 2, 1),
+    "signextend": (0x0B, 5, 2, 1),
     "lt": (0x10, 3, 2, 1),
     "gt": (0x11, 3, 2, 1),
     "slt": (0x12, 3, 2, 1),
@@ -82,7 +122,19 @@ SIMPLE_OPS = {
     "or": (0x17, 3, 2, 1),
     "xor": (0x18, 3, 2, 1),
     "not": (0x19, 3, 1, 1),
+    "byte": (0x1A, 3, 2, 1),
+    "keccak": (0x20, 30, 2, 1),
+    "shl": (0x1B, 3, 2, 1),
+    "shr": (0x1C, 3, 2, 1),
+    "sar": (0x1D, 3, 2, 1),
+    "calldataload": (0x35, 3, 1, 1),
     "pop": (0x50, 2, 1, 0),
+    "mload": (0x51, 3, 1, 1),
+    "mstore": (0x52, 3, 2, 0),
+    "sload": (0x54, 0, 1, 1),  # gas fully dynamic (EIP-2929)
+    "sstore": (0x55, 0, 2, 0),  # gas fully dynamic (EIP-2200/2929)
+    "msize": (0x59, 2, 0, 1),
+    "return": (0xF3, 0, 2, 0),  # halt; memory-expansion gas only
     "jump": (0x56, 8, 1, 0),
     "jumpi": (0x57, 10, 2, 0),
     "pc": (0x58, 2, 0, 1),
@@ -100,6 +152,9 @@ ENV_OPS = {
     "calldatasize": 0x36,
     "codesize": 0x38,
     "gasprice": 0x3A,
+    # no calls happen inside a covered frame, so RETURNDATASIZE is the
+    # constant 0 (bound as a public env word that must be zero)
+    "returndatasize": 0x3D,
     "coinbase": 0x41,
     "timestamp": 0x42,
     "number": 0x43,
@@ -126,16 +181,24 @@ COVERED_OPBYTES = frozenset(
 # sp delta per flag
 _ARITH2 = ("add", "sub", "lt", "gt", "slt", "sgt", "eq", "and", "or", "xor")
 _CMP = ("lt", "gt", "slt", "sgt")
+# every pop-2-push-1 opcode (stack channel slots R0/R1/W0)
+_POP2PUSH1 = _ARITH2 + (
+    "mul", "div", "mod", "signextend", "byte", "shl", "shr", "sar", "keccak",
+)
+_SHIFTS = ("shl", "shr", "sar")
 
 
 def _sp_delta(name: str) -> int:
-    if name in _ARITH2:
+    if name in _POP2PUSH1:
         return -1
-    if name in ("iszero", "not", "swap", "jumpdest", "stop"):
+    if name in (
+        "iszero", "not", "swap", "jumpdest", "stop", "calldataload", "mload",
+        "sload",
+    ):
         return 0
     if name in ("pop", "jump"):
         return -1
-    if name == "jumpi":
+    if name in ("jumpi", "mstore", "sstore", "return"):
         return -2
     return 1  # push/push0/dup/pc/gas/env
 
@@ -169,20 +232,76 @@ INV0 = NZ0 + 16  # 16 nonzero-gadget inverses
 A0 = INV0 + 16  # word A: 256 bits (little-endian)
 B0 = A0 + 256
 C0 = B0 + 256
-W0 = C0 + 256
-CPU_WIDTH = W0 + 256
+W0 = C0 + 256  # adder diff witness (cmp/calldataload) | byte-shifted B' (shifts)
+# scratch bits, overlaid by mutually exclusive opcode groups:
+#   MUL:    32 x 13-bit schoolbook byte carries
+#   shifts: 32-wide byte one-hot + 8-wide bit one-hot (rest unused)
+SCRATCH0 = W0 + 256
+MULC0 = SCRATCH0
+OHQ0 = SCRATCH0
+OHR0 = SCRATCH0 + 32
+N_SCRATCH = 32 * 13
+# memory-op witnesses (own region: `grow` and `dq` feed cross-row
+# register transitions, so they can't share bits with the scratch
+# overlay): grow flag, 14-bit max-comparison diff, old/new msize-squared
+# remainders (9 bits each), 18-bit quotient delta
+MW_GROW = SCRATCH0 + N_SCRATCH
+MW_D0 = MW_GROW + 1
+MW_R0 = MW_D0 + 14
+MW_R1 = MW_R0 + 9
+MW_DQ0 = MW_R1 + 9
+# msize register: word count, held across rows (<= 2^13 words covered)
+MEMB0 = MW_DQ0 + 18
+# KECCAK256 witnesses: sw = ceil(size/32) (10 bits), slack = 32*sw - size
+# (5 bits), and the raw `needed` column for the expansion comparison
+# (keeps the max-gadget at degree <= 3 across mload/mstore/keccak)
+KSW0 = MEMB0 + 14
+KSL0 = KSW0 + 10
+KNEED = KSL0 + 5  # raw column (not boolean)
+# DIV/MOD remainder bound r <= b-1: byte borrow chain (32 borrows +
+# 32 x 8 difference-byte bits)
+DMB0 = KNEED + 1  # 32 borrow bits
+DMT0 = DMB0 + 32  # 256 t-byte bits
+# storage witnesses: cold-access flag + the SSTORE gas-case one-hot
+# (g1 = clean nonzero write 2900, g2 = clean zero write 20000); the
+# EIP-2200 sentry decomposition overlays scratch bits 0..31
+SCOLD = DMT0 + 256
+SG1 = SCOLD + 1
+SG2 = SG1 + 1
+CPU_WIDTH = SG2 + 1
 
-# aux layout: fetch accumulator + 4 slot accumulators (EF x4 each)
+MAX_MEM_WORDS_LOG = 13  # coverage cap: 2^13 32-byte words (256 KiB)
+MAX_KECCAK_CALLS = 64  # per-frame cap on proven KECCAK256 calls
+
+# aux layout: fetch + 4 stack-slot + calldata + memory + hash-call accs
 AUX_F = 0
 AUX_SLOT0 = 4
-CPU_AUX_W = 4 + 4 * 4
+AUX_CD = AUX_SLOT0 + 16
+AUX_M = AUX_CD + 4
+AUX_K = AUX_M + 4
+AUX_ST = AUX_K + 4
+CPU_AUX_W = AUX_ST + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
 CHAL_S = 2
-NUM_CHALLENGES = 3
+CHAL_C = 3
+CHAL_M = 4
+CHAL_B = 5  # keccak rate-block codes (bridge -> sponge)
+CHAL_D = 6  # keccak digest codes (sponge -> bridge)
+CHAL_K = 7  # hash-call tuples (CPU -> bridge)
+CHAL_ST = 8  # storage access tuples (CPU -> storage journal)
+NUM_CHALLENGES = 9
 BUS_FETCH = 0
 BUS_STACK = 1
+BUS_CD = 2
+BUS_MEM = 3
+BUS_BLOCKS = 4
+BUS_DIG = 5
+BUS_KCALL = 6
+BUS_STOR = 7
+NUM_BUS = 8
+ENV_IDX_CDSIZE = list(ENV_OPS).index("calldatasize")
 
 # publics layout
 PUB_GAS0 = 0  # lo, hi
@@ -198,6 +317,18 @@ _LIMB_MAT = [[0] * 256 for _ in range(16)]
 for _i in range(16):
     for _b in range(16):
         _LIMB_MAT[_i][16 * _i + _b] = 1 << _b
+
+# byte i of a 256-bit word = sum_b 2^b * bit[8i + b]  (32 x 256 linmap)
+_BYTE_MAT = [[0] * 256 for _ in range(32)]
+for _i in range(32):
+    for _b in range(8):
+        _BYTE_MAT[_i][8 * _i + _b] = 1 << _b
+
+# mul carry k = sum_t 2^t * scratch[13k + t]  (32 x 416 linmap)
+_MULC_MAT = [[0] * N_SCRATCH for _ in range(32)]
+for _k in range(32):
+    for _t in range(13):
+        _MULC_MAT[_k][13 * _k + _t] = 1 << _t
 
 
 def _fetch_code_host(pc: int, op: int, imm_bytes: bytes, chi: tuple) -> tuple:
@@ -247,6 +378,7 @@ class FrameEnv:
     calldatasize: int = 0
     codesize: int = 0
     gasprice: int = 0
+    returndatasize: int = 0
     coinbase: int = 0
     timestamp: int = 0
     number: int = 0
@@ -277,6 +409,26 @@ class _Step:
     inv: list = field(default_factory=lambda: [0] * 16)
     s_inv: int = 0
     taken: int = 0
+    mulc: list | None = None  # 32 schoolbook byte carries (MUL/DIV/MOD)
+    dmt: list | None = None  # DIV/MOD borrow-chain t bytes
+    dmb: list | None = None  # DIV/MOD borrow bits
+    qsel: int = -1  # byte-shift one-hot index (shift/BYTE rows, not big)
+    rsel: int = -1  # bit-shift one-hot index (shift rows, not big)
+    m_before: int = 0  # msize register (words) before this step
+    grow: int = 0  # memory-op witnesses (MLOAD/MSTORE/KECCAK rows)
+    d: int = 0
+    r0: int = 0
+    r1: int = 0
+    dq: int = 0
+    kneed: int = 0  # expansion target word count for the max gadget
+    ksw: int = 0  # KECCAK256: ceil(size/32)
+    ksl: int = 0  # KECCAK256: 32*ksw - size
+    kreads: list = field(default_factory=list)  # (word_addr, value) reads
+    scold: int = 0  # storage: cold access (EIP-2929)
+    sg1: int = 0  # SSTORE clean nonzero write (2900)
+    sg2: int = 0  # SSTORE clean zero write (20000)
+    sentry: int = 0  # SSTORE: gas_before - 2301 (EIP-2200 sentry)
+    mem_access: tuple | None = None  # (word_addr, iw, value)
     accesses: list = field(default_factory=list)  # (slot, addr, iw, value)
 
 
@@ -289,6 +441,16 @@ class FrameTrace:
     gas_f: int
     sp_f: int
     visit_counts: dict  # pc -> count
+    calldata: bytes = b""
+    cd_loads: dict = field(default_factory=dict)  # offset -> load count
+    m_final: int = 0  # msize register (words) at halt
+    # KECCAK256 calls: (clk, offw, size, words, digest) — (offw, size)
+    # become public bridge structure, words/digest stay witness
+    keccak_calls: list = field(default_factory=list)
+    # storage journal: accesses (slot, clk4, iw, value, cold, g1, g2) and
+    # the PUBLIC per-slot groups [(slot, original, count, prewarm)]
+    storage_accesses: list = field(default_factory=list)
+    storage_groups: list = field(default_factory=list)
 
     @property
     def accesses(self):
@@ -296,6 +458,17 @@ class FrameTrace:
         for clk, st in enumerate(self.steps):
             for slot, addr, iw, value in st.accesses:
                 out.append((addr, 4 * clk + slot, iw, value))
+        return out
+
+    @property
+    def mem_accesses(self):
+        out = []
+        for clk, st in enumerate(self.steps):
+            if st.mem_access is not None:
+                waddr, iw, value = st.mem_access
+                out.append((waddr, 4 * clk, iw, value))
+            for waddr, value in st.kreads:
+                out.append((waddr, 4 * clk + 1, 0, value))
         return out
 
 
@@ -332,17 +505,75 @@ def _add_carries(x: int, y: int) -> list[int]:
     return carries
 
 
+def _divmod_witness(q: int, bv: int, r: int, a: int):
+    """Witnesses for q*b + r = a (b != 0; all zero when b == 0):
+    the 13-bit schoolbook chain carries and the borrow chain proving
+    t = b - 1 - r >= 0 (byte diffs + borrows)."""
+    qb = [(q >> (8 * i)) & 0xFF for i in range(32)]
+    bb_ = [(bv >> (8 * i)) & 0xFF for i in range(32)]
+    rb = [(r >> (8 * i)) & 0xFF for i in range(32)]
+    ab = [(a >> (8 * i)) & 0xFF for i in range(32)]
+    carries = []
+    c = 0
+    for k in range(32):
+        s = sum(qb[i] * bb_[k - i] for i in range(k + 1)) + rb[k] + c
+        assert (s & 0xFF) == (ab[k] if bv else 0)
+        c = s >> 8
+        assert c < (1 << 13)
+        carries.append(c)
+    tb, brs = [], []
+    br = 0
+    for k in range(32):
+        d = bb_[k] - rb[k] - (1 if k == 0 else 0) - br
+        br = 1 if d < 0 else 0
+        tb.append(d + 256 * br)
+        brs.append(br)
+    assert bv == 0 or brs[31] == 0
+    return carries, tb, brs
+
+
+def _mul_carries(x: int, y: int) -> list[int]:
+    """Schoolbook byte-product carries: at output byte position k,
+    sum_{i+j=k} x_i*y_j + carry_{k-1} = c_k + 256*carry_k with every
+    carry < 2^13 (32 terms of <= 255*255 plus a prior carry)."""
+    xb = [(x >> (8 * i)) & 0xFF for i in range(32)]
+    yb = [(y >> (8 * j)) & 0xFF for j in range(32)]
+    carries = []
+    c = 0
+    for k in range(32):
+        s = sum(xb[i] * yb[k - i] for i in range(k + 1)) + c
+        c = s >> 8
+        assert c < (1 << 13)
+        carries.append(c)
+    return carries
+
+
 def execute_frame(
-    code: bytes, env: FrameEnv, gas: int, max_steps: int = 1 << MAX_STEPS_LOG
+    code: bytes,
+    env: FrameEnv,
+    gas: int,
+    max_steps: int = 1 << MAX_STEPS_LOG,
+    calldata: bytes | None = None,
+    storage: dict | None = None,
+    warm_slots: set | None = None,
 ) -> FrameTrace:
     """Run the covered-subset stack machine, recording the full witness.
 
     Semantics mirror evm/interpreter.py exactly for the covered opcodes
     (same gas costs, same stack discipline); anything outside raises
     UncoveredFrame.  Running off the end of code is a virtual STOP
-    (interpreter loop exit, interpreter.py:244/706)."""
+    (interpreter loop exit, interpreter.py:244/706).  ``calldata``
+    defaults to env.calldatasize zero bytes; when given it must match
+    env.calldatasize (the public CALLDATASIZE word binds the table)."""
     assert 0 <= gas < 1 << 32, "frame gas must fit the 32-bit gas register"
     env = env if env.codesize else FrameEnv(**{**env.__dict__, "codesize": len(code)})
+    if calldata is None:
+        calldata = bytes(env.calldatasize)
+    if env.calldatasize == 0 and calldata:
+        env = FrameEnv(**{**env.__dict__, "calldatasize": len(calldata)})
+    if env.calldatasize != len(calldata) or len(calldata) >= (1 << 15):
+        raise UncoveredFrame("calldata size out of coverage")
+    cd_loads: dict[int, int] = {}
     jumpdests = set()
     i = 0
     while i < len(code):
@@ -358,12 +589,40 @@ def execute_frame(
     pc = 0
     gas_left = gas
     visit: dict[int, int] = {}
+    mem_words: dict[int, int] = {}
+    m_words = 0
+    keccak_calls: list = []
+    # storage journal: originals are the coverage boundary — slots not in
+    # the provided pre-image map make the frame uncovered
+    storage_orig = dict(storage or {})
+    storage_cur = dict(storage_orig)
+    warm = set(warm_slots or ())
+    prewarm = set(warm)
+    storage_accesses: list = []
+    slot_counts: dict[int, int] = {}
 
     def use(n):
         nonlocal gas_left
         gas_left -= n
         if gas_left < 0:
             raise UncoveredFrame("out of gas")
+
+    def mem_expand(st, needed):
+        """Grow the msize register to max(m, needed); returns the dynamic
+        gas (3 per new word + quadratic term), recording the witnesses."""
+        nonlocal m_words
+        if needed > (1 << MAX_MEM_WORDS_LOG):
+            raise UncoveredFrame("memory beyond covered bound")
+        st.kneed = needed
+        st.grow = 1 if needed > m_words else 0
+        st.d = needed - m_words - 1 if st.grow else m_words - needed
+        old = m_words
+        new = needed if st.grow else m_words
+        st.r0 = (old * old) % 512
+        st.r1 = (new * new) % 512
+        st.dq = (new * new - old * old - st.r1 + st.r0) // 512
+        m_words = new
+        return 3 * (new - old) + st.dq
 
     while True:
         if len(steps) >= max_steps:
@@ -373,7 +632,7 @@ def execute_frame(
             raise UncoveredFrame(f"opcode 0x{op:02x} not covered")
         visit[pc] = visit.get(pc, 0) + 1
         st = _Step(pc=pc, op=op, name="", fam_n=0, gas_before=gas_left,
-                   sp_before=len(stack))
+                   sp_before=len(stack), m_before=m_words)
         steps.append(st)
         sp = len(stack)
 
@@ -410,6 +669,46 @@ def execute_frame(
             st.a, st.b = a, b_
             st.carries = _add_carries(a, b_)
             push(a + b_, sp - 2)
+        elif op == 0x02:
+            st.name = "mul"
+            a, b_ = pop2()
+            use(5)
+            st.a, st.b = a, b_
+            st.mulc = _mul_carries(a, b_)
+            push(a * b_, sp - 2)
+        elif op in (0x04, 0x06):
+            st.name = "div" if op == 0x04 else "mod"
+            a, b_ = pop2()
+            use(5)
+            st.a, st.b = a, b_
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(b_ >> (16 * i)) & 0xFFFF for i in range(16)]
+            )
+            q, r = (a // b_, a % b_) if b_ else (0, 0)
+            st.mulc, st.dmt, st.dmb = _divmod_witness(q, b_, r, a)
+            if op == 0x04:
+                st.w = r
+                push(q, sp - 2)
+            else:
+                st.w = q
+                push(r, sp - 2)
+        elif op == 0x0B:
+            st.name = "signextend"
+            a, b_ = pop2()  # a = byte index k, b = value
+            use(5)
+            st.a, st.b = a, b_
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(a >> 5).bit_count()] + [0] * 15
+            )
+            if st.taken:  # k >= 32: value unchanged
+                push(b_, sp - 2)
+            else:
+                st.qsel = a
+                mask = (1 << (8 * a + 8)) - 1
+                v = b_ & mask
+                if (b_ >> (8 * a + 7)) & 1:
+                    v |= _M256 ^ mask
+                push(v, sp - 2)
         elif op == 0x03:
             st.name = "sub"
             a, b_ = pop2()
@@ -463,11 +762,170 @@ def execute_frame(
             use(3)
             st.a = a
             push(_M256 ^ a, sp - 1)
+        elif op == 0x20:
+            st.name = "keccak"
+            a, size = pop2()  # a = offset, size = length
+            if a % 32 or a >= (1 << 18):
+                raise UncoveredFrame("unaligned or far KECCAK256 range")
+            if size >= (1 << 13):
+                raise UncoveredFrame("KECCAK256 size beyond covered bound")
+            if len(keccak_calls) >= MAX_KECCAK_CALLS:
+                raise UncoveredFrame("too many KECCAK256 calls")
+            st.a, st.b = a, size
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(size & 0x7FFF).bit_count()] + [0] * 15
+            )
+            sw = (size + 31) // 32
+            st.ksw, st.ksl = sw, 32 * sw - size
+            waddr = a // 32
+            dyn = mem_expand(st, (waddr + sw) if size else 0)
+            use(30 + 6 * sw + dyn)
+            words = [mem_words.get(waddr + i, 0) for i in range(sw)]
+            st.kreads = [(waddr + i, w) for i, w in enumerate(words)]
+            data = b"".join(w.to_bytes(32, "big") for w in words)[:size]
+            from ...utils.keccak_py import keccak256
+
+            digest = keccak256(data)
+            keccak_calls.append((len(steps) - 1, waddr, size, words, digest))
+            push(int.from_bytes(digest, "big"), sp - 2)
+        elif op == 0x1A:
+            st.name = "byte"
+            a, b_ = pop2()  # a = byte index, b = value
+            use(3)
+            st.a, st.b = a, b_
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(a >> 5).bit_count()] + [0] * 15
+            )
+            if st.taken:  # index >= 32
+                push(0, sp - 2)
+            else:
+                st.qsel = a
+                push((b_ >> (8 * (31 - a))) & 0xFF, sp - 2)
+        elif op in (0x1B, 0x1C, 0x1D):
+            st.name = {0x1B: "shl", 0x1C: "shr", 0x1D: "sar"}[op]
+            a, b_ = pop2()  # a = shift amount, b = value
+            use(3)
+            st.a, st.b = a, b_
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(a >> 8).bit_count()] + [0] * 15
+            )
+            sign = b_ >> 255
+            if st.taken:  # shift >= 256
+                push(_M256 * sign if op == 0x1D else 0, sp - 2)
+            else:
+                s = a & 0xFF
+                st.qsel, st.rsel = s >> 3, s & 7
+                if op == 0x1B:
+                    bp = (b_ << (8 * st.qsel)) & _M256
+                    c = (bp << st.rsel) & _M256
+                else:
+                    sb = b_ - (1 << 256) if (op == 0x1D and sign) else b_
+                    bp = (sb >> (8 * st.qsel)) & _M256
+                    c = (sb >> (8 * st.qsel + st.rsel)) & _M256
+                st.w = bp
+                push(c, sp - 2)
+        elif op == 0x35:
+            st.name = "calldataload"
+            a = pop1()
+            use(3)
+            st.a = a
+            size = env.calldatasize
+            st.w = (a - size) & _M256
+            st.carries = _add_carries(size, st.w)
+            if st.carries[15]:  # a < size
+                cd_loads[a] = cd_loads.get(a, 0) + 1
+                word = calldata[a : a + 32].ljust(32, b"\x00")
+                push(int.from_bytes(word, "big"), sp - 1)
+            else:
+                push(0, sp - 1)
         elif op == 0x50:
             st.name = "pop"
             a = pop1()
             use(2)
             st.a = a
+        elif op == 0x51:
+            st.name = "mload"
+            a = pop1()
+            if a % 32 or a >= (1 << 18):
+                raise UncoveredFrame("unaligned or far memory access")
+            st.a = a
+            waddr = a // 32
+            use(3 + mem_expand(st, waddr + 1))
+            v = mem_words.get(waddr, 0)
+            st.mem_access = (waddr, 0, v)
+            push(v, sp - 1)
+        elif op == 0x52:
+            st.name = "mstore"
+            a, v = pop2()  # a = offset, v = value
+            if a % 32 or a >= (1 << 18):
+                raise UncoveredFrame("unaligned or far memory access")
+            st.a, st.b = a, v
+            waddr = a // 32
+            use(3 + mem_expand(st, waddr + 1))
+            mem_words[waddr] = v
+            st.mem_access = (waddr, 1, v)
+        elif op == 0x54:
+            st.name = "sload"
+            a = pop1()
+            if a not in storage_orig:
+                raise UncoveredFrame("storage slot outside captured set")
+            st.a = a
+            st.scold = 0 if a in warm else 1
+            warm.add(a)
+            use(2100 if st.scold else 100)
+            v = storage_cur[a]
+            push(v, sp - 1)
+            slot_counts[a] = slot_counts.get(a, 0) + 1
+            storage_accesses.append(
+                (a, 4 * (len(steps) - 1), 0, v, st.scold, 0, 0)
+            )
+        elif op == 0x55:
+            st.name = "sstore"
+            if gas_left <= 2300:
+                raise UncoveredFrame("SSTORE sentry (EIP-2200)")
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(gas_left >> 12).bit_count()] + [0] * 15
+            )
+            st.sentry = 0 if st.taken else (gas_left & 0xFFF) - 2301
+            a, new = pop2()
+            if a not in storage_orig:
+                raise UncoveredFrame("storage slot outside captured set")
+            st.a, st.b = a, new
+            st.scold = 0 if a in warm else 1
+            warm.add(a)
+            cur = storage_cur[a]
+            orig = storage_orig[a]
+            if new != cur and cur == orig:
+                if orig == 0:
+                    st.sg2 = 1
+                else:
+                    st.sg1 = 1
+            cost = 100 + 2800 * st.sg1 + 19900 * st.sg2 + 2100 * st.scold
+            use(cost)
+            storage_cur[a] = new
+            slot_counts[a] = slot_counts.get(a, 0) + 1
+            storage_accesses.append(
+                (a, 4 * (len(steps) - 1), 1, new, st.scold, st.sg1, st.sg2)
+            )
+        elif op == 0x59:
+            st.name = "msize"
+            use(2)
+            push(32 * m_words, sp)
+        elif op == 0xF3:
+            st.name = "return"
+            a, size = pop2()  # a = offset, size = length
+            if a % 32 or a >= (1 << 18):
+                raise UncoveredFrame("unaligned or far RETURN range")
+            if size >= (1 << 13):
+                raise UncoveredFrame("RETURN size beyond covered bound")
+            st.a, st.b = a, size
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(size & 0x7FFF).bit_count()] + [0] * 15
+            )
+            sw = (size + 31) // 32
+            st.ksw, st.ksl = sw, 32 * sw - size
+            use(mem_expand(st, (a // 32 + sw) if size else 0))
+            break
         elif op == 0x56:
             st.name = "jump"
             use(8)
@@ -551,6 +1009,15 @@ def execute_frame(
         gas_f=gas_left,
         sp_f=len(stack),
         visit_counts=visit,
+        calldata=calldata,
+        cd_loads=cd_loads,
+        m_final=m_words,
+        keccak_calls=keccak_calls,
+        storage_accesses=storage_accesses,
+        storage_groups=sorted(
+            (slot, storage_orig[slot], cnt, 1 if slot in prewarm else 0)
+            for slot, cnt in slot_counts.items()
+        ),
     )
 
 
@@ -602,6 +1069,40 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
             row[CARRY0 + i] = st.carries[i]
             row[NZ0 + i] = st.nz[i]
             row[INV0 + i] = st.inv[i]
+        if st.mulc is not None:
+            for k in range(32):
+                for t in range(13):
+                    row[MULC0 + 13 * k + t] = (st.mulc[k] >> t) & 1
+        if st.dmt is not None:
+            for k in range(32):
+                row[DMB0 + k] = st.dmb[k]
+                for t in range(8):
+                    row[DMT0 + 8 * k + t] = (st.dmt[k] >> t) & 1
+        if st.qsel >= 0:
+            row[OHQ0 + st.qsel] = 1
+        if st.rsel >= 0:
+            row[OHR0 + st.rsel] = 1
+        row[SCOLD] = st.scold
+        row[SG1] = st.sg1
+        row[SG2] = st.sg2
+        if st.name == "sstore":
+            for i in range(12):
+                row[MULC0 + i] = (st.sentry >> i) & 1
+        row[MW_GROW] = st.grow
+        for i in range(14):
+            row[MW_D0 + i] = (st.d >> i) & 1
+        for i in range(9):
+            row[MW_R0 + i] = (st.r0 >> i) & 1
+            row[MW_R1 + i] = (st.r1 >> i) & 1
+        for i in range(18):
+            row[MW_DQ0 + i] = (st.dq >> i) & 1
+        for i in range(14):
+            row[MEMB0 + i] = (st.m_before >> i) & 1
+        for i in range(10):
+            row[KSW0 + i] = (st.ksw >> i) & 1
+        for i in range(5):
+            row[KSL0 + i] = (st.ksl >> i) & 1
+        row[KNEED] = st.kneed
         row[A0 : A0 + 256] = _word_bits(st.a)
         row[B0 : B0 + 256] = _word_bits(st.b)
         row[C0 : C0 + 256] = _word_bits(st.c)
@@ -621,6 +1122,8 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
                 row[SPB0 + i] = (sp >> i) & 1
         for i in range(32):
             row[GASB0 + i] = (ft.gas_f >> i) & 1
+        for i in range(14):
+            row[MEMB0 + i] = (ft.m_final >> i) & 1
     publics = [
         ft.gas0 & 0xFFFF,
         ft.gas0 >> 16,
@@ -667,8 +1170,9 @@ class EvmCpuAir(Air):
     width = CPU_WIDTH
     aux_width = CPU_AUX_W
     num_aux_challenges = NUM_CHALLENGES
-    num_bus_values = 2
+    num_bus_values = NUM_BUS
     quotient_chunks = 2
+    eager_quotient = True  # see prover._quotient_stage_for
 
     # ---------------- host-side channel terms (aux / bus) ----------------
     def _cols(self, trace: np.ndarray):
@@ -682,8 +1186,9 @@ class EvmCpuAir(Air):
         return t, flags, fam_n, sp
 
     def _channel_terms(self, trace: np.ndarray, challenges):
-        chi, gamma_f, gamma_s = challenges[:NUM_CHALLENGES]
-        pows = _np_chi_pows(chi, 36)
+        chi, gamma_f, gamma_s, gamma_c, gamma_m = challenges[:5]
+        gamma_k = challenges[CHAL_K]
+        pows = _np_chi_pows(chi, 68)
         t, flags, fam_n, sp = self._cols(trace)
         n = trace.shape[0]
         clk = t[:, CLK]
@@ -693,6 +1198,7 @@ class EvmCpuAir(Air):
         bytesC = _bits_to_bytes(trace[:, C0 : C0 + 256])
         gf = np.array([x % bb.P for x in gamma_f], dtype=np.uint64)
         gs = np.array([x % bb.P for x in gamma_s], dtype=np.uint64)
+        gc = np.array([x % bb.P for x in gamma_c], dtype=np.uint64)
         # fetch receives
         imm = bytesC * flags["push"][:, None]
         code_f = _np_tuple_code(
@@ -703,19 +1209,79 @@ class EvmCpuAir(Air):
         inv_f = ef.npef_inv(ef.npef_sub(gf[None, :], code_f))
         num_f = (_PU - np.uint64(1)) * (1 - halted) % _PU  # -(1-halted)
         fetch_terms = ef.npef_mul(ef.npef_from_base(num_f), inv_f)
+        # calldata sends (in-bounds loads only: carry15 == 1)
+        cdl_act = flags["calldataload"] * t[:, CARRY0 + 15] % _PU
+        offset = sum(t[:, A0 + b] << np.uint64(b) for b in range(16))
+        code_c = _np_tuple_code(
+            offset, [(bytesC[:, j], j + 1) for j in range(32)], pows
+        )
+        inv_c = ef.npef_inv(ef.npef_sub(gc[None, :], code_c))
+        cdl_terms = ef.npef_mul(ef.npef_from_base(cdl_act), inv_c)
+        # memory sends (word-granular RAM tuples)
+        gm = np.array([x % bb.P for x in gamma_m], dtype=np.uint64)
+        mem_act = (flags["mload"] + flags["mstore"]) % _PU
+        waddr = sum(t[:, A0 + b] << np.uint64(b - 5) for b in range(5, 18))
+        vmem = np.where(flags["mstore"][:, None] == 1, bytesB, bytesC)
+        code_m = _np_tuple_code(
+            waddr,
+            [(4 * clk, 1), (flags["mstore"], 2)]
+            + [(vmem[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_m = ef.npef_inv(ef.npef_sub(gm[None, :], code_m))
+        mem_terms = ef.npef_mul(ef.npef_from_base(mem_act), inv_m)
+        # hash-call sends (KECCAK256)
+        gk = np.array([x % bb.P for x in gamma_k], dtype=np.uint64)
+        size_lo = sum(t[:, B0 + bit] << np.uint64(bit) for bit in range(16))
+        code_k = _np_tuple_code(
+            clk,
+            [(waddr, 1), (size_lo, 2)]
+            + [(bytesC[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_k = ef.npef_inv(ef.npef_sub(gk[None, :], code_k))
+        kcall_terms = ef.npef_mul(
+            ef.npef_from_base(flags["keccak"]), inv_k
+        )
+        # storage sends (SLOAD/SSTORE)
+        gamma_st = challenges[CHAL_ST]
+        gst = np.array([x % bb.P for x in gamma_st], dtype=np.uint64)
+        sl, ss = flags["sload"], flags["sstore"]
+        v_st = np.where(ss[:, None] == 1, bytesB, bytesC)
+        code_st = _np_tuple_code(
+            4 * clk,
+            [
+                (ss, 1),
+                (t[:, SCOLD], 2),
+                (t[:, SG1], 3),
+                (t[:, SG2], 4),
+            ]
+            + [(bytesA[:, j], j + 5) for j in range(32)]
+            + [(v_st[:, j], j + 37) for j in range(32)],
+            pows,
+        )
+        inv_st = ef.npef_inv(ef.npef_sub(gst[None, :], code_st))
+        stor_terms = ef.npef_mul(ef.npef_from_base((sl + ss) % _PU), inv_st)
         # stack sends
-        arith2 = sum(flags[nm] for nm in _ARITH2)
-        pops_w0 = 2 * arith2 + flags["iszero"] + flags["not"] + flags["swap"]
+        p21 = sum(flags[nm] for nm in _POP2PUSH1)
+        cdl = flags["calldataload"]
+        mld, mst, msz = flags["mload"], flags["mstore"], flags["msize"]
+        pops_w0 = (
+            2 * p21 + flags["iszero"] + flags["not"] + flags["swap"]
+            + cdl + mld + sl
+        )
         env_sum = sum(flags[nm] for nm in ENV_OPS)
+        ret = flags["return"]
         active = [
-            arith2
+            p21
             + flags["iszero"] + flags["not"] + flags["pop"]
-            + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"],
-            arith2 + flags["jumpi"] + flags["swap"],
-            arith2
+            + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
+            + cdl + mld + mst + sl + ss + ret,
+            p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret,
+            p21
             + flags["iszero"] + flags["not"] + flags["push0"] + flags["push"]
             + flags["dup"] + flags["swap"] + flags["pc"] + flags["gas"]
-            + env_sum,
+            + env_sum + cdl + mld + msz + sl,
             flags["swap"],
         ]
         addr = [
@@ -736,7 +1302,14 @@ class EvmCpuAir(Air):
             )
             inv = ef.npef_inv(ef.npef_sub(gs[None, :], code))
             slot_terms.append(ef.npef_mul(ef.npef_from_base(active[s] % _PU), inv))
-        return fetch_terms, slot_terms
+        return (
+            fetch_terms,
+            slot_terms,
+            cdl_terms,
+            mem_terms,
+            kcall_terms,
+            stor_terms,
+        )
 
     @staticmethod
     def _excl_prefix(terms: np.ndarray) -> np.ndarray:
@@ -744,23 +1317,35 @@ class EvmCpuAir(Air):
         return ef.npef_sub(c, terms)  # plain uint64 subtract would wrap
 
     def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
-        fetch_terms, slot_terms = self._channel_terms(trace, challenges)
+        fetch_terms, slot_terms, cdl_terms, mem_terms, kcall_terms, stor_terms = (
+            self._channel_terms(trace, challenges)
+        )
         aux = np.zeros((trace.shape[0], CPU_AUX_W), dtype=np.uint32)
         aux[:, AUX_F : AUX_F + 4] = self._excl_prefix(fetch_terms)
         for s in range(4):
             aux[:, AUX_SLOT0 + 4 * s : AUX_SLOT0 + 4 * s + 4] = self._excl_prefix(
                 slot_terms[s]
             )
+        aux[:, AUX_CD : AUX_CD + 4] = self._excl_prefix(cdl_terms)
+        aux[:, AUX_M : AUX_M + 4] = self._excl_prefix(mem_terms)
+        aux[:, AUX_K : AUX_K + 4] = self._excl_prefix(kcall_terms)
+        aux[:, AUX_ST : AUX_ST + 4] = self._excl_prefix(stor_terms)
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
-        fetch_terms, slot_terms = self._channel_terms(trace, challenges)
+        fetch_terms, slot_terms, cdl_terms, mem_terms, kcall_terms, stor_terms = (
+            self._channel_terms(trace, challenges)
+        )
         # the last row is always halted padding: its own terms vanish
         fetch = tuple(int(v) for v in fetch_terms.sum(axis=0) % _PU)
         stack = ef.H_ZERO
         for st in slot_terms:
             stack = ef.h_add(stack, tuple(int(v) for v in st.sum(axis=0) % _PU))
-        return [fetch, stack]
+        cdl = tuple(int(v) for v in cdl_terms.sum(axis=0) % _PU)
+        mem = tuple(int(v) for v in mem_terms.sum(axis=0) % _PU)
+        kcall = tuple(int(v) for v in kcall_terms.sum(axis=0) % _PU)
+        stor = tuple(int(v) for v in stor_terms.sum(axis=0) % _PU)
+        return [fetch, stack, cdl, mem, ef.H_ZERO, ef.H_ZERO, kcall, stor]
 
     # ------------------------------- constraints -------------------------
     def eval(self, b: ConstraintBuilder) -> None:  # noqa: C901
@@ -769,6 +1354,10 @@ class EvmCpuAir(Air):
         chi2 = b.ef_mul4(chi, chi)
         g_f = b.challenge_ef(CHAL_F)
         g_s = b.challenge_ef(CHAL_S)
+        g_c = b.challenge_ef(CHAL_C)
+        g_m = b.challenge_ef(CHAL_M)
+        g_k = b.challenge_ef(CHAL_K)
+        g_st = b.challenge_ef(CHAL_ST)
 
         pc = b.local(PC)
         pc_n = b.next(PC)
@@ -815,8 +1404,6 @@ class EvmCpuAir(Air):
         Gn_hi = gas_expr(True, range(16, 32), 16)
 
         carries = [b.local(CARRY0 + i) for i in range(16)]
-        nz = [b.local(NZ0 + i) for i in range(16)]
-        inv = [b.local(INV0 + i) for i in range(16)]
 
         Ablk = b.local_block(range(A0, A0 + 256))
         Bblk = b.local_block(range(B0, B0 + 256))
@@ -838,6 +1425,8 @@ class EvmCpuAir(Air):
             + [CARRY0 + i for i in range(16)]
             + [NZ0 + i for i in range(16)]
             + list(range(A0, A0 + 1024))
+            + list(range(SCRATCH0, KNEED))  # KNEED itself is a raw column
+            + list(range(DMB0, CPU_WIDTH))
         )
         bits = b.local_block(bit_cols)
         b.all_rows_block(b.mul(bits, b.sub(bits, one)), len(bit_cols))
@@ -861,9 +1450,11 @@ class EvmCpuAir(Air):
         # dup/swap n <= 16
         b.all_rows(b.mul(b.add(f["dup"], f["swap"]), b.local(FAMB0 + 4)))
 
-        # 4. halting discipline
+        # 4. halting discipline (STOP or RETURN)
         b.first_row(halted)
-        b.transition(b.sub(b.sub(halted_n, halted), f["stop"]))
+        b.transition(
+            b.sub(b.sub(b.sub(halted_n, halted), f["stop"]), f["return"])
+        )
         b.last_row(b.sub(halted, one))
 
         # 5. clock
@@ -874,7 +1465,11 @@ class EvmCpuAir(Air):
         b.first_row(pc)
         dest = lA[0]
         seq = b.sub(
-            b.sub(b.sub(b.sub(one, halted), f["stop"]), f["jump"]), f["jumpi"]
+            b.sub(
+                b.sub(b.sub(b.sub(one, halted), f["stop"]), f["jump"]),
+                f["jumpi"],
+            ),
+            f["return"],
         )
         adv = b.add(seq, b.mul(f["push"], fam_n))
         jmp = b.mul(f["jump"], b.sub(dest, pc))
@@ -916,6 +1511,38 @@ class EvmCpuAir(Air):
                 continue
             term = b.scale(c, f[nm])
             cost = term if cost is None else b.add(cost, term)
+        # dynamic memory expansion: 3 per new word + the quadratic-term
+        # delta (witnessed as dq, bound in section 14d), plus KECCAK256's
+        # 6 gas per hashed word
+        f_kec = f["keccak"]
+        f_ret = f["return"]
+        f_kr = b.add(f_kec, f_ret)  # both meter a (offset, size) range
+        f_mx = b.add(b.add(f["mload"], f["mstore"]), f_kr)
+
+        def reg_val(base: int, nbits: int, nx: bool):
+            g = b.next if nx else b.local
+            acc = None
+            for i in range(nbits):
+                t = b.scale(1 << i, g(base + i))
+                acc = t if acc is None else b.add(acc, t)
+            return acc
+
+        M = reg_val(MEMB0, 14, False)
+        M_n = reg_val(MEMB0, 14, True)
+        dqval = reg_val(MW_DQ0, 18, False)
+        swval = reg_val(KSW0, 10, False)
+        cost = b.add(cost, b.add(b.scale(3, b.sub(M_n, M)), b.mul(f_mx, dqval)))
+        cost = b.add(cost, b.scale(6, b.mul(f_kec, swval)))
+        # storage gas (EIP-2929/2200): SLOAD 100 + 2000*cold; SSTORE
+        # 100 + 2800*g1 + 19900*g2 + 2100*cold
+        f_sl, f_ss = f["sload"], f["sstore"]
+        scold = b.local(SCOLD)
+        sg1 = b.local(SG1)
+        sg2 = b.local(SG2)
+        cost = b.add(cost, b.scale(100, b.add(f_sl, f_ss)))
+        cost = b.add(cost, b.scale(2000, b.mul(f_sl, scold)))
+        cost = b.add(cost, b.scale(2100, b.mul(f_ss, scold)))
+        cost = b.add(cost, b.add(b.scale(2800, sg1), b.scale(19900, sg2)))
         b.transition(b.sub(G_n, b.sub(G, cost)))
 
         # 9. the shared 256-bit adder gadget: X + Y = Z + carry-out*2^256
@@ -928,43 +1555,78 @@ class EvmCpuAir(Air):
         lAf15 = flip_limb(lA[15], a_msb)
         lBf15 = flip_limb(lB[15], b_msb)
         cmp_f = fsum(_CMP)
-        for i in range(16):
-            ai, bi, ci, wi = lA[i], lB[i], lC[i], lW[i]
-            afi = lAf15 if i == 15 else ai
-            bfi = lBf15 if i == 15 else bi
-            X = b.add(
-                b.add(b.mul(f["add"], ai), b.mul(b.add(f["sub"], f["lt"]), bi)),
-                b.add(
-                    b.mul(f["gt"], ai),
-                    b.add(b.mul(f["slt"], bfi), b.mul(f["sgt"], afi)),
-                ),
-            )
-            Y = b.add(
-                b.add(b.mul(f["add"], bi), b.mul(f["sub"], ci)),
-                b.mul(cmp_f, wi),
-            )
-            Z = b.add(
-                b.add(b.mul(f["add"], ci), b.mul(b.add(f["sub"], f["lt"]), ai)),
-                b.add(
-                    b.mul(f["gt"], bi),
-                    b.add(b.mul(f["slt"], afi), b.mul(f["sgt"], bfi)),
-                ),
-            )
-            lhs = b.add(X, Y)
-            if i > 0:
-                lhs = b.add(lhs, carries[i - 1])
-            b.all_rows(b.sub(lhs, b.add(Z, b.scale(1 << 16, carries[i]))))
+        f_cdl = f["calldataload"]
+        # block form: limb blocks with the sign-flipped top limb variants
+        lAf = b.concat_rows([lA[:15], b.stack_block([lAf15])])
+        lBf = b.concat_rows([lB[:15], b.stack_block([lBf15])])
+        sizeblk = b.public_block(
+            range(PUB_ENV0 + 16 * ENV_IDX_CDSIZE, PUB_ENV0 + 16 * ENV_IDX_CDSIZE + 16)
+        )
+        cb = b.local_block(range(CARRY0, CARRY0 + 16))
+        cb_prev = b.concat_rows([b.scale(0, cb[:1]), cb[:15]])
+        X = b.add(
+            b.add(b.mul(f["add"], lA), b.mul(b.add(f["sub"], f["lt"]), lB)),
+            b.add(
+                b.add(b.mul(f["gt"], lA), b.mul(f_cdl, sizeblk)),
+                b.add(b.mul(f["slt"], lBf), b.mul(f["sgt"], lAf)),
+            ),
+        )
+        Y = b.add(
+            b.add(b.mul(f["add"], lB), b.mul(f["sub"], lC)),
+            b.mul(b.add(cmp_f, f_cdl), lW),
+        )
+        Z = b.add(
+            b.add(b.mul(f["add"], lC), b.mul(b.add(f["sub"], f["lt"]), lA)),
+            b.add(
+                b.add(b.mul(f["gt"], lB), b.mul(f_cdl, lA)),
+                b.add(b.mul(f["slt"], lAf), b.mul(f["sgt"], lBf)),
+            ),
+        )
+        b.all_rows_block(
+            b.sub(
+                b.add(b.add(X, Y), cb_prev),
+                b.add(Z, b.scale(1 << 16, cb)),
+            ),
+            16,
+        )
 
-        # 10. nonzero gadget (EQ / ISZERO / JUMPI condition)
-        s_acc = None
-        for i in range(16):
-            inp = b.add(
-                b.mul(f["eq"], b.sub(lA[i], lB[i])),
-                b.add(b.mul(f["iszero"], lA[i]), b.mul(f["jumpi"], lB[i])),
-            )
-            b.all_rows(b.sub(nz[i], b.mul(inp, inv[i])))
-            b.all_rows(b.mul(inp, b.sub(one, nz[i])))
-            s_acc = nz[i] if s_acc is None else b.add(s_acc, nz[i])
+        # 10. nonzero gadget (EQ / ISZERO / JUMPI condition / shift "big"
+        # / DIV-MOD divisor / KECCAK256 size / SIGNEXTEND index)
+        f_sh3 = fsum(_SHIFTS)
+        f_byte = f["byte"]
+        f_se = f["signextend"]
+        f_dm = b.add(f["div"], f["mod"])
+        # "shift amount >= 256" <=> some A bit >= 8; "index >= 32" <=> >= 5
+        a_hi8 = b.linmap([[1] * 248], b.local_block(range(A0 + 8, A0 + 256)))[0]
+        a_hi5 = b.linmap([[1] * 251], b.local_block(range(A0 + 5, A0 + 256)))[0]
+        b_lo15 = b.linmap([[1] * 15], b.local_block(range(B0, B0 + 15)))[0]
+        g_hi20 = b.linmap(
+            [[1] * 20], b.local_block(range(GASB0 + 12, GASB0 + 32))
+        )[0]
+        # block form: all 16 limb inputs at once; the single-limb inputs
+        # (shift/BYTE/SIGNEXTEND/KECCAK/RETURN/SSTORE gates) live on row 0
+        extra0 = b.add(
+            b.add(b.mul(f_sh3, a_hi8), b.mul(b.add(f_byte, f_se), a_hi5)),
+            b.add(
+                b.mul(b.add(f_kec, f["return"]), b_lo15),
+                b.mul(f["sstore"], g_hi20),
+            ),
+        )
+        inp_blk = b.add(
+            b.add(
+                b.mul(f["eq"], b.sub(lA, lB)),
+                b.add(b.mul(f["iszero"], lA), b.mul(f["jumpi"], lB)),
+            ),
+            b.add(
+                b.mul(f_dm, lB),
+                b.concat_rows([b.stack_block([extra0]), b.scale(0, lA[:15])]),
+            ),
+        )
+        nzb = b.local_block(range(NZ0, NZ0 + 16))
+        invb = b.local_block(range(INV0, INV0 + 16))
+        b.all_rows_block(b.sub(nzb, b.mul(inp_blk, invb)), 16)
+        b.all_rows_block(b.mul(inp_blk, b.sub(one, nzb)), 16)
+        s_acc = b.block_rowsum(nzb)
         b.all_rows(b.sub(taken, b.mul(s_acc, s_inv)))
         b.all_rows(b.mul(s_acc, b.sub(one, taken)))
 
@@ -1006,6 +1668,407 @@ class EvmCpuAir(Air):
         gashi = b.local_block(range(C0 + 32, C0 + 256))
         b.all_rows_block(b.mul(f["gas"], gashi), 224)
 
+        # 14a. MUL: schoolbook byte product with 13-bit carries.  At each
+        # output byte k: sum_{i+j=k} a_i*b_j + carry_{k-1} = c_k + 256*carry_k;
+        # the high half of the product is discarded (mod 2^256 semantics).
+        f_mul = f["mul"]
+        abytes = b.linmap(_BYTE_MAT, Ablk)
+        bbytes = b.linmap(_BYTE_MAT, Bblk)
+        cbytes = b.linmap(_BYTE_MAT, Cblk)
+        wbytes = b.linmap(_BYTE_MAT, Wblk)
+        scratch_blk = b.local_block(range(SCRATCH0, SCRATCH0 + N_SCRATCH))
+        mulc = b.linmap(_MULC_MAT, scratch_blk)
+        mulc_prev = b.concat_rows([b.scale(0, mulc[:1]), mulc[:31]])
+
+        def shift32_down(blk, k):
+            """Row j -> blk[j - k] over a 32-row block (zeros below)."""
+            if k == 0:
+                return blk
+            return b.concat_rows([b.scale(0, blk[:k]), blk[: 32 - k]])
+
+        def byte_conv(qb):
+            """32-row block: conv_k = sum_{i<=k} qb_i * b_{k-i} (block
+            form: 32 scalar-row x block products instead of 528 scalar
+            graph nodes — XLA compile time scales with node count)."""
+            acc = None
+            for i in range(32):
+                t = b.mul(qb[i], shift32_down(bbytes, i))
+                acc = t if acc is None else b.add(acc, t)
+            return acc
+
+        # suffix sums of B's bytes: suffix_i = sum_{j >= i} b_j, so the
+        # whole discarded high half is sum_i qb_i * suffix_{32-i} (i>=1)
+        _SUF_MAT = [[1 if j > 31 - i else 0 for j in range(32)] for i in range(32)]
+        bsuffix = b.linmap(_SUF_MAT, bbytes)  # bsuffix[i] = sum_{j>=32-i} b_j
+
+        def high_half(qb):
+            acc = None
+            for i in range(1, 32):
+                t = b.mul(qb[i], bsuffix[i])
+                acc = t if acc is None else b.add(acc, t)
+            return acc
+
+        conv_ab = byte_conv(abytes)
+        b.all_rows_block(
+            b.mul(
+                f_mul,
+                b.sub(
+                    b.add(conv_ab, mulc_prev),
+                    b.add(cbytes, b.scale(256, mulc)),
+                ),
+            ),
+            32,
+        )
+
+        # 14a'. DIV / MOD: q*b + r = a over the integers (same 13-bit
+        # chain carries; DIV: q = C, r = W; MOD: q = W, r = C), the high
+        # half of q*b forced to zero, and r <= b - 1 via a byte borrow
+        # chain.  b == 0 (taken = 0 through the nonzero gadget on B's
+        # limbs) forces q = r = 0 and the chain target becomes 0.
+        dmbr = b.local_block(range(DMB0, DMB0 + 32))
+        dmbr_prev = b.concat_rows([b.scale(0, dmbr[:1]), dmbr[:31]])
+        _DMT_MAT = [[0] * 256 for _ in range(32)]
+        for _k in range(32):
+            for _t in range(8):
+                _DMT_MAT[_k][8 * _k + _t] = 1 << _t
+        tbytes = b.linmap(_DMT_MAT, b.local_block(range(DMT0, DMT0 + 256)))
+        sub1 = b.const_vec([1] + [0] * 31)  # the "- 1" at byte 0
+        for fg, qb, rb in ((f["div"], cbytes, wbytes), (f["mod"], wbytes, cbytes)):
+            conv = byte_conv(qb)
+            target = b.mul(taken, abytes)
+            b.all_rows_block(
+                b.mul(
+                    fg,
+                    b.sub(
+                        b.add(b.add(conv, rb), mulc_prev),
+                        b.add(target, b.scale(256, mulc)),
+                    ),
+                ),
+                32,
+            )
+            b.all_rows(b.mul(fg, b.add(high_half(qb), mulc[31])))
+            # borrow chain: b_k - r_k - [k==0] - br_{k-1} + 256*br_k = t_k
+            chain = b.sub(
+                b.add(b.sub(bbytes, rb), b.scale(256, dmbr)),
+                b.add(b.add(sub1, dmbr_prev), tbytes),
+            )
+            b.all_rows_block(b.mul(fg, chain), 32)
+        # no final borrow when b != 0; q = r = 0 when b == 0
+        b.all_rows(b.mul(b.mul(f_dm, taken), dmbr[31]))
+        not_taken_dm = b.mul(f_dm, b.sub(one, taken))
+        b.all_rows_block(b.mul(not_taken_dm, Cblk), 256)
+        b.all_rows_block(b.mul(not_taken_dm, Wblk), 256)
+
+        # 14b. shifts / BYTE: two one-hot stages.  Stage 1 (byte shift by
+        # q, one-hot OHQ) lands in the W region; stage 2 (bit shift by r,
+        # one-hot OHR) produces C.  A shift amount >= 256 (taken=1, via
+        # the nonzero gadget above) zeroes both one-hots, forcing C = 0
+        # (SHL/SHR) or the sign fill (SAR).
+        f_shl, f_shr, f_sar = f["shl"], f["shr"], f["sar"]
+        ohq = [b.local(OHQ0 + q) for q in range(32)]
+        ohr = [b.local(OHR0 + r) for r in range(8)]
+        sum_ohq = ohq[0]
+        wq1 = None  # sum q * ohq_q
+        for q in range(1, 32):
+            sum_ohq = b.add(sum_ohq, ohq[q])
+            t = b.scale(q, ohq[q])
+            wq1 = t if wq1 is None else b.add(wq1, t)
+        sum_ohr = ohr[0]
+        wr = None  # sum r * ohr_r
+        for r in range(1, 8):
+            sum_ohr = b.add(sum_ohr, ohr[r])
+            t = b.scale(r, ohr[r])
+            wr = t if wr is None else b.add(wr, t)
+        not_big = b.sub(one, taken)
+        shift_any = b.add(f_sh3, b.add(f_byte, f_se))
+        b.all_rows(b.mul(shift_any, b.sub(sum_ohq, not_big)))
+        b.all_rows(b.mul(f_sh3, b.sub(sum_ohr, not_big)))
+        b.all_rows(b.mul(b.add(f_byte, f_se), sum_ohr))
+        s_low = None  # low byte of A (shift amount)
+        for bit in range(8):
+            t = b.scale(1 << bit, b.local(A0 + bit))
+            s_low = t if s_low is None else b.add(s_low, t)
+        i_low = None  # low 5 bits of A (BYTE index)
+        for bit in range(5):
+            t = b.scale(1 << bit, b.local(A0 + bit))
+            i_low = t if i_low is None else b.add(i_low, t)
+        b.all_rows(
+            b.mul(f_sh3, b.sub(b.add(b.scale(8, wq1), wr), b.mul(not_big, s_low)))
+        )
+        b.all_rows(
+            b.mul(b.add(f_byte, f_se), b.sub(wq1, b.mul(not_big, i_low)))
+        )
+
+        def shift_up(blk, k):
+            """Row i -> blk[i + k], zero beyond the end."""
+            if k == 0:
+                return blk
+            return b.concat_rows([blk[k:], b.scale(0, blk[:k])])
+
+        def shift_up_fill(blk, k, fill):
+            if k == 0:
+                return blk
+            pad = b.mul(fill, b.add(b.scale(0, blk[:k]), one))
+            return b.concat_rows([blk[k:], pad])
+
+        def shift_down(blk, k):
+            """Row i -> blk[i - k], zero below zero."""
+            if k == 0:
+                return blk
+            return b.concat_rows([b.scale(0, blk[:k]), blk[: 256 - k]])
+
+        def onehot_sum(sels, blocks):
+            acc = None
+            for s_, blk_ in zip(sels, blocks):
+                t = b.mul(s_, blk_)
+                acc = t if acc is None else b.add(acc, t)
+            return acc
+
+        # stage 1: W = B byte-shifted by q (sign-filled for SAR)
+        b.all_rows_block(
+            b.mul(
+                f_shr,
+                b.sub(Wblk, onehot_sum(ohq, [shift_up(Bblk, 8 * q) for q in range(32)])),
+            ),
+            256,
+        )
+        b.all_rows_block(
+            b.mul(
+                f_shl,
+                b.sub(
+                    Wblk, onehot_sum(ohq, [shift_down(Bblk, 8 * q) for q in range(32)])
+                ),
+            ),
+            256,
+        )
+        b.all_rows_block(
+            b.mul(
+                f_sar,
+                b.sub(
+                    Wblk,
+                    onehot_sum(
+                        ohq, [shift_up_fill(Bblk, 8 * q, b_msb) for q in range(32)]
+                    ),
+                ),
+            ),
+            256,
+        )
+        # stage 2: C = W bit-shifted by r
+        b.all_rows_block(
+            b.mul(
+                f_shr,
+                b.sub(Cblk, onehot_sum(ohr, [shift_up(Wblk, r) for r in range(8)])),
+            ),
+            256,
+        )
+        b.all_rows_block(
+            b.mul(
+                f_shl,
+                b.sub(Cblk, onehot_sum(ohr, [shift_down(Wblk, r) for r in range(8)])),
+            ),
+            256,
+        )
+        b.all_rows_block(
+            b.mul(
+                f_sar,
+                b.sub(
+                    Cblk,
+                    b.add(
+                        onehot_sum(
+                            ohr, [shift_up_fill(Wblk, r, b_msb) for r in range(8)]
+                        ),
+                        b.mul(taken, b_msb),
+                    ),
+                ),
+            ),
+            256,
+        )
+        # BYTE: C byte 0 = big-endian byte q of B; upper bits zero
+        sel = None
+        for q in range(32):
+            bq = b.local_block(range(B0 + 8 * (31 - q), B0 + 8 * (31 - q) + 8))
+            t = b.mul(ohq[q], bq)
+            sel = t if sel is None else b.add(sel, t)
+        c_low8 = b.local_block(range(C0, C0 + 8))
+        b.all_rows_block(b.mul(f_byte, b.sub(c_low8, sel)), 8)
+        byte_hi = b.local_block(range(C0 + 8, C0 + 256))
+        b.all_rows_block(b.mul(f_byte, byte_hi), 248)
+        # SIGNEXTEND: C = B through byte k, sign-filled above; k >= 32
+        # (taken) copies B unchanged
+        se_acc = None
+        for q in range(32):
+            keep = 8 * q + 8
+            sign_bit = b.local(B0 + 8 * q + 7)
+            fillpat = b.mul(
+                sign_bit, b.add(b.scale(0, Bblk[: 256 - keep]), one)
+            )
+            pat = (
+                Bblk
+                if keep == 256
+                else b.concat_rows([Bblk[:keep], fillpat])
+            )
+            t = b.mul(ohq[q], pat)
+            se_acc = t if se_acc is None else b.add(se_acc, t)
+        b.all_rows_block(
+            b.mul(f_se, b.sub(Cblk, b.add(se_acc, b.mul(taken, Bblk)))), 256
+        )
+
+        # 14c. CALLDATALOAD: out-of-bounds (offset >= size, carry15 == 0)
+        # pushes zero; in-bounds sends (offset, word) on the calldata
+        # channel (adder gadget wiring proves the bound, section 9).
+        b.all_rows_block(
+            b.mul(b.mul(f_cdl, b.sub(one, carries[15])), Cblk), 256
+        )
+
+        # 14d. memory (word-aligned MLOAD/MSTORE + MSIZE).  The msize
+        # register M (words) grows to max(M, waddr+1) via the witnessed
+        # comparison; the quadratic gas term's delta dq is bound by
+        # M'^2 - M^2 = 512*dq + r1 - r0 with 9-bit remainders (values
+        # stay < 2^26 < p under the 2^13-word coverage cap).
+        f_mld, f_mst, f_msz = f["mload"], f["mstore"], f["msize"]
+        grow = b.local(MW_GROW)
+        kneed = b.local(KNEED)
+        dval = reg_val(MW_D0, 14, False)
+        r0val = reg_val(MW_R0, 9, False)
+        r1val = reg_val(MW_R1, 9, False)
+        slval = reg_val(KSL0, 5, False)
+        waddr = None
+        for bit in range(5, 18):
+            t = b.scale(1 << (bit - 5), b.local(A0 + bit))
+            waddr = t if waddr is None else b.add(waddr, t)
+        # the expansion target: waddr+1 for MLOAD/MSTORE; for KECCAK256,
+        # waddr+sw when size != 0 (taken, via the nonzero gadget), else 0
+        b.all_rows(
+            b.mul(b.add(f_mld, f_mst), b.sub(kneed, b.add(waddr, one)))
+        )
+        b.all_rows(
+            b.mul(f_kr, b.sub(kneed, b.mul(taken, b.add(waddr, swval))))
+        )
+        # KECCAK256/RETURN word count: 32*sw = size + slack (slack < 32),
+        # and size must fit 15 bits
+        b.all_rows(
+            b.mul(f_kr, b.sub(b.scale(32, swval), b.add(lB[0], slval)))
+        )
+        kec_size_hi = b.local_block(range(B0 + 15, B0 + 256))
+        b.all_rows_block(b.mul(f_kr, kec_size_hi), 241)
+        b.first_row(M)
+        b.transition(b.sub(M_n, b.add(M, b.mul(grow, b.sub(kneed, M)))))
+        b.all_rows(b.mul(grow, b.sub(one, f_mx)))
+        b.all_rows(b.mul(grow, b.sub(b.sub(kneed, b.add(M, one)), dval)))
+        b.all_rows(
+            b.mul(b.mul(f_mx, b.sub(one, grow)), b.sub(b.sub(M, kneed), dval))
+        )
+        # alignment + range: offset bits 0..4 and 18..255 must be zero
+        mem_addr_bits = b.local_block(
+            list(range(A0, A0 + 5)) + list(range(A0 + 18, A0 + 256))
+        )
+        b.all_rows_block(b.mul(f_mx, mem_addr_bits), 243)
+        # quadratic-term delta
+        b.transition(
+            b.mul(
+                f_mx,
+                b.sub(
+                    b.sub(b.mul(M_n, M_n), b.mul(M, M)),
+                    b.add(b.sub(r1val, r0val), b.scale(512, dqval)),
+                ),
+            )
+        )
+        # MSIZE pushes 32*M
+        b.all_rows(
+            b.mul(
+                f_msz,
+                b.sub(b.add(lC[0], b.scale(1 << 16, lC[1])), b.scale(32, M)),
+            )
+        )
+        msz_hi = b.local_block(range(C0 + 19, C0 + 256))
+        b.all_rows_block(b.mul(f_msz, msz_hi), 237)
+
+        # 14e. memory channel (send one RAM tuple per MLOAD/MSTORE)
+        vmem = b.add(Cblk, b.mul(f_mst, b.sub(Bblk, Cblk)))
+        vcode_m = b.bit_block_code(vmem, chi, b.constant(0), 32)
+        inner_m = b.ef_add4(b.ef_from_base4(f_mst), vcode_m)
+        clk4m = b.scale(4, clk)
+        code_m = b.ef_add4(
+            b.ef_from_base4(waddr),
+            b.ef_mul4(
+                chi, b.ef_add4(b.ef_from_base4(clk4m), b.ef_mul4(chi, inner_m))
+            ),
+        )
+        accM = [b.aux(AUX_M + c) for c in range(4)]
+        accM_n = [b.aux_next(AUX_M + c) for c in range(4)]
+        prodM = b.ef_mul4(b.ef_sub4(accM_n, accM), b.ef_sub4(g_m, code_m))
+        actM = b.ef_from_base4(b.add(f_mld, f_mst))
+        for c in range(4):
+            b.transition(b.sub(prodM[c], actM[c]))
+            b.first_row(accM[c])
+
+        # 14f. hash-call channel (one tuple per KECCAK256):
+        #   clk + chi*waddr + chi^2*size + sum_j digest_byte_j * chi^{j+3}
+        dcode = b.bit_block_code(Cblk, chi, b.constant(0), 32)
+        code_k = b.ef_add4(
+            b.ef_from_base4(clk),
+            b.ef_mul4(
+                chi,
+                b.ef_add4(
+                    b.ef_from_base4(waddr),
+                    b.ef_mul4(chi, b.ef_add4(b.ef_from_base4(lB[0]), dcode)),
+                ),
+            ),
+        )
+        accK = [b.aux(AUX_K + c) for c in range(4)]
+        accK_n = [b.aux_next(AUX_K + c) for c in range(4)]
+        prodK = b.ef_mul4(b.ef_sub4(accK_n, accK), b.ef_sub4(g_k, code_k))
+        actK = b.ef_from_base4(f_kec)
+        for c in range(4):
+            b.transition(b.sub(prodK[c], actK[c]))
+            b.first_row(accK[c])
+
+        # 14g. storage (SLOAD/SSTORE): witness gating, the EIP-2200
+        # sentry, and the storage-journal channel.  cold/g1/g2 are CPU
+        # witnesses whose truth the storage table enforces through the
+        # tuple code.
+        f_stor = b.add(f_sl, f_ss)
+        b.all_rows(b.mul(scold, b.sub(one, f_stor)))
+        b.all_rows(b.mul(sg1, b.sub(one, f_ss)))
+        b.all_rows(b.mul(sg2, b.sub(one, f_ss)))
+        b.all_rows(b.mul(sg1, sg2))
+        # EIP-2200 sentry, wrap-safe (G spans up to 2^32 > p): either some
+        # G bit >= 12 is set (taken, via the nonzero gadget), or the low
+        # 12 bits are >= 2301 (12-bit witness; the difference range then
+        # stays within +-2^12 << p, so no modular wrap is possible)
+        sent12 = reg_val(MULC0, 12, False)
+        g_low12 = gas_expr(False, range(12), 0)
+        b.all_rows(
+            b.mul(
+                b.mul(f_ss, b.sub(one, taken)),
+                b.sub(g_low12, b.add(sent12, b.constant(2301))),
+            )
+        )
+        slotcode = b.bit_block_code(Ablk, chi, b.constant(0), 32)
+        v_st = b.add(Cblk, b.mul(f_ss, b.sub(Bblk, Cblk)))
+        vcode_st = b.bit_block_code(v_st, chi, b.constant(0), 32)
+        chi4p = b.ef_mul4(chi2, chi2)
+        chi8p = b.ef_mul4(chi4p, chi4p)
+        chi16p = b.ef_mul4(chi8p, chi8p)
+        chi32p = b.ef_mul4(chi16p, chi16p)
+        chi36p = b.ef_mul4(chi32p, chi4p)
+        chi3p = b.ef_mul4(chi2, chi)
+        clk4st = b.scale(4, clk)
+        code_st = b.ef_from_base4(clk4st)
+        code_st = b.ef_add4(code_st, [b.mul(f_ss, chi[c]) for c in range(4)])
+        code_st = b.ef_add4(code_st, [b.mul(scold, chi2[c]) for c in range(4)])
+        code_st = b.ef_add4(code_st, [b.mul(sg1, chi3p[c]) for c in range(4)])
+        code_st = b.ef_add4(code_st, [b.mul(sg2, chi4p[c]) for c in range(4)])
+        code_st = b.ef_add4(code_st, b.ef_mul4(chi4p, slotcode))
+        code_st = b.ef_add4(code_st, b.ef_mul4(chi36p, vcode_st))
+        accST = [b.aux(AUX_ST + c) for c in range(4)]
+        accST_n = [b.aux_next(AUX_ST + c) for c in range(4)]
+        prodST = b.ef_mul4(b.ef_sub4(accST_n, accST), b.ef_sub4(g_st, code_st))
+        actST = b.ef_from_base4(f_stor)
+        for c in range(4):
+            b.transition(b.sub(prodST[c], actST[c]))
+            b.first_row(accST[c])
+
         # 15. fetch channel (receive one instruction tuple per live row)
         imm_bits = b.mul(f["push"], Cblk)
         imm_code = b.bit_block_code(imm_bits, chi, b.constant(0), 32)
@@ -1025,27 +2088,49 @@ class EvmCpuAir(Air):
             b.first_row(accF[c])
 
         # 16. stack channel (up to four access tuples per row)
-        arith2 = fsum(_ARITH2)
+        p21 = fsum(_POP2PUSH1)
         env_f = fsum(ENV_OPS)
         pops_w0 = b.add(
-            b.scale(2, arith2), b.add(b.add(f["iszero"], f["not"]), f["swap"])
+            b.scale(2, p21),
+            b.add(
+                b.add(f["iszero"], f["not"]),
+                b.add(f["swap"], b.add(f_cdl, b.add(f_mld, f_sl))),
+            ),
         )
         actives = [
             b.add(
-                arith2,
+                p21,
                 b.add(
                     b.add(b.add(f["iszero"], f["not"]), b.add(f["pop"], f["jump"])),
-                    b.add(b.add(f["jumpi"], f["dup"]), f["swap"]),
+                    b.add(
+                        b.add(b.add(f["jumpi"], f["dup"]), b.add(f["swap"], f_cdl)),
+                        b.add(
+                            b.add(b.add(f_mld, f_mst), b.add(f_sl, f_ss)),
+                            f_ret,
+                        ),
+                    ),
                 ),
             ),
-            b.add(arith2, b.add(f["jumpi"], f["swap"])),
             b.add(
-                arith2,
+                p21,
+                b.add(
+                    b.add(f["jumpi"], f["swap"]),
+                    b.add(b.add(f_mst, f_ss), f_ret),
+                ),
+            ),
+            b.add(
+                p21,
                 b.add(
                     b.add(b.add(f["iszero"], f["not"]), b.add(f["push0"], f["push"])),
                     b.add(
                         b.add(f["dup"], f["swap"]),
-                        b.add(b.add(f["pc"], f["gas"]), env_f),
+                        b.add(
+                            b.add(f["pc"], f["gas"]),
+                            b.add(
+                                env_f,
+                                b.add(f_cdl, b.add(b.add(f_mld, f_msz), f_sl)),
+                            ),
+                        ),
                     ),
                 ),
             ),
@@ -1080,10 +2165,26 @@ class EvmCpuAir(Air):
                 b.first_row(acc[c])
             acc_sum = acc if acc_sum is None else b.ef_add4(acc_sum, acc)
 
+        # 16a. calldata channel (send in-bounds loads)
+        code_cd = b.bit_block_code(Cblk, chi, lA[0], 32)
+        accC = [b.aux(AUX_CD + c) for c in range(4)]
+        accC_n = [b.aux_next(AUX_CD + c) for c in range(4)]
+        prodC = b.ef_mul4(b.ef_sub4(accC_n, accC), b.ef_sub4(g_c, code_cd))
+        act_cd = b.ef_from_base4(b.mul(f_cdl, carries[15]))
+        for c in range(4):
+            b.transition(b.sub(prodC[c], act_cd[c]))
+            b.first_row(accC[c])
+
         # 17. bus bindings (last row is always halted padding)
         for c in range(4):
             b.last_row(b.sub(accF[c], b.bus_coord(4 * BUS_FETCH + c)))
             b.last_row(b.sub(acc_sum[c], b.bus_coord(4 * BUS_STACK + c)))
+            b.last_row(b.sub(accC[c], b.bus_coord(4 * BUS_CD + c)))
+            b.last_row(b.sub(accM[c], b.bus_coord(4 * BUS_MEM + c)))
+            b.last_row(b.bus_coord(4 * BUS_BLOCKS + c))
+            b.last_row(b.bus_coord(4 * BUS_DIG + c))
+            b.last_row(b.sub(accK[c], b.bus_coord(4 * BUS_KCALL + c)))
+            b.last_row(b.sub(accST[c], b.bus_coord(4 * BUS_STOR + c)))
 
 
 # --------------------------------------------------------------------------
@@ -1245,6 +2346,7 @@ class EvmStackAir(Air):
     num_bus_values = 2
     quotient_chunks = 2
     commit_fixed = True
+    eager_quotient = True
 
     def __init__(self, num_accesses: int):
         self.T = int(num_accesses)
@@ -1389,6 +2491,292 @@ class EvmStackAir(Air):
 
 
 # --------------------------------------------------------------------------
+# MemRamAir — read-write-memory argument for the word-granular RAM
+# --------------------------------------------------------------------------
+
+MR_ABITS = 0  # 13 word-address bits
+MR_CBITS = 13  # 22 clk4 bits
+MR_IW = 35
+MR_SA = 36  # same-address-as-previous-row flag
+MR_FR = 37  # fresh-read flag: (1 - sa) * (1 - iw)
+MR_DBITS = 38  # 22 bits: strictly-increasing diff witness
+MR_V0 = 60  # 256 value bits
+MEM_WIDTH = MR_V0 + 256
+MF_ACTIVE = 0
+MF_ACTIVE_N = 1
+
+
+class MemRamAir(Air):
+    """EVM memory as word-granular RAM sorted by (word addr, clk4).
+
+    Same ordering discipline as EvmStackAir, with the EVM's
+    zero-initialized semantics: the first access at an address may be a
+    read, but then its value must be zero (fresh-read rule), instead of
+    the stack's first-access-must-write rule."""
+
+    width = MEM_WIDTH
+    aux_width = 4
+    num_aux_challenges = NUM_CHALLENGES
+    num_bus_values = 4
+    quotient_chunks = 2
+    commit_fixed = True
+    eager_quotient = True
+
+    def __init__(self, num_accesses: int):
+        self.T = int(num_accesses)
+        self.n = _pow2_atleast(self.T + 1)
+
+    def fixed_columns(self, n: int):
+        assert n == self.n
+        cols = np.zeros((2, n), dtype=np.uint32)
+        cols[MF_ACTIVE, : self.T] = 1
+        if self.T > 1:
+            cols[MF_ACTIVE_N, : self.T - 1] = 1
+        return cols
+
+    def trace(self, accesses: list[tuple[int, int, int, int]]) -> np.ndarray:
+        """accesses: (word_addr, clk4, is_write, value) in ANY order."""
+        assert len(accesses) == self.T
+        acc = sorted(accesses)
+        tr = np.zeros((self.n, MEM_WIDTH), dtype=np.uint32)
+        prev_addr = None
+        prev_clk = None
+        for row, (addr, clk4, iw, value) in enumerate(acc):
+            assert 0 <= addr < (1 << 13) and 0 <= clk4 < (1 << 22)
+            for i in range(13):
+                tr[row, MR_ABITS + i] = (addr >> i) & 1
+            for i in range(22):
+                tr[row, MR_CBITS + i] = (clk4 >> i) & 1
+            tr[row, MR_IW] = iw
+            if prev_addr is not None and addr == prev_addr:
+                tr[row, MR_SA] = 1
+                d = clk4 - prev_clk - 1
+            elif prev_addr is not None:
+                d = addr - prev_addr - 1
+            else:
+                d = 0
+            assert 0 <= d < (1 << 22)
+            tr[row, MR_FR] = (1 - tr[row, MR_SA]) * (1 - iw)
+            for i in range(22):
+                tr[row, MR_DBITS + i] = (d >> i) & 1
+            tr[row, MR_V0 : MR_V0 + 256] = _word_bits(value)
+            prev_addr, prev_clk = addr, clk4
+        # padding rows: sa = iw = 0 -> fr = 1, zero value (zero-init reads)
+        tr[self.T :, MR_FR] = 1
+        return tr
+
+    def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        chi, gamma_m = challenges[CHAL_CHI], challenges[CHAL_M]
+        pows = _np_chi_pows(chi, 36)
+        t = trace.astype(np.uint64)
+        addr = sum(t[:, MR_ABITS + i] << np.uint64(i) for i in range(13))
+        clk4 = sum(t[:, MR_CBITS + i] << np.uint64(i) for i in range(22))
+        vbytes = _bits_to_bytes(trace[:, MR_V0 : MR_V0 + 256])
+        code = _np_tuple_code(
+            addr,
+            [(clk4, 1), (t[:, MR_IW], 2)]
+            + [(vbytes[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        gm = np.array([x % bb.P for x in gamma_m], dtype=np.uint64)
+        inv = ef.npef_inv(ef.npef_sub(gm[None, :], code))
+        active = np.zeros(trace.shape[0], dtype=np.uint64)
+        active[: self.T] = _PU - np.uint64(1)  # receive: -1
+        return ef.npef_mul(ef.npef_from_base(active), inv)
+
+    def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
+        aux = np.zeros((trace.shape[0], 4), dtype=np.uint32)
+        aux[:] = EvmCpuAir._excl_prefix(self._terms(trace, challenges))
+        return aux
+
+    def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
+        terms = self._terms(trace, challenges)
+        return [
+            ef.H_ZERO,
+            ef.H_ZERO,
+            ef.H_ZERO,
+            tuple(int(v) for v in terms.sum(axis=0) % _PU),
+        ]
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        one = b.constant(1)
+        chi = b.challenge_ef(CHAL_CHI)
+        g_m = b.challenge_ef(CHAL_M)
+        active = b.fixed(MF_ACTIVE)
+
+        def val(nx: bool, base: int, nbits: int):
+            g = b.next if nx else b.local
+            acc = None
+            for i in range(nbits):
+                t = b.scale(1 << i, g(base + i))
+                acc = t if acc is None else b.add(acc, t)
+            return acc
+
+        addr = val(False, MR_ABITS, 13)
+        addr_n = val(True, MR_ABITS, 13)
+        clk4 = val(False, MR_CBITS, 22)
+        clk4_n = val(True, MR_CBITS, 22)
+        d_n = val(True, MR_DBITS, 22)
+        iw = b.local(MR_IW)
+        sa = b.local(MR_SA)
+        sa_n = b.next(MR_SA)
+        fr = b.local(MR_FR)
+
+        # booleanity
+        bit_cols = (
+            list(range(MR_ABITS, MR_ABITS + 13))
+            + list(range(MR_CBITS, MR_CBITS + 22))
+            + [MR_IW, MR_SA, MR_FR]
+            + list(range(MR_DBITS, MR_DBITS + 22))
+            + list(range(MR_V0, MR_V0 + 256))
+        )
+        bits = b.local_block(bit_cols)
+        b.all_rows_block(b.mul(bits, b.sub(bits, one)), len(bit_cols))
+
+        # sa only on active rows; row 0 is never a continuation
+        b.all_rows(b.mul(b.sub(one, active), sa))
+        b.first_row(sa)
+        # same-address rows repeat the address and step the clock
+        b.transition(b.mul(sa_n, b.sub(addr_n, addr)))
+        clk_diff = b.sub(b.sub(clk4_n, clk4), one)
+        addr_diff = b.sub(b.sub(addr_n, addr), one)
+        sel = b.add(b.mul(sa_n, clk_diff), b.mul(b.sub(one, sa_n), addr_diff))
+        nact = b.fixed(MF_ACTIVE_N)
+        b.transition(b.mul(nact, b.sub(d_n, sel)))
+        # fresh-read rule: fr = (1-sa)(1-iw); a fresh read sees zero
+        b.all_rows(b.sub(fr, b.mul(b.sub(one, sa), b.sub(one, iw))))
+        vblk = b.local_block(range(MR_V0, MR_V0 + 256))
+        b.all_rows_block(b.mul(fr, vblk), 256)
+        # read-after-write consistency
+        vblk_n = b.next_block(range(MR_V0, MR_V0 + 256))
+        iw_n = b.next(MR_IW)
+        b.transition_block(
+            b.mul(b.mul(sa_n, b.sub(one, iw_n)), b.sub(vblk_n, vblk)), 256
+        )
+
+        # receive channel
+        vcode = b.bit_block_code(vblk, chi, b.constant(0), 32)
+        inner = b.ef_add4(b.ef_from_base4(iw), vcode)
+        code = b.ef_add4(
+            b.ef_from_base4(addr),
+            b.ef_mul4(chi, b.ef_add4(b.ef_from_base4(clk4), b.ef_mul4(chi, inner))),
+        )
+        acc = [b.aux(c) for c in range(4)]
+        acc_n = [b.aux_next(c) for c in range(4)]
+        prod = b.ef_mul4(b.ef_sub4(acc_n, acc), b.ef_sub4(g_m, code))
+        act4 = b.ef_from_base4(active)
+        for c in range(4):
+            b.transition(b.add(prod[c], act4[c]))
+            b.first_row(acc[c])
+            b.last_row(b.sub(acc[c], b.bus_coord(4 * BUS_MEM + c)))
+            b.last_row(b.bus_coord(4 * BUS_FETCH + c))
+            b.last_row(b.bus_coord(4 * BUS_STACK + c))
+            b.last_row(b.bus_coord(4 * BUS_CD + c))
+
+
+# --------------------------------------------------------------------------
+# EvmCalldataAir — per-offset word table over the public calldata
+# --------------------------------------------------------------------------
+
+CD_MULT = 0
+CD_WIDTH = 1
+CF_ACTIVE = 0
+CF_OFF = 1
+CF_B0 = 2  # 32 little-endian bytes of the zero-padded big-endian word
+CD_NFIXED = CF_B0 + 32
+
+
+class EvmCalldataAir(Air):
+    """One row per calldata byte offset, holding the 32-byte big-endian
+    word starting there (zero-padded past the end — EVM CALLDATALOAD
+    semantics); committed-fixed columns derived from the PUBLIC calldata,
+    a witness multiplicity column counting in-bounds loads."""
+
+    width = CD_WIDTH
+    aux_width = 4
+    num_aux_challenges = NUM_CHALLENGES
+    num_bus_values = 3
+    quotient_chunks = 2
+    commit_fixed = True
+    eager_quotient = True
+
+    def __init__(self, calldata: bytes):
+        assert len(calldata) < (1 << 15), "calldata offsets are 15-bit"
+        self.calldata = bytes(calldata)
+        self.n = _pow2_atleast(len(self.calldata) + 1)
+
+    def structure_key(self) -> tuple:
+        return ()  # constraint graph is instance-independent
+
+    def fixed_columns(self, n: int):
+        assert n == self.n
+        cols = np.zeros((CD_NFIXED, n), dtype=np.uint32)
+        cd = self.calldata
+        for o in range(len(cd)):
+            cols[CF_ACTIVE, o] = 1
+            cols[CF_OFF, o] = o
+            v = int.from_bytes(cd[o : o + 32].ljust(32, b"\x00"), "big")
+            for j in range(32):
+                cols[CF_B0 + j, o] = (v >> (8 * j)) & 0xFF
+        return cols
+
+    def trace(self, cd_loads: dict) -> np.ndarray:
+        tr = np.zeros((self.n, CD_WIDTH), dtype=np.uint32)
+        for o, cnt in cd_loads.items():
+            tr[o, CD_MULT] = cnt % bb.P
+        return tr
+
+    def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        chi, gamma_c = challenges[CHAL_CHI], challenges[CHAL_C]
+        pows = _np_chi_pows(chi, 36)
+        n = trace.shape[0]
+        fx = self.fixed_columns(n).astype(np.uint64)
+        code = _np_tuple_code(
+            fx[CF_OFF], [(fx[CF_B0 + j], j + 1) for j in range(32)], pows
+        )
+        gc = np.array([x % bb.P for x in gamma_c], dtype=np.uint64)
+        inv = ef.npef_inv(ef.npef_sub(gc[None, :], code))
+        # receive: -mult on active rows
+        mult = (_PU - trace[:, CD_MULT].astype(np.uint64)) * fx[CF_ACTIVE] % _PU
+        return ef.npef_mul(ef.npef_from_base(mult), inv)
+
+    def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
+        aux = np.zeros((trace.shape[0], 4), dtype=np.uint32)
+        aux[:] = EvmCpuAir._excl_prefix(self._terms(trace, challenges))
+        return aux
+
+    def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
+        terms = self._terms(trace, challenges)
+        return [ef.H_ZERO, ef.H_ZERO, tuple(int(v) for v in terms.sum(axis=0) % _PU)]
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        chi = b.challenge_ef(CHAL_CHI)
+        g_c = b.challenge_ef(CHAL_C)
+        active = b.fixed(CF_ACTIVE)
+        off = b.fixed(CF_OFF)
+        mult = b.local(CD_MULT)
+
+        code = b.ef_from_base4(off)
+        pw = list(chi)
+        for j in range(32):
+            byt = b.fixed(CF_B0 + j)
+            code = b.ef_add4(code, [b.mul(byt, pw[c]) for c in range(4)])
+            if j < 31:
+                pw = b.ef_mul4(pw, chi)
+
+        acc = [b.aux(c) for c in range(4)]
+        acc_n = [b.aux_next(c) for c in range(4)]
+        prod = b.ef_mul4(b.ef_sub4(acc_n, acc), b.ef_sub4(g_c, code))
+        recv = b.ef_from_base4(b.mul(active, mult))
+        for c in range(4):
+            b.transition(b.add(prod[c], recv[c]))
+            b.first_row(acc[c])
+            b.last_row(b.sub(acc[c], b.bus_coord(4 * BUS_CD + c)))
+            b.last_row(b.bus_coord(4 * BUS_FETCH + c))
+            b.last_row(b.bus_coord(4 * BUS_STACK + c))
+
+
+# --------------------------------------------------------------------------
 # frame payload: prove / verify
 # --------------------------------------------------------------------------
 
@@ -1399,11 +2787,38 @@ def frame_tables(ft: FrameTrace):
     cpu_trace, publics = build_cpu_trace(ft)
     rom = EvmProgramAir(ft.code)
     stk = EvmStackAir(len(ft.accesses))
-    return [
+    cdt = EvmCalldataAir(ft.calldata)
+    ram = MemRamAir(len(ft.mem_accesses))
+    tables = [
         (cpu, cpu_trace, publics),
         (rom, rom.trace(ft.visit_counts), []),
         (stk, stk.trace(ft.accesses), []),
+        (cdt, cdt.trace(ft.cd_loads), []),
+        (ram, ram.trace(ft.mem_accesses), []),
     ]
+    if ft.storage_groups:
+        from .evm_storage import EvmStorageAir
+
+        stor = EvmStorageAir(ft.storage_groups)
+        tables.append((stor, stor.trace(ft.storage_accesses), []))
+    if ft.keccak_calls:
+        from .evm_keccak import EvmKeccakCallAir, EvmSpongeAir
+
+        bridge = EvmKeccakCallAir(
+            [(offw, size) for _, offw, size, _, _ in ft.keccak_calls]
+        )
+        witness = [
+            (clk, words, digest)
+            for clk, _, _, words, digest in ft.keccak_calls
+        ]
+        messages = [
+            b"".join(w.to_bytes(32, "big") for w in words)[:size]
+            for _, _, size, words, _ in ft.keccak_calls
+        ]
+        sponge = EvmSpongeAir.from_messages(messages)
+        tables.append((bridge, bridge.trace(witness), []))
+        tables.append((sponge, sponge.trace(), []))
+    return tables
 
 
 def frame_publics(env: FrameEnv, gas0: int, gas_f: int, sp_f: int) -> list[int]:
@@ -1413,10 +2828,12 @@ def frame_publics(env: FrameEnv, gas0: int, gas_f: int, sp_f: int) -> list[int]:
     return publics
 
 
-def prove_frame(code: bytes, env: FrameEnv, gas: int) -> dict:
+def prove_frame(
+    code: bytes, env: FrameEnv, gas: int, calldata: bytes | None = None
+) -> dict:
     """Execute a covered frame and prove it; raises UncoveredFrame when
     the frame leaves the covered statement."""
-    return prove_frame_trace(execute_frame(code, env, gas))
+    return prove_frame_trace(execute_frame(code, env, gas, calldata=calldata))
 
 
 def prove_frame_trace(ft: FrameTrace) -> dict:
@@ -1427,19 +2844,29 @@ def prove_frame_trace(ft: FrameTrace) -> dict:
     return {
         "kind": "evm-frame-v1",
         "code": ft.code.hex(),
+        "calldata": ft.calldata.hex(),
         "env": {k: hex(v) for k, v in ft.env.__dict__.items()},
         "gas0": ft.gas0,
         "gas_f": ft.gas_f,
         "sp_f": ft.sp_f,
         "accesses": len(ft.accesses),
+        "mem_accesses": len(ft.mem_accesses),
+        "keccak_calls": [
+            [offw, size] for _, offw, size, _, _ in ft.keccak_calls
+        ],
+        "storage": [
+            [hex(slot), hex(orig), count, prewarm]
+            for slot, orig, count, prewarm in ft.storage_groups
+        ],
         "steps": len(ft.steps),
         "starks": [proof_to_dict(p) for p in proofs],
     }
 
 
 def verify_frame_payload(payload: dict) -> bool:
-    """Rebuild the AIR instances from the PUBLIC statement (code, env,
-    gas/stack claims, table sizes) and verify the multi-table STARK."""
+    """Rebuild the AIR instances from the PUBLIC statement (code,
+    calldata, env, gas/stack claims, table sizes) and verify the
+    multi-table STARK."""
     from .. import verifier as sv
     from ..serde import proof_from_dict
 
@@ -1447,6 +2874,7 @@ def verify_frame_payload(payload: dict) -> bool:
         return False
     try:
         code = bytes.fromhex(payload["code"])
+        calldata = bytes.fromhex(payload.get("calldata", ""))
         env = FrameEnv(**{k: int(v, 16) for k, v in payload["env"].items()})
         gas0, gas_f, sp_f = (
             int(payload["gas0"]),
@@ -1454,19 +2882,59 @@ def verify_frame_payload(payload: dict) -> bool:
             int(payload["sp_f"]),
         )
         n_acc = int(payload["accesses"])
+        n_mem = int(payload.get("mem_accesses", 0))
+        kcalls = [
+            (int(o), int(s)) for o, s in payload.get("keccak_calls", [])
+        ]
+        sgroups = [
+            (int(s, 16), int(o, 16), int(c), int(w))
+            for s, o, c, w in payload.get("storage", [])
+        ]
         starks = payload["starks"]
         if not (0 <= gas_f <= gas0 < 1 << 32 and 0 <= sp_f <= 1024):
             return False
-        if len(starks) != 3:
+        # the public CALLDATASIZE word must describe the public calldata
+        if env.calldatasize != len(calldata) or len(calldata) >= (1 << 15):
+            return False
+        if len(kcalls) > MAX_KECCAK_CALLS:
+            return False
+        expect = 5 + (1 if sgroups else 0) + (2 if kcalls else 0)
+        if len(starks) != expect:
             return False
         proofs = [proof_from_dict(d) for d in starks]
     except (KeyError, ValueError, TypeError):
         return False
-    airs = [EvmCpuAir(), EvmProgramAir(code), EvmStackAir(n_acc)]
+    try:
+        airs = [
+            EvmCpuAir(),
+            EvmProgramAir(code),
+            EvmStackAir(n_acc),
+            EvmCalldataAir(calldata),
+            MemRamAir(n_mem),
+        ]
+        if sgroups:
+            from .evm_storage import EvmStorageAir
+
+            airs.append(EvmStorageAir(sgroups))
+        if kcalls:
+            from .evm_keccak import EvmKeccakCallAir, EvmSpongeAir
+
+            bridge = EvmKeccakCallAir(kcalls)
+            airs.append(bridge)
+            airs.append(EvmSpongeAir(bridge.block_counts()))
+    except AssertionError:
+        return False
     if proofs[0].publics != frame_publics(env, gas0, gas_f, sp_f):
         return False
-    if proofs[1].publics or proofs[2].publics:
+    if any(p.publics for p in proofs[1:]):
         return False
-    if (1 << proofs[1].log_n) != airs[1].n or (1 << proofs[2].log_n) != airs[2].n:
-        return False
+    for i in range(1, len(airs)):
+        air = airs[i]
+        if hasattr(air, "num_perms"):  # the sponge sizes by permutations
+            from .keccak_air import ROWS
+
+            if (1 << proofs[i].log_n) != ROWS * air.num_perms:
+                return False
+        elif (1 << proofs[i].log_n) != air.n:
+            return False
     return sv.verify_tables(airs, proofs)

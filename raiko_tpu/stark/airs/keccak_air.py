@@ -481,6 +481,15 @@ class KeccakSpongeV2Air(Air):
     aux_width = 8  # busacc_B (4), busacc_D (4) — exclusive prefixes
     num_aux_challenges = 4  # gamma_B, chi, gamma_D, gamma_T (shared set)
     num_bus_values = 3
+    # channel indices as class attributes so the sponge can be embedded
+    # in OTHER multi-table groups (the EVM keccak bridge, evm_air.py)
+    # under a remapped challenge/bus layout
+    CH_B = 0  # rate-block codes challenge (gamma_B)
+    CH_CHI = 1  # tuple-code geometric challenge
+    CH_D = 2  # digest codes challenge (gamma_D)
+    CH_T = 3  # byte-triple challenge (unused here; kept in the set)
+    BUS_B = 0  # bus index of the rate-block channel
+    BUS_D = 1  # bus index of the digest channel
 
     # fixed column indices (beyond the shared N_FIXED selector/RC set)
     F2_ABSORB = N_FIXED
@@ -614,9 +623,9 @@ class KeccakSpongeV2Air(Air):
         term is added to the accumulator AFTER `row`."""
         from .containment import MAX_BLOCKS, block_code, digest_code
 
-        gamma_b = challenges[0]
-        chi = challenges[1]
-        gamma_d = challenges[2]
+        gamma_b = challenges[self.CH_B]
+        chi = challenges[self.CH_CHI]
+        gamma_d = challenges[self.CH_D]
         layout = self._layout()
         denoms = []
         meta = []
@@ -666,7 +675,10 @@ class KeccakSpongeV2Air(Air):
         acc = [ef.H_ZERO, ef.H_ZERO]
         for _, chan, term in self._contributions(challenges):
             acc[chan] = ef.h_add(acc[chan], term)
-        return [acc[0], acc[1], ef.H_ZERO]
+        out = [ef.H_ZERO] * self.num_bus_values
+        out[self.BUS_B] = acc[0]
+        out[self.BUS_D] = acc[1]
+        return out
 
     def eval(self, b: ConstraintBuilder) -> None:
         from .containment import MAX_BLOCKS  # noqa: F401 (doc anchor)
@@ -739,10 +751,10 @@ class KeccakSpongeV2Air(Air):
         b.first_row_block(b.mul(A_rate, b.sub(A_rate, one)), RB)
 
         # -- rate-block / digest codes (vectorized bit_block_code) -------
-        chi_c = b.challenge_ef(1)
-        gamma_b = b.challenge_ef(0)
-        gamma_d = b.challenge_ef(2)
-        gamma_t = b.challenge_ef(3)
+        chi_c = b.challenge_ef(self.CH_CHI)
+        gamma_b = b.challenge_ef(self.CH_B)
+        gamma_d = b.challenge_ef(self.CH_D)
+        gamma_t = b.challenge_ef(self.CH_T)
 
         # absorbed-block bits: first -> A, absorb -> A xor A', restart -> A'
         xorb = xor(A_rate, nA_rate)
@@ -778,10 +790,14 @@ class KeccakSpongeV2Air(Air):
             b.transition(b.sub(prodD[c], sdig4[c]))
             b.first_row(accD[c])
         # bindings on the (pad-perm) last row
-        for c in range(4):
-            b.last_row(b.sub(accB[c], b.bus_coord(4 * 0 + c)))
-            b.last_row(b.sub(accD[c], b.bus_coord(4 * 1 + c)))
-            b.last_row(b.bus_coord(4 * 2 + c))
+        for i in range(self.num_bus_values):
+            for c in range(4):
+                if i == self.BUS_B:
+                    b.last_row(b.sub(accB[c], b.bus_coord(4 * i + c)))
+                elif i == self.BUS_D:
+                    b.last_row(b.sub(accD[c], b.bus_coord(4 * i + c)))
+                else:
+                    b.last_row(b.bus_coord(4 * i + c))
         # keep gamma_t in the challenge set (shared indices across tables)
         _ = gamma_t
 

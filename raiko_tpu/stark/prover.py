@@ -34,7 +34,7 @@ from ..fields import babybear as bb
 from ..fields import babybear_ext as ef
 from ..ops import merkle, ntt, poseidon2 as p2
 from . import fri
-from .air import Air, ConstraintBuilder
+from .air import Air, ConstraintBuilder, Probe
 from ..utils.measurement import Measurement
 from .channel import Channel
 from .domain import Domain
@@ -420,22 +420,11 @@ def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
     }
     shift = dom.shift
     n = dom.n
-
-    @jax.jit
-    def qfn(t_lde_, aux_lde_, chal_, bus_, fixed_m_, apows_, sinvp_, publics_dev):
-        fixed_lde = (
-            ntt.lde_from_coeffs(ntt.interpolate(fixed_m_), BLOWUP_LOG, shift)
-            if fixed_m_ is not None
-            else None
-        )
-        alg = _ProverAlgebra(
-            t_lde_, next_perm, publics_dev, fixed_lde, aux_lde_, chal_, bus_
-        )
+    def _eval_slice(alg, lo, hi, apows_, q_ef):
         builder = ConstraintBuilder(alg)
         air.eval(builder)
         sels = {k: jnp.asarray(v) for k, v in sels_np.items()}
-        q_ef = jnp.zeros((m, 4), dtype=jnp.uint32)
-        for con, pd in zip(builder.constraints, apows_):
+        for con, pd in zip(builder.constraints[lo:hi], apows_):
             if con.count == 1:
                 base_val = bb.mont_mul(con.expr, sels[con.kind])  # (m,)
                 q_ef = ef.ef_add(
@@ -445,6 +434,9 @@ def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
                 blk = bb.mont_mul(con.expr, sels[con.kind][None, :])  # (k, m)
                 contrib = bb.mont_mul(pd[:, None, :], blk[:, :, None])
                 q_ef = ef.ef_add(q_ef, _tree_sum_axis0(contrib))
+        return q_ef
+
+    def _finish(q_ef, sinvp_):
         # chunking: intt over the coset -> unshift -> nq chunks -> LDE+commit
         q_coeffs = bb.mont_mul(ntt.intt(q_ef.T), sinvp_)
         chunks = jnp.concatenate(
@@ -453,6 +445,85 @@ def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
         q_lde = ntt.lde_from_coeffs(chunks, BLOWUP_LOG, shift)
         q_levels = merkle.commit(p2.hash_rows(q_lde.T))
         return chunks, q_lde, q_levels
+
+    # Very wide AIRs with many distinct medium-sized constraint groups
+    # (the zkEVM CPU table: ~2000 columns, ~250 constraint groups) defeat
+    # both jit (XLA:CPU compiles the HLO for tens of MINUTES) and eager
+    # dispatch (~3 ms/op through jax's machinery).  Such AIRs opt in via
+    # `eager_quotient`: the constraint evaluation runs on the HOST with
+    # vectorized standard-form numpy (the debug checker's algebra —
+    # microsecond dispatch, exact modular arithmetic), and only the
+    # NTT / chunk-LDE / Merkle stages stay on device.
+    host_eval = bool(getattr(air, "eager_quotient", False))
+
+    if not host_eval:
+
+        @jax.jit
+        def qfn(t_lde_, aux_lde_, chal_, bus_, fixed_m_, apows_, sinvp_, publics_dev):
+            fixed_lde = (
+                ntt.lde_from_coeffs(ntt.interpolate(fixed_m_), BLOWUP_LOG, shift)
+                if fixed_m_ is not None
+                else None
+            )
+            alg = _ProverAlgebra(
+                t_lde_, next_perm, publics_dev, fixed_lde, aux_lde_, chal_, bus_
+            )
+            q_ef = jnp.zeros((m, 4), dtype=jnp.uint32)
+            q_ef = _eval_slice(alg, 0, None, apows_, q_ef)
+            return _finish(q_ef, sinvp_)
+
+        _QUOTIENT_STAGES[key] = qfn
+        return qfn
+
+    from .debug import _DebugAlgebra
+
+    _P64 = np.uint64(bb.P)
+    rinv = pow(bb.R, bb.P - 2, bb.P)
+    sels_std = {
+        k: (np.asarray(v, dtype=np.uint64) * np.uint64(rinv)) % _P64
+        for k, v in sels_np.items()
+    }
+
+    @jax.jit
+    def _fixed_stage(fixed_m_):
+        return ntt.lde_from_coeffs(ntt.interpolate(fixed_m_), BLOWUP_LOG, shift)
+
+    finish_jit = jax.jit(_finish)
+
+    def _std(x):
+        return np.asarray(bb.from_mont(x), dtype=np.uint64)
+
+    def qfn(t_lde_, aux_lde_, chal_, bus_, fixed_m_, apows_, sinvp_, publics_dev):
+        t_std = _std(t_lde_)
+        nxt = t_std[:, next_perm]
+        aux_std = _std(aux_lde_) if aux_lde_ is not None else np.zeros((0, m), np.uint64)
+        aux_nxt = aux_std[:, next_perm] if aux_std.shape[0] else aux_std
+        fixed_std = (
+            _std(_fixed_stage(fixed_m_)) if fixed_m_ is not None else np.zeros((0, m), np.uint64)
+        )
+        chal_std = _std(chal_).tolist() if chal_ is not None else []
+        bus_std = _std(bus_).tolist() if bus_ is not None else []
+        pub_std = _std(publics_dev).tolist()
+        alg = _DebugAlgebra(
+            t_std, nxt, fixed_std, aux_std, aux_nxt, pub_std, chal_std, bus_std
+        )
+        builder = ConstraintBuilder(alg)
+        air.eval(builder)
+        q = np.zeros((m, 4), dtype=np.uint64)
+        for con, pd in zip(builder.constraints, apows_):
+            pdd = _std(pd)  # (count, 4)
+            if con.count == 1:
+                bv = (np.asarray(con.expr, dtype=np.uint64) * sels_std[con.kind]) % _P64
+                q = (q + pdd[0][None, :] * bv[:, None]) % _P64
+            else:
+                blk = (
+                    np.asarray(con.expr, dtype=np.uint64)
+                    * sels_std[con.kind][None, :]
+                ) % _P64
+                contrib = (pdd[:, None, :] * blk[:, :, None]) % _P64
+                q = (q + contrib.sum(axis=0, dtype=np.uint64)) % _P64
+        q_m = bb.to_mont(jnp.asarray(q.astype(np.uint32)))
+        return finish_jit(q_m, sinvp_)
 
     _QUOTIENT_STAGES[key] = qfn
     return qfn

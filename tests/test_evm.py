@@ -287,3 +287,23 @@ def test_execution_tracer(tmp_path):
     plain.sign(KEY)
     r2 = execute_block_txs(st2, env(), [plain])
     assert r2.gas_used == 21000
+
+
+def test_sstore_original_resets_per_tx():
+    """EIP-2200 "original" is the committed value at the START OF EACH
+    TX: a second tx writing the same slot must see tx 1's result as its
+    original (regression: orig_storage used to persist block-wide)."""
+    st = fresh_state()
+    contract = b"\xc5" * 20
+    # runtime: PUSH1 5 PUSH0 SSTORE STOP  (stores 5 at slot 0)
+    st.set_code(contract, bytes([0x60, 0x05, 0x5F, 0x55, 0x00]))
+    b = env()
+    st.begin_tx()
+    r1 = execute_transaction(st, b, mktx(0, contract), SENDER)
+    st.begin_tx()
+    r2 = execute_transaction(st, b, mktx(1, contract), SENDER)
+    assert r1.success and r2.success
+    # tx1: cold slot, original 0 -> clean zero write: 20000 + 2100 + 2100?
+    # (cold sload is inside SSTORE's cold surcharge); tx2: original is
+    # now 5, writing 5 again -> noop: 100 + cold 2100
+    assert r1.gas_used - r2.gas_used == 20000 - 100

@@ -78,6 +78,95 @@ def full_coverage_program() -> bytes:
         0x58,                                     # PC
         0x5A,                                     # GAS
         0x01, 0x01, 0x01,                         # fold a few
+        # MUL / DIV / MOD / SIGNEXTEND / BYTE / shifts / CALLDATALOAD
+        ("push", 2, 0x0123),
+        0x02,                                     # MUL
+        ("push", 1, 7),
+        ("push", 2, 1234),
+        0x04,                                     # DIV (1234 / 7)
+        ("push", 32, (1 << 250) + 77),
+        0x06,                                     # MOD
+        ("push", 1, 0),
+        ("push", 2, 999),
+        0x06,                                     # MOD by zero -> 0
+        0x01,                                     # fold
+        ("push", 1, 0),
+        ("push", 2, 888),
+        0x04,                                     # DIV by zero -> 0
+        0x01,                                     # fold
+        ("push", 1, 0x80),
+        ("push", 1, 0),
+        0x0B,                                     # SIGNEXTEND (negative)
+        ("push", 1, 40),
+        0x0B,                                     # SIGNEXTEND k >= 32
+        0x01,                                     # fold
+        ("push", 32, (1 << 255) + 99),
+        ("push", 1, 3),
+        0x1A,                                     # BYTE (index 3)
+        ("push", 1, 40),
+        0x1A,                                     # BYTE (index 40 -> 0)
+        ("push", 1, 200),
+        0x1B,                                     # SHL by 200
+        ("push", 2, 300),
+        0x1C,                                     # SHR by 300 (>=256 -> 0)
+        ("push", 32, (1 << 256) - 5),
+        ("push", 1, 7),
+        0x1D,                                     # SAR (-5 >> 7 -> -1)
+        ("push", 1, 13),
+        0x1C,                                     # SHR by 13
+        ("push", 2, 257),
+        0x1D,                                     # SAR by >=256 (sign fill)
+        0x02,                                     # MUL
+        ("push", 1, 5),
+        0x35,                                     # CALLDATALOAD (in bounds)
+        ("push", 1, 60),
+        0x35,                                     # CALLDATALOAD (tail pad)
+        ("push", 2, 1000),
+        0x35,                                     # CALLDATALOAD (out of bounds)
+        0x01, 0x01, 0x01,                         # fold
+        # memory: aligned MSTORE/MLOAD, MSIZE, a fresh (zero) read
+        ("push", 1, 0x40),
+        0x52,                                     # MSTORE value at 0x40
+        0x59,                                     # MSIZE (96)
+        ("push", 1, 0x40),
+        0x51,                                     # MLOAD it back
+        0x01,                                     # fold
+        ("push", 2, 0x100),
+        0x51,                                     # MLOAD untouched word (0)
+        0x01,                                     # fold
+        # KECCAK256: two full words, a slack tail, and the empty hash
+        ("push", 1, 64),
+        ("push", 1, 0x40),
+        0x20,                                     # keccak(mem[0x40:0x80])
+        ("push", 1, 33),
+        ("push", 1, 0x40),
+        0x20,                                     # keccak, slack tail
+        0x01,                                     # fold
+        ("push", 1, 0),
+        ("push", 2, 0x200),
+        0x20,                                     # keccak of empty range
+        0x01,                                     # fold
+        # storage: cold/warm SLOAD + every SSTORE gas case
+        ("push", 1, 1),
+        0x54,                                     # SLOAD slot 1 (cold, 5)
+        ("push", 1, 1),
+        0x54,                                     # SLOAD slot 1 (warm)
+        0x01,                                     # fold
+        ("push", 1, 9),
+        ("push", 1, 2),
+        0x55,                                     # SSTORE slot 2: 0 -> 9 (clean zero, cold)
+        ("push", 1, 9),
+        ("push", 1, 2),
+        0x55,                                     # SSTORE slot 2: noop (warm)
+        ("push", 1, 4),
+        ("push", 1, 2),
+        0x55,                                     # SSTORE slot 2: dirty write
+        ("push", 1, 11),
+        ("push", 1, 3),
+        0x55,                                     # SSTORE slot 3: 7 -> 11 (clean nonzero, cold)
+        ("push", 1, 3),
+        0x54,                                     # SLOAD slot 3 (warm, 11)
+        0x50,                                     # POP
         # taken JUMPI
         ("push", 1, 1),
         ("pushlabel", "L1"),
@@ -106,22 +195,47 @@ ENV = ea.FrameEnv(
     number=19_000_000, prevrandao=(1 << 200) + 3, gaslimit=30_000_000,
     chainid=167, basefee=11, blobbasefee=1,
 )
+CALLDATA = bytes((7 * i + 3) & 0xFF for i in range(68))
+STORAGE = {1: 5, 2: 0, 3: 7}
+
+
+RET_CODE = asm(
+    0x3D,                        # RETURNDATASIZE (no calls -> 0)
+    0x50,                        # POP
+    ("push", 2, 0xABCD),
+    ("push", 1, 0),
+    0x52,                        # MSTORE at 0
+    ("push", 1, 33),
+    ("push", 1, 0),
+    0xF3,                        # RETURN mem[0:33]
+)
 
 
 @pytest.fixture(scope="module")
 def frame():
     code = full_coverage_program()
-    return ea.execute_frame(code, ENV, gas=200_000)
+    return ea.execute_frame(
+        code, ENV, gas=200_000, calldata=CALLDATA, storage=dict(STORAGE)
+    )
+
+
+@pytest.fixture(scope="module")
+def ret_frame():
+    return ea.execute_frame(RET_CODE, ENV, gas=50_000, calldata=CALLDATA)
 
 
 @pytest.fixture(scope="module")
 def challenges():
     rng = np.random.default_rng(42)
-    return [tuple(int(v) for v in rng.integers(1, bb.P, 4)) for _ in range(3)]
+    return [
+        tuple(int(v) for v in rng.integers(1, bb.P, 4))
+        for _ in range(ea.NUM_CHALLENGES)
+    ]
 
 
-def test_executor_covers_everything(frame):
+def test_executor_covers_everything(frame, ret_frame):
     names = {st.name for st in frame.steps}
+    names |= {st.name for st in ret_frame.steps}
     assert names == set(ea.FLAG_NAMES), set(ea.FLAG_NAMES) - names
     # interpreter cross-check on an arithmetic sub-program: the covered
     # executor and the full EVM interpreter must agree on gas and stack
@@ -133,7 +247,7 @@ def test_executor_covers_everything(frame):
             return None
 
         def storage(self, a, k):
-            return 0
+            return STORAGE.get(k, 0)
 
         def block_hash(self, n):
             return b"\x00" * 32
@@ -158,7 +272,7 @@ def test_executor_covers_everything(frame):
     )
     res = evm.call(
         ENV.caller.to_bytes(20, "big"), addr, ENV.callvalue,
-        b"\x00" * ENV.calldatasize, 200_000, transfers_value=False,
+        CALLDATA, 200_000, transfers_value=False,
     )
     assert res.success
     assert res.gas_left == frame.gas_f
@@ -166,12 +280,31 @@ def test_executor_covers_everything(frame):
 
 def test_constraints_and_bus_balance(frame, challenges):
     tables = ea.frame_tables(frame)
-    totals = [ef.H_ZERO, ef.H_ZERO]
+    # CPU/ROM/stack/calldata/RAM + storage + keccak bridge + sponge
+    assert len(tables) == 8
+    totals = [ef.H_ZERO] * 8
     for air, trace, publics in tables:
         assert check_constraints(air, trace, publics, challenges) == []
         for i, bv in enumerate(air.bus_values(trace, challenges)):
             totals[i] = ef.h_add(totals[i], bv)
     assert all(t == ef.H_ZERO for t in totals)
+
+
+def test_return_frame_constraints(ret_frame, challenges):
+    """A RETURN-halted frame satisfies every table (halting discipline,
+    expansion gas on the returned range) and balances the bus."""
+    assert ret_frame.steps[-1].name == "return"
+    tables = ea.frame_tables(ret_frame)
+    totals = [ef.H_ZERO] * 8
+    for air, trace, publics in tables:
+        assert check_constraints(air, trace, publics, challenges) == []
+        for i, bv in enumerate(air.bus_values(trace, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert all(t == ef.H_ZERO for t in totals)
+    # absolute gas: RETURNDATASIZE 2, POP 2, PUSH2 3, PUSH1 3,
+    # MSTORE 3+3 (one new word), PUSH1 3, PUSH1 3,
+    # RETURN 0+3 (grow 1 -> 2 words for the 33-byte range)
+    assert ret_frame.gas0 - ret_frame.gas_f == 2 + 2 + 3 + 3 + 6 + 3 + 3 + 3
 
 
 def test_tampered_add_result_caught(frame, challenges):
@@ -205,10 +338,9 @@ def test_wrong_rom_multiplicity_unbalances_bus(frame, challenges):
     rom, rom_trace, _ = tables[1]
     rom_trace = rom_trace.copy()
     rom_trace[0, ea.RM_MULT] += 1
-    totals = [ef.H_ZERO, ef.H_ZERO]
-    for (air, trace, publics), tr in zip(
-        tables, [tables[0][1], rom_trace, tables[2][1]]
-    ):
+    totals = [ef.H_ZERO] * 8
+    traces = [tables[0][1], rom_trace] + [t[1] for t in tables[2:]]
+    for (air, trace, publics), tr in zip(tables, traces):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
             totals[i] = ef.h_add(totals[i], bv)
     assert totals[0] != ef.H_ZERO  # fetch channel no longer balances
@@ -226,23 +358,234 @@ def test_stack_read_consistency_caught(frame, challenges):
 
 def test_uncovered_frame_rejected():
     with pytest.raises(ea.UncoveredFrame):
-        ea.execute_frame(bytes([0x60, 0x02, 0x60, 0x03, 0x02, 0x00]),
-                         ea.FrameEnv(), 10_000)  # MUL
+        ea.execute_frame(bytes([0x60, 0x02, 0x60, 0x03, 0x05, 0x00]),
+                         ea.FrameEnv(), 10_000)  # SDIV
     with pytest.raises(ea.UncoveredFrame):
         ea.execute_frame(bytes([0x50]), ea.FrameEnv(), 10_000)  # underflow
     with pytest.raises(ea.UncoveredFrame):
         ea.execute_frame(bytes([0x60, 0x00, 0x56]), ea.FrameEnv(), 10_000)
 
 
+def test_tampered_mul_caught(frame, challenges):
+    """Flipping a MUL result bit must break the schoolbook carry chain."""
+    cpu, trace, publics = ea.frame_tables(frame)[0]
+    trace = trace.copy()
+    rows = np.where(trace[:, ea.FLAG0 + ea.FLAG_IDX["mul"]] == 1)[0]
+    trace[rows[0], ea.C0 + 8] ^= 1
+    assert check_constraints(cpu, trace, publics, challenges)
+
+
+def test_tampered_div_caught(frame, challenges):
+    """A wrong DIV quotient breaks the q*b + r = a chain; an inflated
+    remainder (r >= b) breaks the borrow chain."""
+    cpu, trace, publics = ea.frame_tables(frame)[0]
+    rows = np.where(
+        (trace[:, ea.FLAG0 + ea.FLAG_IDX["div"]] == 1)
+        & (trace[:, ea.TAKEN] == 1)
+    )[0]
+    t1 = trace.copy()
+    t1[rows[0], ea.C0] ^= 1  # quotient off by one
+    assert check_constraints(cpu, t1, publics, challenges)
+    t2 = trace.copy()
+    t2[rows[0], ea.W0 + 200] = 1  # huge remainder
+    assert check_constraints(cpu, t2, publics, challenges)
+
+
+def test_tampered_shift_caught(frame, challenges):
+    """Flipping a SHR result bit must break the one-hot stage-2 equation;
+    moving the byte one-hot must break the amount binding."""
+    cpu, trace, publics = ea.frame_tables(frame)[0]
+    rows = np.where(
+        (trace[:, ea.FLAG0 + ea.FLAG_IDX["shr"]] == 1) & (trace[:, ea.TAKEN] == 0)
+    )[0]
+    t1 = trace.copy()
+    t1[rows[0], ea.C0 + 2] ^= 1
+    assert check_constraints(cpu, t1, publics, challenges)
+    t2 = trace.copy()
+    q = np.where(t2[rows[0], ea.OHQ0 : ea.OHQ0 + 32] == 1)[0][0]
+    t2[rows[0], ea.OHQ0 + q] = 0
+    t2[rows[0], ea.OHQ0 + ((q + 1) % 32)] = 1
+    assert check_constraints(cpu, t2, publics, challenges)
+
+
+def test_oob_calldataload_must_push_zero(frame, challenges):
+    """An out-of-bounds CALLDATALOAD row claiming a nonzero word fails."""
+    cpu, trace, publics = ea.frame_tables(frame)[0]
+    rows = np.where(
+        (trace[:, ea.FLAG0 + ea.FLAG_IDX["calldataload"]] == 1)
+        & (trace[:, ea.CARRY0 + 15] == 0)
+    )[0]
+    assert len(rows)
+    trace = trace.copy()
+    trace[rows[0], ea.C0 + 7] = 1
+    assert check_constraints(cpu, trace, publics, challenges)
+
+
+def test_fresh_memory_read_must_be_zero(frame, challenges):
+    """A first-access read row in the RAM table claiming a nonzero value
+    breaks the fresh-read rule (EVM memory is zero-initialized)."""
+    ram, trace, publics = ea.frame_tables(frame)[4]
+    rows = np.where(trace[:, ea.MR_FR] == 1)[0]
+    assert len(rows)
+    t = trace.copy()
+    t[rows[0], ea.MR_V0 + 11] = 1
+    assert check_constraints(ram, t, publics, challenges)
+
+
+def test_tampered_mload_value_unbalances_bus(frame, challenges):
+    """Changing the word an MLOAD pushes breaks the memory channel."""
+    tables = ea.frame_tables(frame)
+    cpu, trace, publics = tables[0]
+    t = trace.copy()
+    rows = np.where(t[:, ea.FLAG0 + ea.FLAG_IDX["mload"]] == 1)[0]
+    t[rows[0], ea.C0 + 1] ^= 1
+    totals = [ef.H_ZERO] * 8
+    traces = [t] + [tab[1] for tab in tables[1:]]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert totals[3] != ef.H_ZERO
+
+
+def test_memory_gas_and_msize_match_interpreter(frame):
+    """The covered executor's expansion-gas accounting is validated by
+    the interpreter gas cross-check in test_executor_covers_everything;
+    here spot-check the witness algebra on the trace."""
+    steps = [s for s in frame.steps if s.name in ("mload", "mstore")]
+    assert steps
+    for st in steps:
+        m_after = st.m_before + (st.grow and (st.d + 1))
+        assert m_after * m_after - st.m_before * st.m_before == (
+            512 * st.dq + st.r1 - st.r0
+        )
+
+
+def test_tampered_keccak_digest_unbalances_bus(frame, challenges):
+    """Changing the digest word a KECCAK256 pushes breaks the hash-call
+    channel between the CPU and the bridge table."""
+    tables = ea.frame_tables(frame)
+    cpu, trace, publics = tables[0]
+    t = trace.copy()
+    rows = np.where(t[:, ea.FLAG0 + ea.FLAG_IDX["keccak"]] == 1)[0]
+    assert len(rows) == 3
+    t[rows[0], ea.C0 + 5] ^= 1
+    totals = [ef.H_ZERO] * 8
+    traces = [t] + [tab[1] for tab in tables[1:]]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert totals[ea.BUS_KCALL] != ef.H_ZERO
+
+
+def test_tampered_hashed_byte_unbalances_bus(frame, challenges):
+    """Changing a hashed byte in the bridge breaks either the RAM channel
+    (word code) or the block channel (sponge absorb)."""
+    from raiko_tpu.stark.airs import evm_keccak as ek
+
+    tables = ea.frame_tables(frame)
+    bridge, btrace, _ = tables[6]
+    t = btrace.copy()
+    layout_rows = np.where(
+        (bridge.fixed_columns(bridge.n)[ek.KF_WORDROW] == 1)
+        & (bridge.fixed_columns(bridge.n)[ek.KF_HASH] == 1)
+    )[0]
+    r = layout_rows[0]
+    t[r, ek.KC_BYTE] ^= 1
+    t[r, ek.KC_BITS] ^= 1
+    totals = [ef.H_ZERO] * 8
+    traces = [tab[1] for tab in tables]
+    traces[6] = t
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert any(tot != ef.H_ZERO for tot in totals)
+
+
+def test_storage_constraints_and_tampering(frame, challenges):
+    """The storage journal catches wrong read values, wrong gas-case
+    flags, and a lied-about cold flag (bus imbalance vs the fixed col)."""
+    from raiko_tpu.stark.airs import evm_storage as es
+
+    tables = ea.frame_tables(frame)
+    stor, strace, spublics = tables[5]
+    assert isinstance(stor, es.EvmStorageAir)
+    assert check_constraints(stor, strace, spublics, challenges) == []
+    # wrong warm-read value (repeat row must copy previous value)
+    fx = stor.fixed_columns(stor.n)
+    rows = np.where((fx[es.SF_SA] == 1) & (strace[:, es.ST_IW] == 0))[0]
+    assert len(rows)
+    t1 = strace.copy()
+    t1[rows[0], es.ST_V0 + 3] ^= 1
+    assert check_constraints(stor, t1, spublics, challenges)
+    # wrong gas-case flag on a clean zero write (g2 -> g1)
+    wrows = np.where(strace[:, es.ST_G2] == 1)[0]
+    assert len(wrows)
+    t2 = strace.copy()
+    t2[wrows[0], es.ST_G2] = 0
+    t2[wrows[0], es.ST_G1] = 1
+    assert check_constraints(stor, t2, spublics, challenges)
+    # CPU lying about cold: channel imbalance against the fixed column
+    cpu, ctrace, _ = tables[0]
+    ct = ctrace.copy()
+    crows = np.where(
+        (ct[:, ea.FLAG0 + ea.FLAG_IDX["sload"]] == 1) & (ct[:, ea.SCOLD] == 1)
+    )[0]
+    assert len(crows)
+    ct[crows[0], ea.SCOLD] = 0  # claim warm -> cheaper gas, but...
+    totals = [ef.H_ZERO] * 8
+    traces = [ct] + [tab[1] for tab in tables[1:]]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert totals[ea.BUS_STOR] != ef.H_ZERO
+
+
+def test_storage_roundtrip():
+    """SLOAD/SSTORE frame through the real prover; tampering with the
+    public originals must be rejected."""
+    code = asm(
+        ("push", 1, 1), 0x54,          # SLOAD slot 1 -> 5
+        ("push", 1, 2), 0x55,          # SSTORE slot 2 <- 5
+        ("push", 1, 2), 0x54,          # SLOAD slot 2 -> 5
+        0x50,
+    )
+    ft = ea.execute_frame(
+        code, ENV, 80_000, calldata=CALLDATA, storage={1: 5, 2: 0}
+    )
+    payload = ea.prove_frame_trace(ft)
+    assert ea.verify_frame_payload(payload)
+    bad_groups = [list(g) for g in payload["storage"]]
+    bad_groups[0][1] = hex(6)  # different original
+    assert not ea.verify_frame_payload(dict(payload, storage=bad_groups))
+    assert not ea.verify_frame_payload(dict(payload, storage=[]))
+
+
+def test_wrong_calldata_word_unbalances_bus(frame, challenges):
+    """A calldata table built from different calldata can't balance the
+    calldata channel against the CPU's sends."""
+    tables = ea.frame_tables(frame)
+    other = bytearray(CALLDATA)
+    other[5] ^= 0xFF
+    bad_cd = ea.EvmCalldataAir(bytes(other))
+    totals = [ef.H_ZERO] * 8
+    for i, (air, trace, publics) in enumerate(tables):
+        air_use = bad_cd if i == 3 else air
+        for ch, bv in enumerate(air_use.bus_values(trace, challenges)):
+            totals[ch] = ef.h_add(totals[ch], bv)
+    assert totals[2] != ef.H_ZERO
+
+
 def test_prove_verify_roundtrip():
     """Small frame through the real multi-table prover; payload tampering
     must be rejected."""
     code = asm(
-        ("push", 1, 5), ("push", 1, 7), 0x01, 0x80, 0x14, 0x15,
+        ("push", 1, 5), ("push", 1, 7), 0x01, 0x80, 0x02,
+        ("push", 1, 0), 0x35, ("push", 1, 3), 0x1C,
+        0x14, 0x15,
         ("pushlabel", "end"), 0x57, 0x00,
         ("jumpdest", "end"), 0x33, 0x50,
     )
-    payload = ea.prove_frame(code, ENV, 50_000)
+    payload = ea.prove_frame(code, ENV, 50_000, calldata=CALLDATA)
     assert ea.verify_frame_payload(payload)
 
     bad = dict(payload, gas_f=payload["gas_f"] - 1)
@@ -257,6 +600,31 @@ def test_prove_verify_roundtrip():
     assert not ea.verify_frame_payload(dict(payload, env=bad_env))
 
     bad = dict(payload, accesses=payload["accesses"] + 1)
+    assert not ea.verify_frame_payload(bad)
+
+    other_cd = bytearray(CALLDATA)
+    other_cd[0] ^= 1  # the loaded word changes -> fixed root mismatch
+    bad = dict(payload, calldata=bytes(other_cd).hex())
+    assert not ea.verify_frame_payload(bad)
+
+
+def test_keccak_roundtrip():
+    """Minimal KECCAK256 frame through the real 7-table prover: store one
+    word, hash it, verify; digest tampering must be rejected."""
+    code = asm(
+        ("push", 2, 0xBEEF),
+        ("push", 1, 0x00),
+        0x52,                       # MSTORE at 0
+        ("push", 1, 32),
+        ("push", 1, 0x00),
+        0x20,                       # KECCAK256(mem[0:32])
+        0x50,                       # POP
+    )
+    payload = ea.prove_frame(code, ENV, 50_000, calldata=CALLDATA)
+    assert ea.verify_frame_payload(payload)
+    bad = dict(payload, keccak_calls=[[0, 31]])
+    assert not ea.verify_frame_payload(bad)
+    bad = dict(payload, keccak_calls=[])
     assert not ea.verify_frame_payload(bad)
 
 
