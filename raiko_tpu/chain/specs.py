@@ -145,7 +145,17 @@ class SupportedChainSpecs:
                 self._by_name[spec.name] = spec
 
     def get(self, name: str) -> ChainSpec:
-        return self._by_name[name]
+        try:
+            return self._by_name[name]
+        except KeyError:
+            # reference RaikoError::InvalidRequestConfig("unsupported
+            # network") — surfaces as a JSON error, not a raw 500
+            from ..core.interfaces import InvalidRequestConfig
+
+            raise InvalidRequestConfig(
+                f"unsupported network: {name!r} (supported: "
+                f"{', '.join(self._by_name)})"
+            ) from None
 
     def get_chain_spec_with_chain_id(self, chain_id: int) -> ChainSpec | None:
         for s in self._by_name.values():

@@ -17,6 +17,10 @@ class ProofType(str, Enum):
     TEE = "tee"
     TPU_STARK = "tpu_stark"
     TPU_SHARD = "tpu_shard"
+    # dispatch to another raiko-tpu host over the v2 API (the analog of
+    # the reference's Bonsai / SP1-network remote proving,
+    # provers/risc0/driver/src/bonsai.rs:195-226)
+    REMOTE = "remote"
 
     @classmethod
     def parse(cls, v: str) -> "ProofType":

@@ -23,6 +23,17 @@ _VERIFIER_OF = {
 }
 
 
+def _verifier_for(request: ProofRequest) -> str:
+    """Verifier address selector for the instance hash.  The remote
+    dispatcher proves with whatever backend the remote host runs, so its
+    local output check must use the INNER proof type's verifier."""
+    pt = request.proof_type.value
+    if pt == "remote":
+        inner = str(request.prover_args.get("remote_proof_type", "native"))
+        return _VERIFIER_OF.get(inner, "None")
+    return _VERIFIER_OF[pt]
+
+
 class Raiko:
     def __init__(
         self,
@@ -38,25 +49,28 @@ class Raiko:
     def get_output(self, guest_input: GuestInput) -> GuestOutput:
         header = calculate_block_header(guest_input)
         check_header(guest_input.block_header, header)
-        pi = ProtocolInstance.new(
-            guest_input, header, _VERIFIER_OF[self.request.proof_type.value]
-        )
+        pi = ProtocolInstance.new(guest_input, header, _verifier_for(self.request))
         return GuestOutput(header=header, hash=pi.instance_hash())
 
-    def prove(self, guest_input: GuestInput, output: GuestOutput, config=None) -> Proof:
-        from ..provers import run_prover
+    def prove(
+        self, guest_input: GuestInput, output: GuestOutput, config=None, ctx=None
+    ) -> Proof:
+        from ..provers import ProverCtx, run_prover
 
+        ctx = ctx or ProverCtx()
+        ctx.request = ctx.request or self.request
         return run_prover(
             self.request.proof_type,
             guest_input,
             output,
             config or {**self.request.prover_args},
+            ctx,
         )
 
-    def cancel(self, key) -> None:
+    def cancel(self, key, id_store=None) -> None:
         from ..provers import cancel_proof
 
-        cancel_proof(self.request.proof_type, key)
+        cancel_proof(self.request.proof_type, key, id_store)
 
 
 _HEADER_FIELDS = [

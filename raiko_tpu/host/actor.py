@@ -22,6 +22,7 @@ from ..core.orchestrator import Raiko
 from ..core.provider import get_task_data, provider_for
 from ..tasks import TaskDescriptor, TaskManager, TaskStatus
 from . import cache, metrics
+from .logs import MemStage
 
 
 @dataclass
@@ -71,6 +72,15 @@ class ProofActor:
         self.queue.put_nowait((key, request))
 
     def cancel(self, key: TaskDescriptor) -> bool:
+        # backend-specific cancel first (remote sessions via the IdStore,
+        # reference host/src/proof.rs Cancel message -> Raiko::cancel)
+        try:
+            from ..core.interfaces import ProofType
+            from ..provers import cancel_proof
+
+            cancel_proof(ProofType.parse(key.proof_system), key, self.tasks)
+        except Exception:
+            pass
         entry = self.running.get(key)
         if entry:
             entry["cancel"].set()
@@ -93,7 +103,7 @@ class ProofActor:
             cancel_ev = self.running[key]["cancel"]
             loop = asyncio.get_event_loop()
             proof = await loop.run_in_executor(
-                None, self._handle_proof, request, cancel_ev
+                None, self._handle_proof, request, cancel_ev, key
             )
             self.tasks.update_task_progress(
                 key, TaskStatus.SUCCESS, proof=proof
@@ -114,9 +124,15 @@ class ProofActor:
         finally:
             self.running.pop(key, None)
 
-    def _handle_proof(self, request: ProofRequest, cancel_ev) -> bytes:
+    def _handle_proof(self, request: ProofRequest, cancel_ev, key=None) -> bytes:
         """cache -> preflight -> output -> prove (ref :177-273)."""
         import json
+
+        from ..provers import ProverCtx
+
+        ctx = ProverCtx(
+            key=key, id_store=self.tasks, cancel_ev=cancel_ev, request=request
+        )
 
         t_total = time.perf_counter()
         block = str(request.block_number)
@@ -132,7 +148,8 @@ class ProofActor:
                 gi = None
             t0 = time.perf_counter()
             if gi is None:
-                gi = raiko.generate_input()
+                with MemStage("prepare_input"):
+                    gi = raiko.generate_input()
                 cache.set_input(
                     self.config.cache_dir, request.block_number, request.network, gi
                 )
@@ -141,14 +158,16 @@ class ProofActor:
             )
             if cancel_ev.is_set():
                 raise _Cancelled()
-            output = raiko.get_output(gi)
+            with MemStage("guest_execution"):
+                output = raiko.get_output(gi)
             if cancel_ev.is_set():
                 raise _Cancelled()
             guest = request.proof_type.value
             metrics.GUEST_PROOF_REQ_COUNT.labels(guest, block).inc()
             t0 = time.perf_counter()
             try:
-                proof = raiko.prove(gi, output)
+                with MemStage("prove"):
+                    proof = raiko.prove(gi, output, ctx=ctx)
                 metrics.GUEST_PROOF_SUCCESS_COUNT.labels(guest, block).inc()
                 metrics.GUEST_PROOF_TIME.labels(guest, block, "true").observe(
                     time.perf_counter() - t0

@@ -24,6 +24,7 @@ import base64
 import hashlib
 import hmac
 import json
+import logging
 
 from aiohttp import web
 
@@ -64,6 +65,7 @@ def create_app(actor: ProofActor) -> web.Application:
         app.router.add_get(f"{prefix}/proof/report", handle_v2_report)
         app.router.add_post(f"{prefix}/proof/prune", handle_v2_prune)
         app.router.add_get(f"{prefix}/docs/openapi.json", handle_openapi)
+        app.router.add_get(f"{prefix}/docs", handle_docs_ui)
     app.router.add_get("/health", handle_health)
     return app
 
@@ -73,7 +75,15 @@ async def _cors_middleware(request: web.Request, handler):
     if request.method == "OPTIONS":
         resp = web.Response()
     else:
-        resp = await handler(request)
+        try:
+            resp = await handler(request)
+        except web.HTTPException:
+            raise
+        except RaikoError as e:
+            resp = _err(e.kind, str(e), 500)
+        except Exception as e:  # ref HostError::Anyhow -> JSON error shape
+            logging.getLogger("raiko.http").exception("unhandled handler error")
+            resp = _err("unhandled", f"{type(e).__name__}: {e}", 500)
     resp.headers["Access-Control-Allow-Origin"] = "*"
     resp.headers["Access-Control-Allow-Headers"] = "authorization, content-type"
     return resp
@@ -242,6 +252,61 @@ async def handle_v2_prune(request: web.Request) -> web.Response:
 
 async def handle_openapi(request: web.Request) -> web.Response:
     return web.json_response(OPENAPI)
+
+
+async def handle_docs_ui(request: web.Request) -> web.Response:
+    """Interactive API docs at /v2/docs (reference serves Swagger +
+    Scalar UIs, api/v2/mod.rs:146-157).  Self-contained HTML — no CDN
+    assets, so it renders in air-gapped deployments — that fetches the
+    OpenAPI JSON and provides a try-it-out POST console per route."""
+    return web.Response(body=DOCS_HTML, content_type="text/html")
+
+
+DOCS_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>raiko-tpu API docs</title>
+<style>
+ body{font:15px/1.5 system-ui,sans-serif;margin:0;background:#f6f7f9;color:#1a1d21}
+ header{background:#101828;color:#fff;padding:18px 28px}
+ header h1{margin:0;font-size:20px} header p{margin:4px 0 0;color:#98a2b3}
+ main{max-width:900px;margin:24px auto;padding:0 16px}
+ .op{background:#fff;border:1px solid #e4e7ec;border-radius:8px;margin:12px 0;overflow:hidden}
+ .op>summary{padding:10px 14px;cursor:pointer;display:flex;gap:12px;align-items:center}
+ .m{font-weight:700;font-size:12px;padding:3px 10px;border-radius:4px;color:#fff;min-width:44px;text-align:center}
+ .m.get{background:#2e90fa}.m.post{background:#12b76a}
+ .path{font-family:ui-monospace,monospace}.sum{color:#667085}
+ .body{padding:12px 14px;border-top:1px solid #e4e7ec}
+ textarea{width:100%;box-sizing:border-box;font-family:ui-monospace,monospace;font-size:13px;min-height:84px}
+ button{background:#101828;color:#fff;border:0;border-radius:6px;padding:7px 16px;cursor:pointer;margin-top:6px}
+ pre{background:#101828;color:#d0ffd8;padding:10px;border-radius:6px;overflow:auto;max-height:320px;font-size:12.5px}
+</style></head><body>
+<header><h1 id="t">raiko-tpu</h1><p id="d"></p></header><main id="ops"></main>
+<script>
+fetch(document.location.pathname.replace(/\\/docs$/,'/docs/openapi.json'))
+ .then(r=>r.json()).then(spec=>{
+  document.getElementById('t').textContent=spec.info.title+' '+spec.info.version;
+  document.getElementById('d').textContent=spec.info.description||'';
+  const main=document.getElementById('ops');
+  for(const [path,methods] of Object.entries(spec.paths)){
+   for(const [method,op] of Object.entries(methods)){
+    const det=document.createElement('details');det.className='op';
+    det.innerHTML=`<summary><span class="m ${method}">${method.toUpperCase()}</span>`+
+     `<span class="path">${path}</span><span class="sum">${op.summary||''}</span></summary>`;
+    const body=document.createElement('div');body.className='body';
+    if(method==='post'){
+     const ta=document.createElement('textarea');ta.value='{}';body.appendChild(ta);
+     const b=document.createElement('button');b.textContent='Send';body.appendChild(b);
+     const pre=document.createElement('pre');pre.textContent='';body.appendChild(pre);
+     b.onclick=()=>fetch(path,{method:'POST',headers:{'content-type':'application/json'},body:ta.value})
+      .then(r=>r.text()).then(t=>{try{pre.textContent=JSON.stringify(JSON.parse(t),null,1)}catch(e){pre.textContent=t}});
+    }else{
+     const b=document.createElement('button');b.textContent='Send';body.appendChild(b);
+     const pre=document.createElement('pre');body.appendChild(pre);
+     b.onclick=()=>fetch(path).then(r=>r.text()).then(t=>{try{pre.textContent=JSON.stringify(JSON.parse(t),null,1)}catch(e){pre.textContent=t}});
+    }
+    det.appendChild(body);main.appendChild(det);
+   }}
+ });
+</script></body></html>"""
 
 
 OPENAPI = {

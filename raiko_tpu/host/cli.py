@@ -32,8 +32,15 @@ def parse_opts(argv=None) -> HostConfig:
     p.add_argument("--max-db-size", type=int, default=1_073_741_824)
     p.add_argument("--jwt-secret", default=None)
     p.add_argument("--log-level", default="info")
+    p.add_argument(
+        "--log-path",
+        default=None,
+        help="directory for rolling JSON-lines logs (ref host/src/bin/main.rs:31-58)",
+    )
     args = p.parse_args(argv)
-    logging.basicConfig(level=args.log_level.upper())
+    from .logs import init_logging
+
+    init_logging(args.log_level, args.log_path)
 
     file_cfg = {}
     if args.config_path:

@@ -11,13 +11,15 @@ Registry-dispatched (reference run_prover, core/src/interfaces.rs:168-222):
 """
 
 from ..core.interfaces import ProofType
-from .base import Prover, get_prover  # noqa: F401
+from .base import Prover, ProverCtx, get_prover  # noqa: F401
 
 
-def run_prover(proof_type: ProofType, guest_input, output, config: dict):
+def run_prover(
+    proof_type: ProofType, guest_input, output, config: dict, ctx=None
+):
     """Dispatch + append the KZG blob proof (ref interfaces.rs:170-222)."""
     prover = get_prover(proof_type)
-    proof = prover.run(guest_input, output, config)
+    proof = prover.run(guest_input, output, config, ctx)
     # append blob KZG data for on-chain blob verification (ref :207-219)
     taiko = guest_input.taiko
     if taiko.blob_commitment is not None and guest_input.chain_spec.is_taiko:
@@ -29,6 +31,6 @@ def run_prover(proof_type: ProofType, guest_input, output, config: dict):
     return proof
 
 
-def cancel_proof(proof_type: ProofType, key):
+def cancel_proof(proof_type: ProofType, key, id_store=None):
     prover = get_prover(proof_type)
-    prover.cancel(key)
+    prover.cancel(key, id_store)

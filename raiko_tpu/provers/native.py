@@ -16,7 +16,7 @@ from .base import Prover, register
 class NativeProver(Prover):
     proof_type = ProofType.NATIVE
 
-    def run(self, guest_input, output, config: dict) -> Proof:
+    def run(self, guest_input, output, config: dict, ctx=None) -> Proof:
         write_path = (config or {}).get("native", {}).get("write_guest_input_path")
         if write_path:
             os.makedirs(os.path.dirname(write_path) or ".", exist_ok=True)

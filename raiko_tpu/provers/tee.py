@@ -58,7 +58,7 @@ class TeeProver(Prover):
         return body + hashlib.sha256(body).digest()
 
     # -- proving ----------------------------------------------------------
-    def run(self, guest_input, output, config: dict) -> Proof:
+    def run(self, guest_input, output, config: dict, ctx=None) -> Proof:
         params = (config or {}).get("tee", (config or {}).get("sgx", {})) or {}
         if params.get("bootstrap"):
             info = self.bootstrap()

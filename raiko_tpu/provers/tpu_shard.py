@@ -26,6 +26,7 @@ from ..stark import prover as stark_prover
 from ..stark import verifier as stark_verifier
 from ..stark.airs.poseidon2_air import WIDTH, Poseidon2TranscriptAir
 from ..stark.serde import proof_from_dict, proof_to_dict
+from . import proof_cache
 from .base import Prover, register
 from .tpu_stark import NUM_BLOCKS, transcript_blocks
 
@@ -35,19 +36,24 @@ SHARD_BLOCKS = 2  # permutations per shard (power of two)
 class TpuShardProver(Prover):
     proof_type = ProofType.TPU_SHARD
 
-    def run(self, guest_input, output, config: dict) -> Proof:
+    def run(self, guest_input, output, config: dict, ctx=None) -> Proof:
         header = calculate_block_header(guest_input)
         pi = ProtocolInstance.new(guest_input, header, "SP1")
         ih = pi.instance_hash()
         if ih != output.hash:
             raise GuestError("instance hash mismatch in tpu_shard guest")
-        if (config or {}).get("recursion"):
+        config = config or {}
+        cached = proof_cache.load_proof(config, "tpu_shard", ih)
+        if cached is not None:
+            return Proof(proof=json.dumps(cached), input_hash="0x" + ih.hex())
+        if config.get("recursion"):
             payload = prove_sharded_recursive(ih)
         else:
             payload = prove_sharded(ih)
+        proof_cache.save_proof(config, "tpu_shard", ih, payload)
         return Proof(proof=json.dumps(payload), input_hash="0x" + ih.hex())
 
-    def cancel(self, key) -> None:
+    def cancel(self, key, id_store=None) -> None:
         pass
 
 

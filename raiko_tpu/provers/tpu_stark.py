@@ -32,6 +32,7 @@ from ..stark import prover as stark_prover
 from ..stark import verifier as stark_verifier
 from ..stark.airs.poseidon2_air import RATE, Poseidon2TranscriptAir
 from ..stark.serde import proof_from_dict, proof_to_dict
+from . import proof_cache
 from .base import Prover, register
 
 DOMAIN_TAG = 0x52545031  # "RTP1"
@@ -57,13 +58,18 @@ MAX_MPT_PERMS = 23  # keccak-batch trace budget: num_perms <= 32 (n = 1024)
 class TpuStarkProver(Prover):
     proof_type = ProofType.TPU_STARK
 
-    def run(self, guest_input, output, config: dict) -> Proof:
+    def run(self, guest_input, output, config: dict, ctx=None) -> Proof:
         collect: dict = {}
         header = calculate_block_header(guest_input, collect)
         pi = ProtocolInstance.new(guest_input, header, "RISC0")
         ih = pi.instance_hash()
         if ih != output.hash:
             raise GuestError("instance hash mismatch in tpu_stark guest")
+        # receipt cache (reference bonsai.rs:104-151): a prior proof of
+        # the same statement under the same config short-circuits proving
+        cached = proof_cache.load_proof(config, "tpu_stark", ih)
+        if cached is not None:
+            return Proof(proof=json.dumps(cached), input_hash="0x" + ih.hex())
         payload = prove_transcript(ih)
         v2 = int(config.get("mpt_version", 2)) >= 2
         if config.get("mpt_statement", True) and "state_trie" in collect:
@@ -111,12 +117,13 @@ class TpuStarkProver(Prover):
             )
             if evm is not None:
                 payload["evm"] = evm
+        proof_cache.save_proof(config, "tpu_stark", ih, payload)
         return Proof(
             proof=json.dumps(payload),
             input_hash="0x" + ih.hex(),
         )
 
-    def cancel(self, key) -> None:  # local proving; nothing to cancel
+    def cancel(self, key, id_store=None) -> None:  # local proving
         pass
 
 

@@ -167,6 +167,17 @@ def test_root_mount_and_openapi(server):
     assert rep.status_code == 200
 
 
+def test_docs_ui(server):
+    """Interactive docs page (reference Swagger/Scalar UI analog,
+    api/v2/mod.rs:146-157) served at /v2/docs and the root mount."""
+    base, _ = server
+    for path in ("/v2/docs", "/docs"):
+        r = requests.get(f"{base}{path}", timeout=10)
+        assert r.status_code == 200
+        assert "text/html" in r.headers["Content-Type"]
+        assert "openapi.json" in r.text
+
+
 def test_cancel_endpoint(server):
     base, _ = server
     r = requests.post(

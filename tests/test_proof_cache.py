@@ -1,0 +1,91 @@
+"""Proof/receipt disk cache (reference bonsai.rs:104-151 analog):
+hit on identical (statement version, instance hash, config), miss on
+config change, rejection of entries bound to the wrong instance."""
+
+import json
+
+from raiko_tpu.provers import proof_cache
+from raiko_tpu.utils import keccak256
+
+IH = keccak256(b"instance")
+
+
+def _cfg(tmp_path, **kw):
+    return {"proof_cache": str(tmp_path), **kw}
+
+
+def test_roundtrip_and_config_invalidation(tmp_path):
+    cfg = _cfg(tmp_path, max_evm_frames=2)
+    payload = {"kind": "x", "stark": [1, 2, 3]}
+    assert proof_cache.load_proof(cfg, "tpu_stark", IH) is None
+    proof_cache.save_proof(cfg, "tpu_stark", IH, payload)
+    assert proof_cache.load_proof(cfg, "tpu_stark", IH) == payload
+    # statement-shaping config change -> different label -> miss
+    cfg2 = _cfg(tmp_path, max_evm_frames=8)
+    assert proof_cache.load_proof(cfg2, "tpu_stark", IH) is None
+    # different proof system -> miss
+    assert proof_cache.load_proof(cfg, "tpu_shard", IH) is None
+    # different instance -> miss
+    assert proof_cache.load_proof(cfg, "tpu_stark", keccak256(b"other")) is None
+
+
+def test_disabled_without_config(tmp_path):
+    proof_cache.save_proof({}, "tpu_stark", IH, {"a": 1})
+    assert proof_cache.load_proof({}, "tpu_stark", IH) is None
+
+
+def test_wrong_instance_binding_rejected(tmp_path):
+    """A tampered cache file claiming a different instance is not served
+    (the reference re-decodes the receipt journal on load)."""
+    cfg = _cfg(tmp_path)
+    proof_cache.save_proof(cfg, "tpu_stark", IH, {"a": 1})
+    label = proof_cache.proof_label("tpu_stark", IH, cfg)
+    path = tmp_path / (label + ".json")
+    entry = json.loads(path.read_text())
+    entry["instance_hash"] = keccak256(b"mallory").hex()
+    path.write_text(json.dumps(entry))
+    assert proof_cache.load_proof(cfg, "tpu_stark", IH) is None
+
+
+def test_corrupt_entry_is_miss(tmp_path):
+    cfg = _cfg(tmp_path)
+    proof_cache.save_proof(cfg, "tpu_stark", IH, {"a": 1})
+    label = proof_cache.proof_label("tpu_stark", IH, cfg)
+    (tmp_path / (label + ".json")).write_text("{not json")
+    assert proof_cache.load_proof(cfg, "tpu_stark", IH) is None
+
+
+def test_prover_short_circuits_on_hit(tmp_path, monkeypatch):
+    """End-to-end through TpuShardProver.run: a cached payload is
+    returned without re-proving."""
+    from raiko_tpu.core.interfaces import Proof
+    from raiko_tpu.provers import tpu_shard
+
+    class _GI:
+        pass
+
+    class _Out:
+        hash = IH
+
+    # pre-seed the cache; stub the header/instance pipeline so run()
+    # reaches the cache check without a full block
+    cfg = {"proof_cache": str(tmp_path)}
+    seeded = {"kind": "poseidon2-transcript-sharded-v1", "seeded": True}
+    proof_cache.save_proof(cfg, "tpu_shard", IH, seeded)
+    monkeypatch.setattr(tpu_shard, "calculate_block_header", lambda gi: "H")
+
+    class _PI:
+        def instance_hash(self):
+            return IH
+
+    monkeypatch.setattr(
+        tpu_shard.ProtocolInstance, "new", staticmethod(lambda gi, h, v: _PI())
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("prover ran despite cache hit")
+
+    monkeypatch.setattr(tpu_shard, "prove_sharded", _boom)
+    proof = tpu_shard.TpuShardProver().run(_GI(), _Out(), cfg)
+    assert isinstance(proof, Proof)
+    assert json.loads(proof.proof)["seeded"] is True
