@@ -50,8 +50,12 @@ def main() -> None:
     backend = jax.default_backend()
     rng = np.random.default_rng(7)
 
-    def diff_time(fn, x0, r1=5, r2=55):
-        """Device seconds per fn application, fixed per-call costs cancelled."""
+    def diff_time(fn, x0, r1=5, r2=205, trials=5):
+        """Device seconds per fn application, fixed per-call costs
+        cancelled.  The relay's per-call cost VARIES run to run (measured
+        std ~±12% at r2-r1=50), so the chain delta is long (200) to
+        shrink that noise and the measurement repeats `trials` times;
+        returns (median, spread dict)."""
 
         def total(r):
             @jax.jit
@@ -67,20 +71,24 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        return (total(r2) - total(r1)) / (r2 - r1)
+        samples = sorted(
+            (total(r2) - total(r1)) / (r2 - r1) for _ in range(trials)
+        )
+        med = samples[len(samples) // 2]
+        return med, {"min": samples[0], "max": samples[-1], "n": trials}
 
     # ---- headline: NTT butterflies/s ---------------------------------
     batch, log_n = 64, 14
     n = 1 << log_n
     x = bb.to_mont(jnp.asarray(rng.integers(0, bb.P, (batch, n), np.uint32)))
-    dt = diff_time(nttmod.ntt_fourstep, x)
+    dt, ntt_spread = diff_time(nttmod.ntt_fourstep, x)
     butterflies = batch * (n // 2) * log_n
     ntt_rate = butterflies / dt
 
     # ---- secondary: Poseidon2 permutations/s --------------------------
     pbatch = 1 << 14
     state = bb.to_mont(jnp.asarray(rng.integers(0, bb.P, (pbatch, 16), np.uint32)))
-    p2_rate = pbatch / diff_time(p2.permute, state)
+    p2_rate = pbatch / diff_time(p2.permute, state, trials=3)[0]
 
     # ---- secondary: keccak-f permutations/s ---------------------------
     from raiko_tpu.ops.keccak import keccak_f1600_batch
@@ -89,7 +97,7 @@ def main() -> None:
     kstate = jnp.asarray(
         rng.integers(0, 2**32, (kbatch, 25, 2), dtype=np.uint32).astype(np.uint32)
     )
-    keccak_rate = kbatch / diff_time(keccak_f1600_batch, kstate)
+    keccak_rate = kbatch / diff_time(keccak_f1600_batch, kstate, trials=3)[0]
 
     # ---- secondary: blob KZG commitment (4096-pt BLS12-381 MSM) -------
     # Pallas EC adds + 3-phase segmented scan (BASELINE.md); the output is
@@ -164,6 +172,16 @@ def main() -> None:
                 "vs_baseline": round(ntt_rate / NTT_BASELINE, 3),
                 "backend": backend,
                 "config": {"batch": batch, "log_n": log_n},
+                # relay noise bars: min/max butterflies/s over the trials
+                "spread": {
+                    "butterflies_per_s_min": round(
+                        butterflies / ntt_spread["max"]
+                    ),
+                    "butterflies_per_s_max": round(
+                        butterflies / ntt_spread["min"]
+                    ),
+                    "trials": ntt_spread["n"],
+                },
                 "secondary": {
                     "poseidon2_perms_per_s": round(p2_rate),
                     "keccak_f1600_per_s": round(keccak_rate),

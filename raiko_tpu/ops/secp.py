@@ -218,17 +218,29 @@ def recover_pubkeys_batch(
     padded = live + [dummy] * (bsz - len(live))
 
     table = np.zeros((bsz, 4, 3, NLIMBS), dtype=np.uint32)
-    table[:, 0] = np.asarray(identity(()))
+    table[:, 0, 1] = FP.to_mont_int(1)  # ∞, built host-side (no dispatch)
     neg_g = make_point(*_NEG_G)
     for i, ln in enumerate(padded):
         table[i, 1] = make_point(*ln["R"])
         table[i, 2] = neg_g
-    tdev = jnp.asarray(table)
-    t3 = add(tdev[:, 1], tdev[:, 2])  # R - G per lane, one batched add
-    tdev = tdev.at[:, 3].set(t3)
-    bits1 = jnp.asarray(_bits_msb([ln["u1"] for ln in padded]))
-    bits2 = jnp.asarray(_bits_msb([ln["u2"] for ln in padded]))
-    q = np.asarray(_shamir(tdev, bits1, bits2))
+    bits1 = _bits_msb([ln["u1"] for ln in padded])
+    bits2 = _bits_msb([ln["u2"] for ln in padded])
+    # ONE device dispatch: the table-completion add (entry 3 = R - G) and
+    # the whole ladder fuse into a single jitted launch — through the TPU
+    # relay each dispatch costs ~0.1-0.5 s fixed, which used to dwarf the
+    # ~2-10 ms of actual device work (BASELINE.md ecrecover analysis)
+    if jax.default_backend() == "tpu":
+        # VMEM-resident Pallas ladder (ops/secp_pallas.py): the whole
+        # 256-iteration chain at ALU speed; bit-exact with _shamir
+        q = np.asarray(
+            _recover_launch_tpu(jnp.asarray(table), jnp.asarray(bits1 + 2 * bits2))
+        )
+    else:
+        q = np.asarray(
+            _recover_launch_xla(
+                jnp.asarray(table), jnp.asarray(bits1), jnp.asarray(bits2)
+            )
+        )
 
     out: list[tuple[int, int] | None] = []
     li = 0
@@ -239,6 +251,24 @@ def recover_pubkeys_batch(
             out.append(to_affine(q[li]))
             li += 1
     return out
+
+
+@jax.jit
+def _recover_launch_tpu(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Complete the window table (entry 3 = R + (-G)) and run the Pallas
+    ladder in one compiled launch."""
+    from . import secp_pallas
+
+    table = table.at[:, 3].set(add(table[:, 1], table[:, 2]))
+    return secp_pallas.shamir_ladder(table, idx)
+
+
+@jax.jit
+def _recover_launch_xla(
+    table: jax.Array, bits1: jax.Array, bits2: jax.Array
+) -> jax.Array:
+    table = table.at[:, 3].set(add(table[:, 1], table[:, 2]))
+    return _shamir(table, bits1, bits2)
 
 
 def use_device_recovery() -> bool:
