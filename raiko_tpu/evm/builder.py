@@ -168,6 +168,14 @@ def calculate_block_header(
         )
         # top-level call-frame candidates for the EVM execution STARK
         collect["frames"] = frame_log
+        # UNMUTATED pre-state tries (finalize mutates the clones above):
+        # the prestate-binding statement proves storage originals against
+        # these (provers/prestate.py)
+        collect["parent_state_trie"] = input.parent_state_trie
+        collect["parent_storage"] = {
+            bytes(addr): trie for addr, (trie, _) in input.parent_storage.items()
+        }
+        collect["parent_header"] = input.parent_header
 
     new_header = BlockHeader(
         parent_hash=header.parent_hash,

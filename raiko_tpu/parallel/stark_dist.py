@@ -66,3 +66,56 @@ def make_trace_commit_dist(mesh: Mesh, axis: str = "d"):
         return shmapped(tm)
 
     return run
+
+
+def make_commit_cols_dist(mesh: Mesh, axis: str = "d"):
+    """Mesh-sharded drop-in for the production prover's ``_commit_cols``
+    (stark/prover.py): same (coeffs, lde, levels) outputs BIT-EXACT, with
+    the round-2 dryrun plan now carrying the real statement:
+
+      column-parallel iNTT + coset LDE (shard_map, fully local NTTs)
+        -> reshard (GSPMD transpose)
+        -> row-parallel Poseidon2 leaf hashing (shard_map)
+        -> Merkle fold (XLA-partitioned; top levels are tiny).
+
+    Column counts that don't divide the mesh are zero-padded for the NTT
+    stage and sliced back before hashing, so roots match the single-chip
+    path exactly.  Activated through stark.prover.set_mesh()."""
+    import functools
+
+    ndev = mesh.shape[axis]
+
+    @functools.partial(jax.jit, static_argnames=("shift",))
+    def commit(cols_m: jax.Array, shift: int):
+        k, n = cols_m.shape
+        pad = (-k) % ndev
+        cp = jnp.pad(cols_m, ((0, pad), (0, 0)))
+        cp = jax.lax.with_sharding_constraint(
+            cp, NamedSharding(mesh, P(axis, None))
+        )
+
+        def loc_lde(c):
+            coeffs = nttmod.interpolate(c)
+            return coeffs, nttmod.lde_from_coeffs(coeffs, BLOWUP_LOG, shift)
+
+        coeffs_p, lde_p = shard_map(
+            loc_lde,
+            mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_rep=False,
+        )(cp)
+        coeffs, lde = coeffs_p[:k], lde_p[:k]
+        rows = jax.lax.with_sharding_constraint(
+            lde.T, NamedSharding(mesh, P(axis, None))
+        )
+        leaves = shard_map(
+            p2.hash_rows,
+            mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=P(axis, None),
+            check_rep=False,
+        )(rows)
+        return coeffs, lde, merkle.commit(leaves)
+
+    return commit

@@ -1,19 +1,25 @@
 """Shard-parallel TPU-STARK backend (the SP1-analog).
 
-The transcript is split at permutation boundaries into S shards; each
-shard is an independent STARK over the same Poseidon2 AIR, started from
-the sponge state its predecessor exposes (full 16-lane boundary publics).
-The aggregate proof = S shard proofs + the boundary states; verification
-checks every shard proof plus the continuity chain
+Round 3: the shards carry the REAL block statement.  The block proof
+decomposes into independent prove_tables workloads — the SP1 shard model
+(reference docs/README_Sp1.md SHARD_SIZE semantics, SURVEY.md §2.3(d)):
 
-    shard[i].final_state == shard[i+1].initial_state
-    shard[0].initial_state == 0, shard[S-1] digest == claimed digest.
+  - the Poseidon2 transcript binding of the instance hash, itself split
+    at permutation boundaries into continuity-chained sub-shards (full
+    16-lane boundary publics), optionally collapsed by recursive
+    aggregation (stark/recursion.py);
+  - each trie-containment DAG (post-state, tx, receipts) and the
+    ancestor-chain statement;
+  - each covered EVM execution frame (the dominant parallel axis on
+    real blocks: one shard per transaction frame);
+  - the pre-state binding's keccak-path statement.
 
-This is exactly SP1's shard model (reference docs/README_Sp1.md SHARD_SIZE
-semantics, SURVEY.md §2.3(d)): shards are independent proving tasks, so
-they scale across chips — the multi-chip dispatch lives in
-raiko_tpu/parallel (each shard's prove is a self-contained device
-workload)."""
+Shards are dispatched concurrently (config ``shard_workers``); each is a
+self-contained device workload, so on a multi-chip system shards map to
+chips — and ``stark.prover.set_mesh`` additionally shards every
+commitment INSIDE a shard across the mesh (parallel/stark_dist.py).
+Verification = per-shard verification + the same cross-slot bindings as
+the tpu_stark payload."""
 
 from __future__ import annotations
 
@@ -37,7 +43,8 @@ class TpuShardProver(Prover):
     proof_type = ProofType.TPU_SHARD
 
     def run(self, guest_input, output, config: dict, ctx=None) -> Proof:
-        header = calculate_block_header(guest_input)
+        collect: dict = {}
+        header = calculate_block_header(guest_input, collect)
         pi = ProtocolInstance.new(guest_input, header, "SP1")
         ih = pi.instance_hash()
         if ih != output.hash:
@@ -46,10 +53,7 @@ class TpuShardProver(Prover):
         cached = proof_cache.load_proof(config, "tpu_shard", ih)
         if cached is not None:
             return Proof(proof=json.dumps(cached), input_hash="0x" + ih.hex())
-        if config.get("recursion"):
-            payload = prove_sharded_recursive(ih)
-        else:
-            payload = prove_sharded(ih)
+        payload = prove_block_sharded(ih, header, collect, config)
         proof_cache.save_proof(config, "tpu_shard", ih, payload)
         return Proof(proof=json.dumps(payload), input_hash="0x" + ih.hex())
 
@@ -180,6 +184,138 @@ def verify_sharded(payload: dict) -> bool:
         if sp.publics != air.publics_for(boundaries[i + 1]):
             return False
         if not stark_verifier.verify(air, sp):
+            return False
+    return True
+
+
+def prove_block_sharded(
+    ih: bytes, header, collect: dict, config: dict
+) -> dict:
+    """Prove the block statement as independent shards dispatched over a
+    thread pool (each shard = one prove_tables device workload)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..stark.airs import evm_air as ea
+    from . import tpu_stark as ts
+
+    workers = max(1, int(config.get("shard_workers", 4)))
+    recursion = bool(config.get("recursion"))
+
+    tasks: dict = {}
+    if recursion:
+        tasks["transcript"] = lambda: prove_sharded_recursive(ih)
+    else:
+        tasks["transcript"] = lambda: prove_sharded(ih)
+    if config.get("mpt_statement", True) and "state_trie" in collect:
+        tasks["mpt"] = lambda: ts.prove_mpt_containment(
+            collect["state_trie"],
+            header.state_root,
+            storage_tries=collect.get("storage_tries"),
+        )
+    if config.get("body_statement", True) and "tx_trie" in collect:
+        from ..mpt.trie import hashed_preimages
+
+        if hashed_preimages(collect["tx_trie"]):
+            tasks["tx_mpt"] = lambda: ts.prove_mpt_containment(
+                collect["tx_trie"], header.transactions_root
+            )
+        if hashed_preimages(collect["receipts_trie"]):
+            tasks["receipts_mpt"] = lambda: ts.prove_mpt_containment(
+                collect["receipts_trie"], header.receipts_root
+            )
+    if config.get("chain_statement", True) and collect.get("header_chain"):
+        tasks["chain"] = lambda: ts.prove_header_chain(collect["header_chain"])
+
+    # EVM frames: replay serially (host work), prove each as a shard
+    frame_traces = []
+    candidates = collect.get("frames") or []
+    max_frames = int(config.get("max_evm_frames", 64))
+    max_steps = int(config.get("max_evm_steps", 65536))
+    if config.get("evm_statement", True):
+        for cand in candidates:
+            if len(frame_traces) == max_frames:
+                break
+            if not cand.get("success") or cand["gas"] >= 1 << 32:
+                continue
+            code = cand["code"]
+            env = ea.FrameEnv(
+                codesize=len(code),
+                **{
+                    k: int(cand.get(k, 0))
+                    for k in ea.ENV_OPS
+                    if k != "codesize"
+                },
+            )
+            try:
+                ft = ea.execute_frame(
+                    code,
+                    env,
+                    int(cand["gas"]),
+                    max_steps,
+                    calldata=cand.get("calldata"),
+                    storage=cand.get("storage"),
+                    warm_slots=set(cand.get("warm_slots", ())),
+                )
+            except ea.UncoveredFrame:
+                continue
+            if ft.gas_f != cand["gas_left"]:
+                continue
+            frame_traces.append(ft)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = {k: ex.submit(fn) for k, fn in tasks.items()}
+        frame_futs = [
+            ex.submit(ea.prove_frame_trace, ft) for ft in frame_traces
+        ]
+        payload: dict = {
+            "kind": "block-sharded-v1",
+            "instance_hash": ih.hex(),
+            "transcript": futs.pop("transcript").result(),
+        }
+        for k, fut in futs.items():
+            payload[k] = fut.result()
+        frames = [f.result() for f in frame_futs]
+    if frames:
+        payload["evm"] = {
+            "kind": "evm-frames-v1",
+            "total": len(candidates),
+            "covered": len(frames),
+            "frames": frames,
+        }
+        if "chain" in payload and any(f.get("storage") for f in frames):
+            from .prestate import prove_prestate
+
+            pre = prove_prestate(collect)
+            if pre is not None:
+                payload["prestate"] = pre
+    payload["shards"] = 1 + len(futs) + len(frames)
+    return payload
+
+
+def verify_block_sharded(payload: dict) -> bool:
+    """Per-shard verification + the tpu_stark cross-slot bindings."""
+    from . import tpu_stark as ts
+
+    if payload.get("kind") != "block-sharded-v1":
+        return False
+    ts_payload = payload.get("transcript") or {}
+    ih_hex = payload.get("instance_hash")
+    if ts_payload.get("instance_hash") != ih_hex:
+        return False
+    if ts_payload.get("kind") == "poseidon2-transcript-sharded-recursive-v1":
+        if not verify_sharded_recursive(ts_payload):
+            return False
+    elif not verify_sharded(ts_payload):
+        return False
+    for slot in ("mpt", "tx_mpt", "receipts_mpt", "chain"):
+        if slot in payload and not ts.verify_mpt_v2_payload(payload[slot]):
+            return False
+    if "evm" in payload:
+        if not ts.verify_evm_frames_payload(payload["evm"]):
+            return False
+        from .prestate import verify_prestate_binding
+
+        if not verify_prestate_binding(payload):
             return False
     return True
 

@@ -112,11 +112,22 @@ class TpuStarkProver(Prover):
         if config.get("evm_statement", True) and collect.get("frames"):
             evm = prove_evm_frames(
                 collect["frames"],
-                max_frames=int(config.get("max_evm_frames", 2)),
-                max_steps=int(config.get("max_evm_steps", 4096)),
+                max_frames=int(config.get("max_evm_frames", 64)),
+                max_steps=int(config.get("max_evm_steps", 65536)),
             )
             if evm is not None:
                 payload["evm"] = evm
+                # bind the frames' storage originals to the parent state
+                # (provers/prestate.py); requires the chain statement for
+                # the parent-header anchor
+                if "chain" in payload and any(
+                    f.get("storage") for f in evm["frames"]
+                ):
+                    from .prestate import prove_prestate
+
+                    pre = prove_prestate(collect)
+                    if pre is not None:
+                        payload["prestate"] = pre
         proof_cache.save_proof(config, "tpu_stark", ih, payload)
         return Proof(
             proof=json.dumps(payload),
@@ -144,7 +155,7 @@ def prove_transcript(instance_hash: bytes) -> dict:
 
 
 def prove_mpt_preimages(
-    state_trie, state_root: bytes, storage_tries=None, max_chunks: int = 4
+    state_trie, state_root: bytes, storage_tries=None, max_chunks: int | None = None
 ) -> dict:
     """Batched keccak-sponge STARKs over the post-state tries' hashed node
     preimages (reference analog: the keccak calls of calculate_state_root,
@@ -182,12 +193,12 @@ def prove_mpt_preimages(
         if cur and perms + need > MAX_MPT_PERMS:
             chunks.append(cur)
             cur, perms = [], 0
-            if len(chunks) == max_chunks:
+            if max_chunks is not None and len(chunks) == max_chunks:
                 break
         cur.append(m)
         perms += need
         blob += m
-    if cur and len(chunks) < max_chunks:
+    if cur and (max_chunks is None or len(chunks) < max_chunks):
         chunks.append(cur)
     covered = sum(len(c) for c in chunks)
     msgs = [m for c in chunks for m in c]
@@ -210,13 +221,61 @@ def prove_mpt_preimages(
     }
 
 
+def prove_keccak_batch_public(msgs: list[bytes], root: bytes) -> dict:
+    """keccak-mpt-v1 proof over an EXPLICIT containment-ordered message
+    list (no budget drops): digest 0 must equal `root` and every later
+    digest must appear in an earlier message.  Used by the prestate
+    binding (provers/prestate.py) for MPT path nodes."""
+    from ..stark.airs.keccak_air import RATE_BYTES, KeccakBatchSpongeAir
+    from ..utils import keccak256
+
+    assert msgs and keccak256(msgs[0]) == root
+    blob = b""
+    for m in msgs:
+        assert not blob or keccak256(m) in blob, "messages not containment-ordered"
+        blob += m
+    chunks: list[list[bytes]] = []
+    cur: list[bytes] = []
+    perms = 0
+    for m in msgs:
+        need = len(m) // RATE_BYTES + 1
+        if cur and perms + need > MAX_MPT_PERMS:
+            chunks.append(cur)
+            cur, perms = [], 0
+        cur.append(m)
+        perms += need
+    if cur:
+        chunks.append(cur)
+    starks = []
+    digests: list[bytes] = []
+    for chunk in chunks:
+        air = KeccakBatchSpongeAir(chunk)
+        digests.extend(air.digests)
+        starks.append(
+            proof_to_dict(stark_prover.prove(air, air.trace(), air.publics()))
+        )
+    return {
+        "kind": "keccak-mpt-v1",
+        "state_root": root.hex(),
+        "messages": [m.hex() for m in msgs],
+        "digests": [d.hex() for d in digests],
+        "chunk_sizes": [len(c) for c in chunks],
+        "covered": len(msgs),
+        "total": len(msgs),
+        "stark_chunks": starks,
+    }
+
+
 PERMS_PER_CHUNK = 23  # sponge trace n = 1024 per chunk
 
 
 def _collect_preimages(state_trie, state_root, storage_tries=None):
-    """DFS-ordered keccak preimages with containment-aware packing (v1
-    semantics): a message is kept only if an earlier kept message
-    references its digest, capped at MAX_MSGS."""
+    """DFS-ordered keccak preimages with containment-aware packing.
+    Round 3: UNCAPPED message count (the chi-tuple triple code removed
+    the 256-message packing limit; MAX_MSGS is now 2^16, far above any
+    real block's trie slice).  Only pathological >8704-byte preimages
+    (beyond any legal MPT node) are skipped, explicitly counted by the
+    covered/total fields."""
     from ..mpt.trie import hashed_preimages
     from ..stark.airs.containment import MAX_BLOCKS, MAX_MSGS, RATE_BYTES
     from ..utils import keccak256
@@ -352,7 +411,7 @@ def _prove_containment(
 
 
 def prove_evm_frames(
-    candidates: list[dict], max_frames: int = 2, max_steps: int = 4096
+    candidates: list[dict], max_frames: int = 64, max_steps: int = 65536
 ) -> dict | None:
     """Prove the block's covered top-level call frames with the EVM
     execution tables.  A candidate is provable when the covered stack
@@ -534,8 +593,14 @@ def verify_payload(payload: dict) -> bool:
     for slot in ("tx_mpt", "receipts_mpt", "chain"):
         if slot in payload and not verify_mpt_v2_payload(payload[slot]):
             return False
-    if "evm" in payload and not verify_evm_frames_payload(payload["evm"]):
-        return False
+    if "evm" in payload:
+        if not verify_evm_frames_payload(payload["evm"]):
+            return False
+        # storage originals must be bound to the proven pre-state
+        from .prestate import verify_prestate_binding
+
+        if not verify_prestate_binding(payload):
+            return False
     return True
 
 

@@ -19,7 +19,10 @@ verifier.verify_tables global balance; challenges shared by index):
       msg_id + sum_{j<32} digest_byte_j * chi^{j+1} per message;
       ContainAir RECEIVES one per child — pinning its claimed digest
       bytes to the sponge's computed digests.
-  channel 2 (gamma_T): byte triples  msg*2^22 + pos*2^8 + byte.
+  channel 2 (gamma_T): byte triples, chi-tuple coded
+      msg + pos*chi + byte*chi^2 (an EF code, so the message-id space is
+      NOT capped by base-field packing — round 2 packed msg*2^22 which
+      limited a statement to 256 messages; real tries need thousands).
       ByteCodeAir SENDS each byte position with a witness multiplicity;
       ContainAir RECEIVES (parent, off+j, digest_byte_j) for j = 0..31 —
       i.e. the digest appears at offset `off` of `parent`, with
@@ -49,9 +52,10 @@ from ..air import Air, ConstraintBuilder
 
 RATE_BYTES = 136
 MAX_BLOCKS = 64  # blocks per message cap (8704-byte preimages)
-MAX_MSGS = 256  # msg_id cap keeps triple = msg*2^22 + pos*2^8 + byte < P
-POS_SHIFT = 1 << 8
-MSG_SHIFT = 1 << 22
+# msg-id cap: 16-bit parent/diff decompositions in ContainAir; the
+# chi-tuple triple code itself imposes no packing limit.  The remaining
+# structural bound is BF_KEY = msg*MAX_BLOCKS < P, i.e. msg < 2^25.
+MAX_MSGS = 1 << 16
 
 CHAL_GAMMA_B = 0
 CHAL_CHI = 1
@@ -93,9 +97,12 @@ def digest_code(msg_id: int, digest: bytes, chi: tuple) -> tuple:
     return block_code(msg_id, digest, chi)
 
 
-def triple_value(msg_id: int, pos: int, byte: int) -> int:
+def triple_code(msg_id: int, pos: int, byte: int, chi: tuple) -> tuple:
+    """msg + pos*chi + byte*chi^2 (host reference for the EF-coded
+    byte-triple channel)."""
     assert msg_id < MAX_MSGS and pos < (1 << 14) and 0 <= byte < 256
-    return msg_id * MSG_SHIFT + pos * POS_SHIFT + byte
+    acc = ef.h_add(ef.h_from_base(msg_id), _h_scale(pos, chi))
+    return ef.h_add(acc, _h_scale(byte, ef.h_mul(chi, chi)))
 
 
 # --------------------------------------------------------------------------
@@ -237,9 +244,7 @@ class ByteCodeAir(Air):
             denoms.append(
                 ef.h_sub(
                     gamma_t,
-                    ef.h_from_base(
-                        triple_value(m, pos, int(trace[row, BC_BYTE]))
-                    ),
+                    triple_code(m, pos, int(trace[row, BC_BYTE]), chi),
                 )
             )
             if (pos + 1) % RATE_BYTES == 0:
@@ -350,12 +355,17 @@ class ByteCodeAir(Air):
             b.first_row(bus_bb[c])
 
         # 5. triple sends: every row contributes mult/(gamma_t - triple)
-        # (dead rows have mult = 0 so they hold automatically)
-        tval = b.add(
-            b.add(b.scale(MSG_SHIFT, msgf), b.scale(POS_SHIFT, posf)), byte
+        # with triple = msg + pos*chi + byte*chi^2 (dead rows: mult = 0)
+        chi2 = b.ef_mul4(chi, chi)
+        tval4 = b.ef_add4(
+            b.ef_from_base4(msgf),
+            b.ef_add4(
+                b.ef_mul4(b.ef_from_base4(posf), chi),
+                b.ef_mul4(b.ef_from_base4(byte), chi2),
+            ),
         )
         delta_t = b.ef_sub4(bus_t_n, bus_t)
-        gt_t = b.ef_sub4(gamma_t, b.ef_from_base4(tval))
+        gt_t = b.ef_sub4(gamma_t, tval4)
         prod_t = b.ef_mul4(delta_t, gt_t)
         mult4 = b.ef_from_base4(b.mul(active, mult))
         for c in range(4):
@@ -380,12 +390,12 @@ CLAIM_ROWS = 32
 CT_DBYTE = 0
 CT_DBITS = 1  # 8
 CT_PARENT = 9
-CT_PBITS = 10  # 8 (parent < 256)
-CT_OFF = 18
-CT_OBITS = 19  # 14 (off < 2^14)
-CT_DIFF = 33  # child - 1 - parent
-CT_FBITS = 34  # 8 (diff < 256  =>  parent < child)
-CT_WIDTH = 42
+CT_PBITS = 10  # 16 (parent < 2^16)
+CT_OFF = 26
+CT_OBITS = 27  # 14 (off < 2^14)
+CT_DIFF = 41  # child - 1 - parent
+CT_FBITS = 42  # 16 (diff < 2^16  =>  parent < child)
+CT_WIDTH = 58
 # aux
 CTA_POW = 0
 CTA_CODE = 4
@@ -462,20 +472,20 @@ class ContainAir(Air):
             child = k + 1
             assert 0 <= parent < child and len(digest) == 32
             diff = child - 1 - parent
-            assert 0 <= diff < 256 and 0 <= off < (1 << 14)
+            assert 0 <= diff < (1 << 16) and 0 <= off < (1 << 14)
             for j in range(CLAIM_ROWS):
                 byt = digest[j]
                 rows[row, CT_DBYTE] = byt
                 for i in range(8):
                     rows[row, CT_DBITS + i] = (byt >> i) & 1
                 rows[row, CT_PARENT] = parent
-                for i in range(8):
+                for i in range(16):
                     rows[row, CT_PBITS + i] = (parent >> i) & 1
                 rows[row, CT_OFF] = off
                 for i in range(14):
                     rows[row, CT_OBITS + i] = (off >> i) & 1
                 rows[row, CT_DIFF] = diff
-                for i in range(8):
+                for i in range(16):
                     rows[row, CT_FBITS + i] = (diff >> i) & 1
                 row += 1
         return rows
@@ -505,9 +515,7 @@ class ContainAir(Air):
             parent = int(trace[row, CT_PARENT])
             off = int(trace[row, CT_OFF])
             denoms.append(
-                ef.h_sub(
-                    gamma_t, ef.h_from_base(triple_value(parent, off + j, byt))
-                )
+                ef.h_sub(gamma_t, triple_code(parent, off + j, byt, chi))
             )
             if j == CLAIM_ROWS - 1:
                 denoms.append(ef.h_sub(gamma_d, code))
@@ -577,9 +585,9 @@ class ContainAir(Air):
         # 1. bit decompositions (booleanity + recomposition, all rows)
         for base_col, nbits, target in (
             (CT_DBITS, 8, dbyte),
-            (CT_PBITS, 8, parent),
+            (CT_PBITS, 16, parent),
             (CT_OBITS, 14, off),
-            (CT_FBITS, 8, diff),
+            (CT_FBITS, 16, diff),
         ):
             recomb = None
             for i in range(nbits):
@@ -621,17 +629,18 @@ class ContainAir(Air):
             b.transition(b.add(prod_d[c], end4[c]))
             b.first_row(bus_d[c])
 
-        # 5. triple receives: every active row, -1/(gamma_t - triple) with
-        # triple = parent*2^22 + (off + j)*2^8 + dbyte
-        tval = b.add(
-            b.add(
-                b.scale(MSG_SHIFT, parent),
-                b.scale(POS_SHIFT, b.add(off, jf)),
+        # 5. triple receives: every active row, -1/(gamma_t - triple)
+        # with triple = parent + (off + j)*chi + dbyte*chi^2
+        chi2 = b.ef_mul4(chi, chi)
+        tval4 = b.ef_add4(
+            b.ef_from_base4(parent),
+            b.ef_add4(
+                b.ef_mul4(b.ef_from_base4(b.add(off, jf)), chi),
+                b.ef_mul4(b.ef_from_base4(dbyte), chi2),
             ),
-            dbyte,
         )
         delta_t = b.ef_sub4(bus_t_n, bus_t)
-        prod_t = b.ef_mul4(delta_t, b.ef_sub4(gamma_t, b.ef_from_base4(tval)))
+        prod_t = b.ef_mul4(delta_t, b.ef_sub4(gamma_t, tval4))
         act4 = b.ef_from_base4(active)
         for c in range(4):
             b.transition(b.add(prod_t[c], act4[c]))

@@ -71,11 +71,14 @@ outside the stack table's 11-bit range and breaks the channel balance.
       values, cold-access flags, and the EIP-2200 gas-case flags that
       price SSTORE on the CPU row.
 
-Covered: STOP, ADD, MUL, SUB, DIV, MOD, SIGNEXTEND, LT/GT/SLT/SGT, EQ,
-ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256 (32-byte-aligned
-offset), CALLDATALOAD, POP, MLOAD/MSTORE/MSIZE (32-byte-aligned, < 2^13
-words), PUSH0-32, DUP1-16, SWAP1-16, JUMP/JUMPI/PC/GAS/JUMPDEST, and the
+Covered: STOP, ADD, MUL, SUB, DIV, SDIV, MOD, SMOD, SIGNEXTEND,
+LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256
+(32-byte-aligned offset), CALLDATALOAD, POP, MLOAD/MSTORE/MSIZE
+(32-byte-aligned, < 2^13 words), PUSH0-32, DUP1-16, SWAP1-16, LOG0-4
+(32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
+SDIV/SMOD are proven in the dedicated arithmetic table
+(stark/airs/evm_arith.py) over the BUS_AR channel (channel 8).
 MUL is a schoolbook byte product with 13-bit range-checked carries;
 DIV/MOD prove q*b + r = a with a zero high half and r <= b - 1 via a
 byte borrow chain (division by zero pushes zero through the nonzero
@@ -84,9 +87,12 @@ gadget); the shifts run in two one-hot stages (byte-granular via a
 sign-filling and shift >= 256 handled by the nonzero gadget;
 SIGNEXTEND reuses the byte one-hot with sign fill.  SLOAD/SSTORE run
 against the storage journal (EIP-2929 warm/cold + EIP-2200 gas cases +
-the 2300-gas sentry).  Unaligned memory, SDIV/SMOD, and calls are the
-documented roadmap; frames using them are reported uncovered, never
-mis-proven.
+the 2300-gas sentry).  LOGn meters 375*n + 8*size + expansion and pops
+its topics without stack-channel reads (topic values feed only the
+receipt log, outside the frame statement; popped cells are always
+re-written before any further read).  Unaligned memory, EXP, copies
+(CALLDATACOPY/CODECOPY/RETURNDATACOPY), and calls are the documented
+roadmap; frames using them are reported uncovered, never mis-proven.
 """
 
 from __future__ import annotations
@@ -110,7 +116,9 @@ SIMPLE_OPS = {
     "mul": (0x02, 5, 2, 1),
     "sub": (0x03, 3, 2, 1),
     "div": (0x04, 5, 2, 1),
+    "sdiv": (0x05, 5, 2, 1),
     "mod": (0x06, 5, 2, 1),
+    "smod": (0x07, 5, 2, 1),
     "signextend": (0x0B, 5, 2, 1),
     "lt": (0x10, 3, 2, 1),
     "gt": (0x11, 3, 2, 1),
@@ -165,8 +173,16 @@ ENV_OPS = {
     "blobbasefee": 0x4A,
 }
 
-# families: op = base + n (n = 1..cap); gas 3 each
-FAMILIES = {"push": (0x5F, 32, 3), "dup": (0x7F, 16, 3), "swap": (0x8F, 16, 3)}
+# families: op = base + n (n = 1..cap); gas = static per op.  LOGn is
+# the family op = 0x9F + n (n = 1..5, topics = n - 1): static gas 0 here
+# because its 375*n part is metered dynamically (375 + 375*topics =
+# 375*n), plus 8*size and memory expansion.
+FAMILIES = {
+    "push": (0x5F, 32, 3),
+    "dup": (0x7F, 16, 3),
+    "swap": (0x8F, 16, 3),
+    "log": (0x9F, 5, 0),
+}
 
 FLAG_NAMES = list(SIMPLE_OPS) + list(ENV_OPS) + list(FAMILIES)
 NF = len(FLAG_NAMES)
@@ -183,7 +199,8 @@ _ARITH2 = ("add", "sub", "lt", "gt", "slt", "sgt", "eq", "and", "or", "xor")
 _CMP = ("lt", "gt", "slt", "sgt")
 # every pop-2-push-1 opcode (stack channel slots R0/R1/W0)
 _POP2PUSH1 = _ARITH2 + (
-    "mul", "div", "mod", "signextend", "byte", "shl", "shr", "sar", "keccak",
+    "mul", "div", "sdiv", "mod", "smod", "signextend", "byte", "shl", "shr",
+    "sar", "keccak",
 )
 _SHIFTS = ("shl", "shr", "sar")
 
@@ -200,6 +217,8 @@ def _sp_delta(name: str) -> int:
         return -1
     if name in ("jumpi", "mstore", "sstore", "return"):
         return -2
+    if name == "log":
+        return 0  # real delta is -(fam_n + 1); added explicitly in eval
     return 1  # push/push0/dup/pc/gas/env
 
 
@@ -280,7 +299,8 @@ AUX_CD = AUX_SLOT0 + 16
 AUX_M = AUX_CD + 4
 AUX_K = AUX_M + 4
 AUX_ST = AUX_K + 4
-CPU_AUX_W = AUX_ST + 4
+AUX_AR = AUX_ST + 4
+CPU_AUX_W = AUX_AR + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
@@ -291,7 +311,8 @@ CHAL_B = 5  # keccak rate-block codes (bridge -> sponge)
 CHAL_D = 6  # keccak digest codes (sponge -> bridge)
 CHAL_K = 7  # hash-call tuples (CPU -> bridge)
 CHAL_ST = 8  # storage access tuples (CPU -> storage journal)
-NUM_CHALLENGES = 9
+CHAL_AR = 9  # signed-arithmetic call tuples (CPU -> arith table)
+NUM_CHALLENGES = 10
 BUS_FETCH = 0
 BUS_STACK = 1
 BUS_CD = 2
@@ -300,7 +321,8 @@ BUS_BLOCKS = 4
 BUS_DIG = 5
 BUS_KCALL = 6
 BUS_STOR = 7
-NUM_BUS = 8
+BUS_AR = 8  # SDIV/SMOD (and future EXP/MULMOD) calls -> evm_arith.py
+NUM_BUS = 9
 ENV_IDX_CDSIZE = list(ENV_OPS).index("calldatasize")
 
 # publics layout
@@ -448,9 +470,12 @@ class FrameTrace:
     # become public bridge structure, words/digest stay witness
     keccak_calls: list = field(default_factory=list)
     # storage journal: accesses (slot, clk4, iw, value, cold, g1, g2) and
-    # the PUBLIC per-slot groups [(slot, original, count, prewarm)]
+    # the PUBLIC per-slot groups [(slot, original, count, prewarm, final)]
     storage_accesses: list = field(default_factory=list)
     storage_groups: list = field(default_factory=list)
+    # signed-arithmetic calls: (kind, a, b, result) proven in ArithAir
+    # (stark/airs/evm_arith.py) over the BUS_AR channel
+    arith_calls: list = field(default_factory=list)
 
     @property
     def accesses(self):
@@ -592,6 +617,7 @@ def execute_frame(
     mem_words: dict[int, int] = {}
     m_words = 0
     keccak_calls: list = []
+    arith_calls: list = []
     # storage journal: originals are the coverage boundary — slots not in
     # the provided pre-image map make the frame uncovered
     storage_orig = dict(storage or {})
@@ -676,6 +702,26 @@ def execute_frame(
             st.a, st.b = a, b_
             st.mulc = _mul_carries(a, b_)
             push(a * b_, sp - 2)
+        elif op in (0x05, 0x07):
+            st.name = "sdiv" if op == 0x05 else "smod"
+            a, b_ = pop2()
+            use(5)
+            st.a, st.b = a, b_
+            sa_ = a - (1 << 256) if a >> 255 else a
+            sb_ = b_ - (1 << 256) if b_ >> 255 else b_
+            if sb_ == 0:
+                res = 0
+            elif op == 0x05:
+                res = abs(sa_) // abs(sb_)
+                if (sa_ < 0) != (sb_ < 0):
+                    res = -res
+            else:
+                res = abs(sa_) % abs(sb_)
+                if sa_ < 0:
+                    res = -res
+            res &= _M256
+            arith_calls.append((1 if op == 0x05 else 2, a, b_, res))
+            push(res, sp - 2)
         elif op in (0x04, 0x06):
             st.name = "div" if op == 0x04 else "mod"
             a, b_ = pop2()
@@ -926,6 +972,30 @@ def execute_frame(
             st.ksw, st.ksl = sw, 32 * sw - size
             use(mem_expand(st, (a // 32 + sw) if size else 0))
             break
+        elif 0xA0 <= op <= 0xA4:
+            st.name = "log"
+            st.fam_n = op - 0x9F  # topics = fam_n - 1
+            topics = op - 0xA0
+            if sp < 2 + topics:
+                raise UncoveredFrame("stack underflow")
+            a, size = pop2()  # offset, size (stack-channel reads)
+            # topic values are popped WITHOUT stack-channel reads: they
+            # only feed the receipt log (outside the frame statement) and
+            # popped cells are always re-written before any further read
+            for _ in range(topics):
+                stack.pop()
+            if a % 32 or a >= (1 << 18):
+                raise UncoveredFrame("unaligned or far LOG range")
+            if size >= (1 << 13):
+                raise UncoveredFrame("LOG size beyond covered bound")
+            st.a, st.b = a, size
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(size & 0x7FFF).bit_count()] + [0] * 15
+            )
+            sw = (size + 31) // 32
+            st.ksw, st.ksl = sw, 32 * sw - size
+            dyn = mem_expand(st, (a // 32 + sw) if size else 0)
+            use(375 * (topics + 1) + 8 * size + dyn)
         elif op == 0x56:
             st.name = "jump"
             use(8)
@@ -1013,9 +1083,16 @@ def execute_frame(
         cd_loads=cd_loads,
         m_final=m_words,
         keccak_calls=keccak_calls,
+        arith_calls=arith_calls,
         storage_accesses=storage_accesses,
         storage_groups=sorted(
-            (slot, storage_orig[slot], cnt, 1 if slot in prewarm else 0)
+            (
+                slot,
+                storage_orig[slot],
+                cnt,
+                1 if slot in prewarm else 0,
+                storage_cur[slot],
+            )
             for slot, cnt in slot_counts.items()
         ),
     )
@@ -1188,7 +1265,7 @@ class EvmCpuAir(Air):
     def _channel_terms(self, trace: np.ndarray, challenges):
         chi, gamma_f, gamma_s, gamma_c, gamma_m = challenges[:5]
         gamma_k = challenges[CHAL_K]
-        pows = _np_chi_pows(chi, 68)
+        pows = _np_chi_pows(chi, 97)
         t, flags, fam_n, sp = self._cols(trace)
         n = trace.shape[0]
         clk = t[:, CLK]
@@ -1262,6 +1339,23 @@ class EvmCpuAir(Air):
         )
         inv_st = ef.npef_inv(ef.npef_sub(gst[None, :], code_st))
         stor_terms = ef.npef_mul(ef.npef_from_base((sl + ss) % _PU), inv_st)
+        # signed-arithmetic sends (SDIV/SMOD -> ArithAir):
+        #   kind + sum_j a_j chi^{1+j} + b_j chi^{33+j} + c_j chi^{65+j}
+        gar = np.array(
+            [x % bb.P for x in challenges[CHAL_AR]], dtype=np.uint64
+        )
+        kind = (flags["sdiv"] + 2 * flags["smod"]) % _PU
+        code_ar = _np_tuple_code(
+            kind,
+            [(bytesA[:, j], 1 + j) for j in range(32)]
+            + [(bytesB[:, j], 33 + j) for j in range(32)]
+            + [(bytesC[:, j], 65 + j) for j in range(32)],
+            pows,
+        )
+        inv_ar = ef.npef_inv(ef.npef_sub(gar[None, :], code_ar))
+        ar_terms = ef.npef_mul(
+            ef.npef_from_base((flags["sdiv"] + flags["smod"]) % _PU), inv_ar
+        )
         # stack sends
         p21 = sum(flags[nm] for nm in _POP2PUSH1)
         cdl = flags["calldataload"]
@@ -1276,8 +1370,9 @@ class EvmCpuAir(Air):
             p21
             + flags["iszero"] + flags["not"] + flags["pop"]
             + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
-            + cdl + mld + mst + sl + ss + ret,
-            p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret,
+            + cdl + mld + mst + sl + ss + ret + flags["log"],
+            p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret
+            + flags["log"],
             p21
             + flags["iszero"] + flags["not"] + flags["push0"] + flags["push"]
             + flags["dup"] + flags["swap"] + flags["pc"] + flags["gas"]
@@ -1309,6 +1404,7 @@ class EvmCpuAir(Air):
             mem_terms,
             kcall_terms,
             stor_terms,
+            ar_terms,
         )
 
     @staticmethod
@@ -1317,9 +1413,15 @@ class EvmCpuAir(Air):
         return ef.npef_sub(c, terms)  # plain uint64 subtract would wrap
 
     def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
-        fetch_terms, slot_terms, cdl_terms, mem_terms, kcall_terms, stor_terms = (
-            self._channel_terms(trace, challenges)
-        )
+        (
+            fetch_terms,
+            slot_terms,
+            cdl_terms,
+            mem_terms,
+            kcall_terms,
+            stor_terms,
+            ar_terms,
+        ) = self._channel_terms(trace, challenges)
         aux = np.zeros((trace.shape[0], CPU_AUX_W), dtype=np.uint32)
         aux[:, AUX_F : AUX_F + 4] = self._excl_prefix(fetch_terms)
         for s in range(4):
@@ -1330,12 +1432,19 @@ class EvmCpuAir(Air):
         aux[:, AUX_M : AUX_M + 4] = self._excl_prefix(mem_terms)
         aux[:, AUX_K : AUX_K + 4] = self._excl_prefix(kcall_terms)
         aux[:, AUX_ST : AUX_ST + 4] = self._excl_prefix(stor_terms)
+        aux[:, AUX_AR : AUX_AR + 4] = self._excl_prefix(ar_terms)
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
-        fetch_terms, slot_terms, cdl_terms, mem_terms, kcall_terms, stor_terms = (
-            self._channel_terms(trace, challenges)
-        )
+        (
+            fetch_terms,
+            slot_terms,
+            cdl_terms,
+            mem_terms,
+            kcall_terms,
+            stor_terms,
+            ar_terms,
+        ) = self._channel_terms(trace, challenges)
         # the last row is always halted padding: its own terms vanish
         fetch = tuple(int(v) for v in fetch_terms.sum(axis=0) % _PU)
         stack = ef.H_ZERO
@@ -1345,7 +1454,8 @@ class EvmCpuAir(Air):
         mem = tuple(int(v) for v in mem_terms.sum(axis=0) % _PU)
         kcall = tuple(int(v) for v in kcall_terms.sum(axis=0) % _PU)
         stor = tuple(int(v) for v in stor_terms.sum(axis=0) % _PU)
-        return [fetch, stack, cdl, mem, ef.H_ZERO, ef.H_ZERO, kcall, stor]
+        ar = tuple(int(v) for v in ar_terms.sum(axis=0) % _PU)
+        return [fetch, stack, cdl, mem, ef.H_ZERO, ef.H_ZERO, kcall, stor, ar]
 
     # ------------------------------- constraints -------------------------
     def eval(self, b: ConstraintBuilder) -> None:  # noqa: C901
@@ -1449,6 +1559,16 @@ class EvmCpuAir(Air):
         b.all_rows(b.sub(op, op_expr))
         # dup/swap n <= 16
         b.all_rows(b.mul(b.add(f["dup"], f["swap"]), b.local(FAMB0 + 4)))
+        # log n <= 5: n-1 in 0..4 — bits 3/4 clear, and bit 2 excludes 5..7
+        b.all_rows(
+            b.mul(f["log"], b.add(b.local(FAMB0 + 3), b.local(FAMB0 + 4)))
+        )
+        b.all_rows(
+            b.mul(
+                b.mul(f["log"], b.local(FAMB0 + 2)),
+                b.add(b.local(FAMB0), b.local(FAMB0 + 1)),
+            )
+        )
 
         # 4. halting discipline (STOP or RETURN)
         b.first_row(halted)
@@ -1496,6 +1616,8 @@ class EvmCpuAir(Air):
                 continue
             term = b.scale(d % bb.P, f[nm])
             delta = term if delta is None else b.add(delta, term)
+        # LOGn pops 2 + topics = fam_n + 1
+        delta = b.sub(delta, b.mul(f["log"], b.add(fam_n, one)))
         b.transition(b.sub(sp_n, b.add(sp, delta)))
         b.last_row(b.sub(sp, b.public(PUB_SPF)))
 
@@ -1516,7 +1638,9 @@ class EvmCpuAir(Air):
         # 6 gas per hashed word
         f_kec = f["keccak"]
         f_ret = f["return"]
-        f_kr = b.add(f_kec, f_ret)  # both meter a (offset, size) range
+        f_log = f["log"]
+        # keccak/return/log all meter a word-aligned (offset, size) range
+        f_kr = b.add(b.add(f_kec, f_ret), f_log)
         f_mx = b.add(b.add(f["mload"], f["mstore"]), f_kr)
 
         def reg_val(base: int, nbits: int, nx: bool):
@@ -1533,6 +1657,10 @@ class EvmCpuAir(Air):
         swval = reg_val(KSW0, 10, False)
         cost = b.add(cost, b.add(b.scale(3, b.sub(M_n, M)), b.mul(f_mx, dqval)))
         cost = b.add(cost, b.scale(6, b.mul(f_kec, swval)))
+        # LOGn: 375*n (n = topics + 1) + 8*size (size = B low 15 bits,
+        # bound by the f_kr group's 32*sw = size + slack constraint)
+        cost = b.add(cost, b.mul(f_log, b.scale(375, fam_n)))
+        cost = b.add(cost, b.scale(8, b.mul(f_log, lB[0])))
         # storage gas (EIP-2929/2200): SLOAD 100 + 2000*cold; SSTORE
         # 100 + 2800*g1 + 19900*g2 + 2100*cold
         f_sl, f_ss = f["sload"], f["sstore"]
@@ -1608,7 +1736,7 @@ class EvmCpuAir(Air):
         extra0 = b.add(
             b.add(b.mul(f_sh3, a_hi8), b.mul(b.add(f_byte, f_se), a_hi5)),
             b.add(
-                b.mul(b.add(f_kec, f["return"]), b_lo15),
+                b.mul(b.add(b.add(f_kec, f["return"]), f["log"]), b_lo15),
                 b.mul(f["sstore"], g_hi20),
             ),
         )
@@ -2069,6 +2197,33 @@ class EvmCpuAir(Air):
             b.transition(b.sub(prodST[c], actST[c]))
             b.first_row(accST[c])
 
+        # 14h. signed-arithmetic channel: SDIV/SMOD send
+        #   kind + sum_j a_j chi^{1+j} + b_j chi^{33+j} + c_j chi^{65+j}
+        # to ArithAir (evm_arith.py), which proves the signed semantics.
+        g_ar = b.challenge_ef(CHAL_AR)
+        f_sdv, f_smd = f["sdiv"], f["smod"]
+        kind_expr = b.add(f_sdv, b.scale(2, f_smd))
+        chi8c = b.ef_mul4(b.ef_mul4(chi2, chi2), b.ef_mul4(chi2, chi2))
+        chi16c = b.ef_mul4(chi8c, chi8c)
+        chi32c = b.ef_mul4(chi16c, chi16c)
+        chi64c = b.ef_mul4(chi32c, chi32c)
+        code_ar = b.bit_block_code(Ablk, chi, kind_expr, 32)
+        code_ar = b.ef_add4(
+            code_ar,
+            b.ef_mul4(chi32c, b.bit_block_code(Bblk, chi, b.constant(0), 32)),
+        )
+        code_ar = b.ef_add4(
+            code_ar,
+            b.ef_mul4(chi64c, b.bit_block_code(Cblk, chi, b.constant(0), 32)),
+        )
+        accAR = [b.aux(AUX_AR + c) for c in range(4)]
+        accAR_n = [b.aux_next(AUX_AR + c) for c in range(4)]
+        prodAR = b.ef_mul4(b.ef_sub4(accAR_n, accAR), b.ef_sub4(g_ar, code_ar))
+        actAR = b.ef_from_base4(b.add(f_sdv, f_smd))
+        for c in range(4):
+            b.transition(b.sub(prodAR[c], actAR[c]))
+            b.first_row(accAR[c])
+
         # 15. fetch channel (receive one instruction tuple per live row)
         imm_bits = b.mul(f["push"], Cblk)
         imm_code = b.bit_block_code(imm_bits, chi, b.constant(0), 32)
@@ -2106,7 +2261,7 @@ class EvmCpuAir(Air):
                         b.add(b.add(f["jumpi"], f["dup"]), b.add(f["swap"], f_cdl)),
                         b.add(
                             b.add(b.add(f_mld, f_mst), b.add(f_sl, f_ss)),
-                            f_ret,
+                            b.add(f_ret, f_log),
                         ),
                     ),
                 ),
@@ -2115,7 +2270,7 @@ class EvmCpuAir(Air):
                 p21,
                 b.add(
                     b.add(f["jumpi"], f["swap"]),
-                    b.add(b.add(f_mst, f_ss), f_ret),
+                    b.add(b.add(f_mst, f_ss), b.add(f_ret, f_log)),
                 ),
             ),
             b.add(
@@ -2185,6 +2340,7 @@ class EvmCpuAir(Air):
             b.last_row(b.bus_coord(4 * BUS_DIG + c))
             b.last_row(b.sub(accK[c], b.bus_coord(4 * BUS_KCALL + c)))
             b.last_row(b.sub(accST[c], b.bus_coord(4 * BUS_STOR + c)))
+            b.last_row(b.sub(accAR[c], b.bus_coord(4 * BUS_AR + c)))
 
 
 # --------------------------------------------------------------------------
@@ -2818,6 +2974,11 @@ def frame_tables(ft: FrameTrace):
         sponge = EvmSpongeAir.from_messages(messages)
         tables.append((bridge, bridge.trace(witness), []))
         tables.append((sponge, sponge.trace(), []))
+    if ft.arith_calls:
+        from .evm_arith import ArithAir
+
+        ar = ArithAir(len(ft.arith_calls))
+        tables.append((ar, ar.trace(ft.arith_calls), []))
     return tables
 
 
@@ -2854,9 +3015,10 @@ def prove_frame_trace(ft: FrameTrace) -> dict:
         "keccak_calls": [
             [offw, size] for _, offw, size, _, _ in ft.keccak_calls
         ],
+        "arith_calls": len(ft.arith_calls),
         "storage": [
-            [hex(slot), hex(orig), count, prewarm]
-            for slot, orig, count, prewarm in ft.storage_groups
+            [hex(slot), hex(orig), count, prewarm, hex(final)]
+            for slot, orig, count, prewarm, final in ft.storage_groups
         ],
         "steps": len(ft.steps),
         "starks": [proof_to_dict(p) for p in proofs],
@@ -2887,9 +3049,10 @@ def verify_frame_payload(payload: dict) -> bool:
             (int(o), int(s)) for o, s in payload.get("keccak_calls", [])
         ]
         sgroups = [
-            (int(s, 16), int(o, 16), int(c), int(w))
-            for s, o, c, w in payload.get("storage", [])
+            (int(s, 16), int(o, 16), int(c), int(w), int(f, 16))
+            for s, o, c, w, f in payload.get("storage", [])
         ]
+        n_ar = int(payload.get("arith_calls", 0))
         starks = payload["starks"]
         if not (0 <= gas_f <= gas0 < 1 << 32 and 0 <= sp_f <= 1024):
             return False
@@ -2898,7 +3061,9 @@ def verify_frame_payload(payload: dict) -> bool:
             return False
         if len(kcalls) > MAX_KECCAK_CALLS:
             return False
-        expect = 5 + (1 if sgroups else 0) + (2 if kcalls else 0)
+        expect = (
+            5 + (1 if sgroups else 0) + (2 if kcalls else 0) + (1 if n_ar else 0)
+        )
         if len(starks) != expect:
             return False
         proofs = [proof_from_dict(d) for d in starks]
@@ -2922,6 +3087,10 @@ def verify_frame_payload(payload: dict) -> bool:
             bridge = EvmKeccakCallAir(kcalls)
             airs.append(bridge)
             airs.append(EvmSpongeAir(bridge.block_counts()))
+        if n_ar:
+            from .evm_arith import ArithAir
+
+            airs.append(ArithAir(n_ar))
     except AssertionError:
         return False
     if proofs[0].publics != frame_publics(env, gas0, gas_f, sp_f):

@@ -1,10 +1,12 @@
 """EvmStorageAir — the storage journal for SLOAD/SSTORE coverage.
 
 Statement: given the PUBLIC per-slot groups [(slot, original, count,
-prewarm)] (sorted by slot, published in the frame payload — the honest
-prover fills them from the pre-state; binding them to the block's state
-trie is the call-composition roadmap), every storage access the CPU
-claims happened is consistent:
+prewarm, final)] (sorted by slot, published in the frame payload), every
+storage access the CPU claims happened is consistent.  The `original`
+and `final` publics are what the pre-state binding chains on
+(provers/tpu_stark.py prestate slot): original_k+1 == final_k across
+frames touching the same (address, slot), and the first original ==
+the value proven in the parent state trie.  Consistency here means:
 
 - accesses at one slot form one contiguous group, clk-ordered (strictly
   increasing, 22-bit diff witness);
@@ -15,7 +17,10 @@ claims happened is consistent:
 - SSTORE's EIP-2200 gas case flags are enforced from reality: g1/g2
   (clean nonzero / clean zero write) are recomputed via two 16-limb
   nonzero gadgets ([new != current] and [current != original]) and the
-  fixed original-is-zero flag.
+  fixed original-is-zero flag;
+- the group's LAST access carries the public `final` value (reads echo
+  the current value, so the last row's value is the end-of-frame value
+  for every access kind).
 
 The CPU sends one tuple per SLOAD/SSTORE on the storage channel
 (evm_air.CHAL_ST / BUS_STOR):
@@ -77,9 +82,11 @@ SF_SA = 2  # same group as previous row
 SF_SA_N = 3  # SA of the NEXT row (fixed cols have no next view)
 SF_COLD = 4  # first * (1 - prewarm)
 SF_EZO = 5  # original == 0
-SF_SLOT0 = 6  # 32 little-endian slot bytes
+SF_LAST = 6  # last access of its group
+SF_SLOT0 = 7  # 32 little-endian slot bytes
 SF_ORIG0 = SF_SLOT0 + 32  # 32 little-endian original bytes
-ST_NFIXED = SF_ORIG0 + 32
+SF_FIN0 = SF_ORIG0 + 32  # 32 little-endian final-value bytes
+ST_NFIXED = SF_FIN0 + 32
 
 # limb i = byte_{2i} + 256*byte_{2i+1}
 _V_LIMB_MAT = [[0] * 256 for _ in range(16)]
@@ -114,18 +121,23 @@ class EvmStorageAir(Air):
     commit_fixed = True
     eager_quotient = True
 
-    def __init__(self, groups: list[tuple[int, int, int, int]]):
-        """groups: PUBLIC (slot, original, count, prewarm), slot-sorted."""
+    def __init__(self, groups: list[tuple[int, int, int, int, int]]):
+        """groups: PUBLIC (slot, original, count, prewarm, final),
+        slot-sorted."""
         assert groups
         prev = -1
         total = 0
-        for slot, orig, count, prewarm in groups:
+        for slot, orig, count, prewarm, final in groups:
             assert 0 <= slot < (1 << 256) and 0 <= orig < (1 << 256)
+            assert 0 <= final < (1 << 256)
             assert slot > prev, "groups must be strictly slot-sorted"
             assert count >= 1 and prewarm in (0, 1)
             prev = slot
             total += count
-        self.groups = [(int(s), int(o), int(c), int(w)) for s, o, c, w in groups]
+        self.groups = [
+            (int(s), int(o), int(c), int(w), int(f))
+            for s, o, c, w, f in groups
+        ]
         self.total = total
         self.n = _pow2_atleast(total + 1)
 
@@ -134,25 +146,27 @@ class EvmStorageAir(Air):
 
     def _layout(self):
         out = []
-        for g, (slot, orig, count, prewarm) in enumerate(self.groups):
+        for g, (slot, orig, count, prewarm, final) in enumerate(self.groups):
             for k in range(count):
-                out.append((g, k == 0))
+                out.append((g, k == 0, k == count - 1))
         return out
 
     def fixed_columns(self, n: int):
         assert n == self.n
         cols = np.zeros((ST_NFIXED, n), dtype=np.uint32)
         layout = self._layout()
-        for r, (g, first) in enumerate(layout):
-            slot, orig, count, prewarm = self.groups[g]
+        for r, (g, first, last) in enumerate(layout):
+            slot, orig, count, prewarm, final = self.groups[g]
             cols[SF_ACTIVE, r] = 1
             cols[SF_FIRST, r] = int(first)
             cols[SF_SA, r] = int(not first)
             cols[SF_COLD, r] = int(first and not prewarm)
             cols[SF_EZO, r] = int(orig == 0)
+            cols[SF_LAST, r] = int(last)
             for j in range(32):
                 cols[SF_SLOT0 + j, r] = (slot >> (8 * j)) & 0xFF
                 cols[SF_ORIG0 + j, r] = (orig >> (8 * j)) & 0xFF
+                cols[SF_FIN0 + j, r] = (final >> (8 * j)) & 0xFF
         for r in range(n - 1):
             if r + 1 < len(layout) and not layout[r + 1][1]:
                 cols[SF_SA_N, r] = 1
@@ -163,7 +177,7 @@ class EvmStorageAir(Air):
         assert len(accesses) == self.total
         acc = sorted(accesses, key=lambda a: (a[0], a[1]))
         tr = np.zeros((self.n, ST_WIDTH), dtype=np.uint32)
-        origs = {slot: orig for slot, orig, _, _ in self.groups}
+        origs = {slot: orig for slot, orig, _, _, _ in self.groups}
         prev_slot = None
         prev_clk = None
         prev_val = None
@@ -259,6 +273,7 @@ class EvmStorageAir(Air):
         sa_n = b.fixed(SF_SA_N)
         cold = b.fixed(SF_COLD)
         ezo = b.fixed(SF_EZO)
+        lastg = b.fixed(SF_LAST)
 
         iw = b.local(ST_IW)
         iw_n = b.next(ST_IW)
@@ -320,6 +335,17 @@ class EvmStorageAir(Air):
                     b.mul(first, b.sub(one, iw)), b.sub(vlimb[i], olimb[i])
                 )
             )
+        # the group's last access carries the public final value (the
+        # cross-frame chaining anchor for the pre-state binding)
+        flimb = [
+            b.add(
+                b.fixed(SF_FIN0 + 2 * i),
+                b.scale(256, b.fixed(SF_FIN0 + 2 * i + 1)),
+            )
+            for i in range(16)
+        ]
+        for i in range(16):
+            b.all_rows(b.mul(lastg, b.sub(vlimb[i], flimb[i])))
         b.transition_block(
             b.mul(b.mul(sa_n, b.sub(one, iw_n)), b.sub(vblk_n, vblk)), 256
         )

@@ -325,12 +325,40 @@ def fixed_commit_root(fixed: np.ndarray, shift: int) -> list[int]:
 
 
 @functools.partial(jax.jit, static_argnames=("shift",))
-def _commit_cols(cols_m: jax.Array, shift: int):
-    """Columns (K, n) Montgomery -> (coeffs, lde, merkle levels)."""
+def _commit_cols_local(cols_m: jax.Array, shift: int):
     coeffs = ntt.interpolate(cols_m)
     lde = ntt.lde_from_coeffs(coeffs, BLOWUP_LOG, shift)
     levels = merkle.commit(p2.hash_rows(lde.T))
     return coeffs, lde, levels
+
+
+# mesh-sharded commitment (parallel/stark_dist.make_commit_cols_dist);
+# None = single chip.  set_mesh routes the trace/aux/fixed commitments of
+# EVERY prove/prove_tables call through the mesh — the production prover
+# running the multi-chip plan, not a side demo.
+_DIST_COMMIT = None
+_MESH = None
+
+
+def set_mesh(mesh=None, axis: str = "d") -> None:
+    """Route the prover's column commitments over a device mesh
+    (bit-exact with the single-chip path; pass None to reset)."""
+    global _DIST_COMMIT, _MESH
+    if mesh is None:
+        _DIST_COMMIT = None
+        _MESH = None
+        return
+    from ..parallel.stark_dist import make_commit_cols_dist
+
+    _DIST_COMMIT = make_commit_cols_dist(mesh, axis)
+    _MESH = (mesh, axis)
+
+
+def _commit_cols(cols_m: jax.Array, shift: int):
+    """Columns (K, n) Montgomery -> (coeffs, lde, merkle levels)."""
+    if _DIST_COMMIT is not None:
+        return _DIST_COMMIT(cols_m, shift)
+    return _commit_cols_local(cols_m, shift)
 
 
 @functools.lru_cache(maxsize=16)

@@ -65,11 +65,18 @@ class ChainSim:
         self.snapshots: list[_Snapshot] = [self._snap()]
 
     # -- state setup ---------------------------------------------------
-    def fund(self, addr: bytes, balance: int, nonce: int = 0, code: bytes = b""):
+    def fund(
+        self,
+        addr: bytes,
+        balance: int,
+        nonce: int = 0,
+        code: bytes = b"",
+        storage: dict | None = None,
+    ):
         self.accounts[addr] = AccountInfo(
             nonce=nonce, balance=balance, code=code, exists=True
         )
-        self.storages.setdefault(addr, {})
+        self.storages.setdefault(addr, {}).update(storage or {})
         if code:
             self.codes[keccak256(code)] = code
         self._rebuild_tries()

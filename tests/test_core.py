@@ -249,3 +249,81 @@ def test_tpu_stark_prove_taiko_block_with_mpt(world):
     else:
         bad["mpt"]["digests"][0] = "11" * 32
     assert not verify_payload(bad)
+
+
+@pytest.mark.slow
+def test_tpu_stark_full_coverage_with_storage_frames(world):
+    """Round-3 closure criterion (VERDICT #1/#2 'Done'): on a simulated
+    block whose txs execute a storage contract, the TPU_STARK payload
+    covers EVERY trie preimage (covered == total for state/tx/receipts),
+    proves EVERY frame (evm covered == total), and binds the storage
+    originals to the parent state via the prestate slot — with tampering
+    on an original rejected through the binding."""
+    import json as _json
+
+    from raiko_tpu.provers.tpu_stark import verify_payload
+
+    _, l2 = world
+    # contract: slot1 += 1  (PUSH1 1, SLOAD, PUSH1 1, ADD, PUSH1 1,
+    # SSTORE, STOP) — covered stack-machine subset only
+    contract = b"\x95" * 20
+    code = bytes.fromhex("6001546001016001" + "5500")
+    l2.fund(contract, 0, code=code, storage={1: 5})
+    l2.produce_taiko_block(
+        [
+            mktx(2, contract, value=0, chain_id=167009, gas=200_000),
+            mktx(3, contract, value=0, chain_id=167009, gas=200_000),
+        ],
+        use_blob=False,
+    )
+    block_no = len(l2.headers) - 1
+    gi, output, proof = _run("taiko_a7", block_no, ProofType.TPU_STARK)
+    payload = _json.loads(proof.proof)
+    # full trie coverage
+    for slot in ("mpt", "tx_mpt", "receipts_mpt"):
+        assert payload[slot]["covered"] == payload[slot]["total"], slot
+    # every frame proven: two storage txs -> two covered frames
+    evm = payload["evm"]
+    assert evm["covered"] == evm["total"] == 2
+    # chained originals: frame 0 starts at the pre-state 5, frame 1 at 6
+    f0, f1 = evm["frames"]
+    assert int(f0["storage"][0][1], 16) == 5
+    assert int(f0["storage"][0][4], 16) == 6
+    assert int(f1["storage"][0][1], 16) == 6
+    assert int(f1["storage"][0][4], 16) == 7
+    # prestate binding present and verifying
+    assert payload["prestate"]["kind"] == "prestate-v1"
+    assert verify_payload(payload)
+    # tampering with an original breaks the binding (both frames'
+    # originals must move together to keep the chain, and then the first
+    # original no longer matches the proven pre-state)
+    bad = _json.loads(proof.proof)
+    bad["evm"]["frames"][0]["storage"][0][1] = hex(7)
+    assert not verify_payload(bad)
+
+
+@pytest.mark.slow
+def test_tpu_shard_block_statement(world):
+    """TPU_SHARD now shards the REAL block statement (VERDICT r2 #3):
+    transcript + trie containment + chain shards proven concurrently,
+    verified per-shard with the cross-slot bindings."""
+    import json as _json
+
+    from raiko_tpu.provers.tpu_shard import verify_block_sharded
+
+    _, l2 = world
+    gi, output, proof = _run("taiko_a7", 1, ProofType.TPU_SHARD)
+    payload = _json.loads(proof.proof)
+    assert payload["kind"] == "block-sharded-v1"
+    assert payload["transcript"]["kind"] == "poseidon2-transcript-sharded-v1"
+    for slot in ("mpt", "tx_mpt", "receipts_mpt", "chain"):
+        assert slot in payload, slot
+    assert payload["shards"] >= 5
+    assert verify_block_sharded(payload)
+    # tampering with a shard breaks it
+    bad = _json.loads(proof.proof)
+    bad["mpt"]["state_root"] = "22" * 32
+    assert not verify_block_sharded(bad)
+    bad = _json.loads(proof.proof)
+    bad["instance_hash"] = "33" * 32
+    assert not verify_block_sharded(bad)

@@ -167,6 +167,41 @@ def full_coverage_program() -> bytes:
         ("push", 1, 3),
         0x54,                                     # SLOAD slot 3 (warm, 11)
         0x50,                                     # POP
+        # signed division (proven in the arith table over BUS_AR)
+        ("push", 1, 20),
+        ("push", 32, (1 << 256) - 60),
+        0x05,                                     # SDIV: -60 / 20 = -3
+        ("push", 1, 7),
+        ("push", 32, (1 << 256) - 60),
+        0x07,                                     # SMOD: -60 % 7 = -4
+        0x02,                                     # fold (MUL)
+        ("push", 1, 0),
+        ("push", 1, 5),
+        0x05,                                     # SDIV by zero -> 0
+        0x01,                                     # fold
+        ("push", 32, (1 << 256) - 1),
+        ("push", 32, 1 << 255),
+        0x05,                                     # SDIV overflow: min/-1 = min
+        0x01,                                     # fold
+        ("push", 1, 0),
+        ("push", 1, 9),
+        0x07,                                     # SMOD by zero -> 0
+        0x01,                                     # fold
+        # LOGs: gas + aligned memory-range metering, variable topic pops
+        ("push", 1, 0),
+        ("push", 1, 0),
+        0xA0,                                     # LOG0, empty range
+        ("push", 1, 0xAB),                        # topic1
+        ("push", 1, 33),                          # size (slack tail)
+        ("push", 1, 0x40),                        # offset (written above)
+        0xA1,                                     # LOG1
+        ("push", 1, 1),
+        ("push", 1, 2),
+        ("push", 1, 3),
+        ("push", 1, 4),                           # topics 4..1
+        ("push", 1, 32),
+        ("push", 2, 0x300),                       # fresh memory, expands
+        0xA4,                                     # LOG4
         # taken JUMPI
         ("push", 1, 1),
         ("pushlabel", "L1"),
@@ -237,6 +272,7 @@ def test_executor_covers_everything(frame, ret_frame):
     names = {st.name for st in frame.steps}
     names |= {st.name for st in ret_frame.steps}
     assert names == set(ea.FLAG_NAMES), set(ea.FLAG_NAMES) - names
+    assert len(frame.arith_calls) == 5
     # interpreter cross-check on an arithmetic sub-program: the covered
     # executor and the full EVM interpreter must agree on gas and stack
     from raiko_tpu.evm.interpreter import EVM, BlockEnv, TxEnv
@@ -281,8 +317,8 @@ def test_executor_covers_everything(frame, ret_frame):
 def test_constraints_and_bus_balance(frame, challenges):
     tables = ea.frame_tables(frame)
     # CPU/ROM/stack/calldata/RAM + storage + keccak bridge + sponge
-    assert len(tables) == 8
-    totals = [ef.H_ZERO] * 8
+    assert len(tables) == 9
+    totals = [ef.H_ZERO] * ea.NUM_BUS
     for air, trace, publics in tables:
         assert check_constraints(air, trace, publics, challenges) == []
         for i, bv in enumerate(air.bus_values(trace, challenges)):
@@ -295,7 +331,7 @@ def test_return_frame_constraints(ret_frame, challenges):
     expansion gas on the returned range) and balances the bus."""
     assert ret_frame.steps[-1].name == "return"
     tables = ea.frame_tables(ret_frame)
-    totals = [ef.H_ZERO] * 8
+    totals = [ef.H_ZERO] * ea.NUM_BUS
     for air, trace, publics in tables:
         assert check_constraints(air, trace, publics, challenges) == []
         for i, bv in enumerate(air.bus_values(trace, challenges)):
@@ -338,7 +374,7 @@ def test_wrong_rom_multiplicity_unbalances_bus(frame, challenges):
     rom, rom_trace, _ = tables[1]
     rom_trace = rom_trace.copy()
     rom_trace[0, ea.RM_MULT] += 1
-    totals = [ef.H_ZERO] * 8
+    totals = [ef.H_ZERO] * ea.NUM_BUS
     traces = [tables[0][1], rom_trace] + [t[1] for t in tables[2:]]
     for (air, trace, publics), tr in zip(tables, traces):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
@@ -358,8 +394,8 @@ def test_stack_read_consistency_caught(frame, challenges):
 
 def test_uncovered_frame_rejected():
     with pytest.raises(ea.UncoveredFrame):
-        ea.execute_frame(bytes([0x60, 0x02, 0x60, 0x03, 0x05, 0x00]),
-                         ea.FrameEnv(), 10_000)  # SDIV
+        ea.execute_frame(bytes([0x60, 0x02, 0x60, 0x03, 0x0A, 0x00]),
+                         ea.FrameEnv(), 10_000)  # EXP (still uncovered)
     with pytest.raises(ea.UncoveredFrame):
         ea.execute_frame(bytes([0x50]), ea.FrameEnv(), 10_000)  # underflow
     with pytest.raises(ea.UncoveredFrame):
@@ -439,7 +475,7 @@ def test_tampered_mload_value_unbalances_bus(frame, challenges):
     t = trace.copy()
     rows = np.where(t[:, ea.FLAG0 + ea.FLAG_IDX["mload"]] == 1)[0]
     t[rows[0], ea.C0 + 1] ^= 1
-    totals = [ef.H_ZERO] * 8
+    totals = [ef.H_ZERO] * ea.NUM_BUS
     traces = [t] + [tab[1] for tab in tables[1:]]
     for (air, _, _), tr in zip(tables, traces):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
@@ -469,7 +505,7 @@ def test_tampered_keccak_digest_unbalances_bus(frame, challenges):
     rows = np.where(t[:, ea.FLAG0 + ea.FLAG_IDX["keccak"]] == 1)[0]
     assert len(rows) == 3
     t[rows[0], ea.C0 + 5] ^= 1
-    totals = [ef.H_ZERO] * 8
+    totals = [ef.H_ZERO] * ea.NUM_BUS
     traces = [t] + [tab[1] for tab in tables[1:]]
     for (air, _, _), tr in zip(tables, traces):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
@@ -492,7 +528,7 @@ def test_tampered_hashed_byte_unbalances_bus(frame, challenges):
     r = layout_rows[0]
     t[r, ek.KC_BYTE] ^= 1
     t[r, ek.KC_BITS] ^= 1
-    totals = [ef.H_ZERO] * 8
+    totals = [ef.H_ZERO] * ea.NUM_BUS
     traces = [tab[1] for tab in tables]
     traces[6] = t
     for (air, _, _), tr in zip(tables, traces):
@@ -532,7 +568,7 @@ def test_storage_constraints_and_tampering(frame, challenges):
     )[0]
     assert len(crows)
     ct[crows[0], ea.SCOLD] = 0  # claim warm -> cheaper gas, but...
-    totals = [ef.H_ZERO] * 8
+    totals = [ef.H_ZERO] * ea.NUM_BUS
     traces = [ct] + [tab[1] for tab in tables[1:]]
     for (air, _, _), tr in zip(tables, traces):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
@@ -567,7 +603,7 @@ def test_wrong_calldata_word_unbalances_bus(frame, challenges):
     other = bytearray(CALLDATA)
     other[5] ^= 0xFF
     bad_cd = ea.EvmCalldataAir(bytes(other))
-    totals = [ef.H_ZERO] * 8
+    totals = [ef.H_ZERO] * ea.NUM_BUS
     for i, (air, trace, publics) in enumerate(tables):
         air_use = bad_cd if i == 3 else air
         for ch, bv in enumerate(air_use.bus_values(trace, challenges)):
@@ -687,3 +723,74 @@ def test_block_frame_statement():
         assert not ts.verify_payload(bad)
     finally:
         _SIM_REGISTRY.clear()
+
+
+def test_arith_table_negative_probes(frame, challenges):
+    """SDIV/SMOD soundness: the arith table rejects wrong results, wrong
+    signs, and wrong abs decompositions; a CPU lying about the pushed
+    result unbalances the BUS_AR channel."""
+    from raiko_tpu.stark.airs import evm_arith as ar
+
+    tables = ea.frame_tables(frame)
+    arith, atrace, apub = tables[-1]
+    assert isinstance(arith, ar.ArithAir)
+    assert check_constraints(arith, atrace, apub, challenges) == []
+    # flip the result-sign condition -> the negate/copy branches disagree
+    t1 = atrace.copy()
+    row = int(np.where(t1[:, ar.ARF_SDIV] == 1)[0][0])
+    t1[row, ar.AR_SDC] ^= 1
+    assert check_constraints(arith, t1, apub, challenges)
+    # corrupt the abs quotient -> schoolbook identity fails
+    t2 = atrace.copy()
+    t2[row, ar.AR_Q0] ^= 1
+    assert check_constraints(arith, t2, apub, challenges)
+    # corrupt |a| (negation chain breaks)
+    t3 = atrace.copy()
+    t3[row, ar.AR_AA0 + 5] ^= 1
+    assert check_constraints(arith, t3, apub, challenges)
+    # claim the divisor is zero when it isn't (nonzero gadget)
+    t4 = atrace.copy()
+    t4[row, ar.AR_TAKEN] ^= 1
+    assert check_constraints(arith, t4, apub, challenges)
+    # CPU pushing a wrong SDIV result: its own row stays locally valid
+    # (C is unconstrained there) but the BUS_AR channel no longer matches
+    cpu, ctrace, _ = tables[0]
+    crow = int(
+        np.where(ctrace[:, ea.FLAG0 + ea.FLAG_IDX["sdiv"]] == 1)[0][0]
+    )
+    ct = ctrace.copy()
+    ct[crow, ea.C0 + 7] ^= 1
+    totals = [ef.H_ZERO] * ea.NUM_BUS
+    traces = [ct] + [tab[1] for tab in tables[1:]]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert totals[ea.BUS_AR] != ef.H_ZERO
+
+
+def test_log_negative_probes(frame, challenges):
+    """LOGn soundness: wrong stack-pointer delta (topics not popped) and
+    wrong gas are caught by the CPU constraints."""
+    cpu, ctrace, cpub = next(
+        (t for t in [ea.frame_tables(frame)[0]]), None
+    )
+    rows = np.where(ctrace[:, ea.FLAG0 + ea.FLAG_IDX["log"]] == 1)[0]
+    assert len(rows) == 3  # LOG0 + LOG1 + LOG4
+    # claim a smaller topic count on the LOG4 row: op byte reconstruction
+    # (base + n) breaks against the fetched opcode
+    r4 = int(rows[-1])
+    t1 = ctrace.copy()
+    t1[r4, ea.FAMB0 : ea.FAMB0 + 5] = 0  # fam_n = 1 (LOG0)
+    assert check_constraints(cpu, t1, cpub, challenges)
+    # keep the opcode consistent but skip popping the topics: sp breaks
+    t2 = ctrace.copy()
+    t2[r4, ea.OP] = 0xA0
+    assert check_constraints(cpu, t2, cpub, challenges)
+    # undercharge gas on the LOG1 row (skip the 8*size term): the gas
+    # transition fails
+    r1 = int(rows[1])
+    t3 = ctrace.copy()
+    # gas_after is encoded on the NEXT row's register; nudging this row's
+    # size bits changes the charged cost
+    t3[r1, ea.B0] ^= 1
+    assert check_constraints(cpu, t3, cpub, challenges)

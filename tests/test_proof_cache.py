@@ -72,7 +72,9 @@ def test_prover_short_circuits_on_hit(tmp_path, monkeypatch):
     cfg = {"proof_cache": str(tmp_path)}
     seeded = {"kind": "poseidon2-transcript-sharded-v1", "seeded": True}
     proof_cache.save_proof(cfg, "tpu_shard", IH, seeded)
-    monkeypatch.setattr(tpu_shard, "calculate_block_header", lambda gi: "H")
+    monkeypatch.setattr(
+        tpu_shard, "calculate_block_header", lambda gi, collect=None: "H"
+    )
 
     class _PI:
         def instance_hash(self):
@@ -86,6 +88,7 @@ def test_prover_short_circuits_on_hit(tmp_path, monkeypatch):
         raise AssertionError("prover ran despite cache hit")
 
     monkeypatch.setattr(tpu_shard, "prove_sharded", _boom)
+    monkeypatch.setattr(tpu_shard, "prove_block_sharded", _boom)
     proof = tpu_shard.TpuShardProver().run(_GI(), _Out(), cfg)
     assert isinstance(proof, Proof)
     assert json.loads(proof.proof)["seeded"] is True
