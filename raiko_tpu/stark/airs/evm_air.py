@@ -77,8 +77,10 @@ LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256
 (32-byte-aligned, < 2^13 words), PUSH0-32, DUP1-16, SWAP1-16, LOG0-4
 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
-SDIV/SMOD are proven in the dedicated arithmetic table
-(stark/airs/evm_arith.py) over the BUS_AR channel (channel 8).
+SDIV/SMOD/EXP are proven in the dedicated arithmetic table
+(stark/airs/evm_arith.py) over the BUS_AR channel (channel 8); EXP gas
+charges 10 + 50*L with L bound by a 33-wide one-hot + suffix-zero check
+(L can only be over-claimed, never under).
 MUL is a schoolbook byte product with 13-bit range-checked carries;
 DIV/MOD prove q*b + r = a with a zero high half and r <= b - 1 via a
 byte borrow chain (division by zero pushes zero through the nonzero
@@ -90,7 +92,7 @@ against the storage journal (EIP-2929 warm/cold + EIP-2200 gas cases +
 the 2300-gas sentry).  LOGn meters 375*n + 8*size + expansion and pops
 its topics without stack-channel reads (topic values feed only the
 receipt log, outside the frame statement; popped cells are always
-re-written before any further read).  Unaligned memory, EXP, copies
+re-written before any further read).  Unaligned memory, copies
 (CALLDATACOPY/CODECOPY/RETURNDATACOPY), and calls are the documented
 roadmap; frames using them are reported uncovered, never mis-proven.
 """
@@ -119,6 +121,7 @@ SIMPLE_OPS = {
     "sdiv": (0x05, 5, 2, 1),
     "mod": (0x06, 5, 2, 1),
     "smod": (0x07, 5, 2, 1),
+    "exp": (0x0A, 0, 2, 1),  # gas fully dynamic: 10 + 50*byte_len(exp)
     "signextend": (0x0B, 5, 2, 1),
     "lt": (0x10, 3, 2, 1),
     "gt": (0x11, 3, 2, 1),
@@ -199,8 +202,8 @@ _ARITH2 = ("add", "sub", "lt", "gt", "slt", "sgt", "eq", "and", "or", "xor")
 _CMP = ("lt", "gt", "slt", "sgt")
 # every pop-2-push-1 opcode (stack channel slots R0/R1/W0)
 _POP2PUSH1 = _ARITH2 + (
-    "mul", "div", "sdiv", "mod", "smod", "signextend", "byte", "shl", "shr",
-    "sar", "keccak",
+    "mul", "div", "sdiv", "mod", "smod", "exp", "signextend", "byte", "shl",
+    "shr", "sar", "keccak",
 )
 _SHIFTS = ("shl", "shr", "sar")
 
@@ -435,6 +438,7 @@ class _Step:
     dmt: list | None = None  # DIV/MOD borrow-chain t bytes
     dmb: list | None = None  # DIV/MOD borrow bits
     qsel: int = -1  # byte-shift one-hot index (shift/BYTE rows, not big)
+    expL: int = -1  # EXP: exponent byte length (33-wide one-hot)
     rsel: int = -1  # bit-shift one-hot index (shift rows, not big)
     m_before: int = 0  # msize register (words) before this step
     grow: int = 0  # memory-op witnesses (MLOAD/MSTORE/KECCAK rows)
@@ -702,6 +706,18 @@ def execute_frame(
             st.a, st.b = a, b_
             st.mulc = _mul_carries(a, b_)
             push(a * b_, sp - 2)
+        elif op == 0x0A:
+            st.name = "exp"
+            a, b_ = pop2()  # base, exponent
+            st.a, st.b = a, b_
+            elen = (b_.bit_length() + 7) // 8
+            use(10 + 50 * elen)
+            st.qsel = -1  # one-hot lives at SCRATCH0 + elen (33-wide)
+            st.mulc = None
+            st.expL = elen
+            c = pow(a, b_, 1 << 256)
+            arith_calls.append((3, a, b_, c))
+            push(c, sp - 2)
         elif op in (0x05, 0x07):
             st.name = "sdiv" if op == 0x05 else "smod"
             a, b_ = pop2()
@@ -1159,6 +1175,8 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
             row[OHQ0 + st.qsel] = 1
         if st.rsel >= 0:
             row[OHR0 + st.rsel] = 1
+        if st.expL >= 0:
+            row[SCRATCH0 + st.expL] = 1
         row[SCOLD] = st.scold
         row[SG1] = st.sg1
         row[SG2] = st.sg2
@@ -1344,7 +1362,7 @@ class EvmCpuAir(Air):
         gar = np.array(
             [x % bb.P for x in challenges[CHAL_AR]], dtype=np.uint64
         )
-        kind = (flags["sdiv"] + 2 * flags["smod"]) % _PU
+        kind = (flags["sdiv"] + 2 * flags["smod"] + 3 * flags["exp"]) % _PU
         code_ar = _np_tuple_code(
             kind,
             [(bytesA[:, j], 1 + j) for j in range(32)]
@@ -1354,7 +1372,10 @@ class EvmCpuAir(Air):
         )
         inv_ar = ef.npef_inv(ef.npef_sub(gar[None, :], code_ar))
         ar_terms = ef.npef_mul(
-            ef.npef_from_base((flags["sdiv"] + flags["smod"]) % _PU), inv_ar
+            ef.npef_from_base(
+                (flags["sdiv"] + flags["smod"] + flags["exp"]) % _PU
+            ),
+            inv_ar,
         )
         # stack sends
         p21 = sum(flags[nm] for nm in _POP2PUSH1)
@@ -1661,6 +1682,23 @@ class EvmCpuAir(Air):
         # bound by the f_kr group's 32*sw = size + slack constraint)
         cost = b.add(cost, b.mul(f_log, b.scale(375, fam_n)))
         cost = b.add(cost, b.scale(8, b.mul(f_log, lB[0])))
+        # EXP: 10 + 50*L where the 33-wide one-hot at SCRATCH0 selects the
+        # exponent byte length L; bytes >= L of B must be zero (suffix
+        # sums).  L can only be OVER-claimed (never under: the suffix
+        # check forbids it), i.e. a dishonest prover can at most charge
+        # itself extra gas — same trust class as the frame gas publics.
+        f_exp = f["exp"]
+        exp_oh = [b.local(SCRATCH0 + i) for i in range(33)]
+        oh_sum = exp_oh[0]
+        lsum = None
+        for i in range(1, 33):
+            oh_sum = b.add(oh_sum, exp_oh[i])
+            t = b.scale(i, exp_oh[i])
+            lsum = t if lsum is None else b.add(lsum, t)
+        b.all_rows(b.mul(f_exp, b.sub(oh_sum, one)))
+        cost = b.add(
+            cost, b.mul(f_exp, b.add(b.constant(10), b.scale(50, lsum)))
+        )
         # storage gas (EIP-2929/2200): SLOAD 100 + 2000*cold; SSTORE
         # 100 + 2800*g1 + 19900*g2 + 2100*cold
         f_sl, f_ss = f["sload"], f["sstore"]
@@ -1672,6 +1710,8 @@ class EvmCpuAir(Air):
         cost = b.add(cost, b.scale(2100, b.mul(f_ss, scold)))
         cost = b.add(cost, b.add(b.scale(2800, sg1), b.scale(19900, sg2)))
         b.transition(b.sub(G_n, b.sub(G, cost)))
+        # EXP byte-length suffix check (bbytes defined in section 14a;
+        # emitted there to reuse the byte linmaps)
 
         # 9. the shared 256-bit adder gadget: X + Y = Z + carry-out*2^256
         def flip_limb(l15, msb):
@@ -1835,6 +1875,14 @@ class EvmCpuAir(Air):
                 t = b.mul(qb[i], bsuffix[i])
                 acc = t if acc is None else b.add(acc, t)
             return acc
+
+        # EXP suffix-zero: one-hot position i forbids any B byte >= i
+        _ESUF = [
+            [1 if j >= i else 0 for j in range(32)] for i in range(33)
+        ]
+        bsfx = b.linmap(_ESUF, bbytes)  # bsfx[i] = sum_{j>=i} b_j
+        for i in range(33):
+            b.all_rows(b.mul(b.mul(f_exp, exp_oh[i]), bsfx[i]))
 
         conv_ab = byte_conv(abytes)
         b.all_rows_block(
@@ -2202,7 +2250,9 @@ class EvmCpuAir(Air):
         # to ArithAir (evm_arith.py), which proves the signed semantics.
         g_ar = b.challenge_ef(CHAL_AR)
         f_sdv, f_smd = f["sdiv"], f["smod"]
-        kind_expr = b.add(f_sdv, b.scale(2, f_smd))
+        kind_expr = b.add(
+            b.add(f_sdv, b.scale(2, f_smd)), b.scale(3, f_exp)
+        )
         chi8c = b.ef_mul4(b.ef_mul4(chi2, chi2), b.ef_mul4(chi2, chi2))
         chi16c = b.ef_mul4(chi8c, chi8c)
         chi32c = b.ef_mul4(chi16c, chi16c)
@@ -2219,7 +2269,7 @@ class EvmCpuAir(Air):
         accAR = [b.aux(AUX_AR + c) for c in range(4)]
         accAR_n = [b.aux_next(AUX_AR + c) for c in range(4)]
         prodAR = b.ef_mul4(b.ef_sub4(accAR_n, accAR), b.ef_sub4(g_ar, code_ar))
-        actAR = b.ef_from_base4(b.add(f_sdv, f_smd))
+        actAR = b.ef_from_base4(b.add(b.add(f_sdv, f_smd), f_exp))
         for c in range(4):
             b.transition(b.sub(prodAR[c], actAR[c]))
             b.first_row(accAR[c])
@@ -2977,7 +3027,7 @@ def frame_tables(ft: FrameTrace):
     if ft.arith_calls:
         from .evm_arith import ArithAir
 
-        ar = ArithAir(len(ft.arith_calls))
+        ar = ArithAir([k for k, *_ in ft.arith_calls])
         tables.append((ar, ar.trace(ft.arith_calls), []))
     return tables
 
@@ -3015,7 +3065,7 @@ def prove_frame_trace(ft: FrameTrace) -> dict:
         "keccak_calls": [
             [offw, size] for _, offw, size, _, _ in ft.keccak_calls
         ],
-        "arith_calls": len(ft.arith_calls),
+        "arith_calls": [k for k, *_ in ft.arith_calls],
         "storage": [
             [hex(slot), hex(orig), count, prewarm, hex(final)]
             for slot, orig, count, prewarm, final in ft.storage_groups
@@ -3052,7 +3102,11 @@ def verify_frame_payload(payload: dict) -> bool:
             (int(s, 16), int(o, 16), int(c), int(w), int(f, 16))
             for s, o, c, w, f in payload.get("storage", [])
         ]
-        n_ar = int(payload.get("arith_calls", 0))
+        ar_kinds = payload.get("arith_calls", [])
+        if isinstance(ar_kinds, int):  # round-3 early form: count only
+            ar_kinds = [1] * ar_kinds
+        ar_kinds = [int(k) for k in ar_kinds]
+        n_ar = len(ar_kinds)
         starks = payload["starks"]
         if not (0 <= gas_f <= gas0 < 1 << 32 and 0 <= sp_f <= 1024):
             return False
@@ -3090,7 +3144,7 @@ def verify_frame_payload(payload: dict) -> bool:
         if n_ar:
             from .evm_arith import ArithAir
 
-            airs.append(ArithAir(n_ar))
+            airs.append(ArithAir(ar_kinds))
     except AssertionError:
         return False
     if proofs[0].publics != frame_publics(env, gas0, gas_f, sp_f):

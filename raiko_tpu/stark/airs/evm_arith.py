@@ -1,4 +1,4 @@
-"""ArithAir — the signed-arithmetic table (SDIV / SMOD).
+"""ArithAir — the arithmetic table (SDIV / SMOD / EXP).
 
 Rather than widening every CPU row with the ~800 witness columns signed
 division needs, the CPU sends one tuple per SDIV/SMOD on the BUS_AR
@@ -6,11 +6,16 @@ channel (evm_air.py section 14h):
 
     kind + sum_j a_j chi^{1+j} + b_j chi^{33+j} + c_j chi^{65+j}
 
-(kind 1 = SDIV, 2 = SMOD; a, b operands; c the pushed result) and THIS
-table receives each tuple once, proving the signed semantics on its own
-rows (one wide row per call — the "arithmetic table" pattern of
-production zkEVMs, and the natural extension point for EXP / MULMOD /
-ADDMOD).
+(kind 1 = SDIV, 2 = SMOD, 3 = EXP; a, b operands; c the pushed result)
+and THIS table receives each tuple once, proving the semantics on its
+own rows — the "arithmetic table" pattern of production zkEVMs.
+SDIV/SMOD use one wide row per call; EXP uses a 256-row square-and-
+multiply block (LSB-first: acc' = acc * (bit ? pw : 1), pw' = pw^2, one
+schoolbook mod-2^256 multiply pair per row), with the operands/result
+held across the block and the call tuple received on the block's last
+row.  The exponent bit for row j is selected by a fixed 256-wide
+one-hot, materialized into a witness bit column to keep constraint
+degree <= 3.
 
 Statement per row:  c = SDIV(a, b) resp. SMOD(a, b) with EVM truncated
 division semantics (rounds toward zero, x/0 = 0, SDIV(-2^255, -1) =
@@ -79,10 +84,29 @@ AR_NZ0 = AR_DMT0 + 256  # 16 nonzero indicators (|b| limbs)
 AR_INV0 = AR_NZ0 + 16  # 16 inverses (raw)
 AR_SINV = AR_INV0 + 16  # raw
 AR_TAKEN = AR_SINV + 1
-AR_WIDTH = AR_TAKEN + 1
+AR_FEXP = AR_TAKEN + 1  # EXP-kind flag
+AR_BIT = AR_FEXP + 1  # selected exponent bit (witness copy)
+AR_WIDTH = AR_BIT + 1
+
+# EXP-row overlays (regions unused by the divmod machinery on exp rows):
+#   AR_AA0  : acc_j bits        AR_BA0 : pw_j bits
+#   AR_MULC0: acc-multiply carries (13x32)
+#   AR_Q0 + AR_R0[:160]: pw-square carries (13x32)
+#   AR_DMT0 : sel bits (bit ? pw : 1)
+XC_ACC0 = AR_AA0
+XC_PW0 = AR_BA0
+XC_MC1 = AR_MULC0
+XC_SEL0 = AR_DMT0
 
 # fixed
 ARF_ACTIVE = 0
+XF_START = 1  # first row of an exp block
+XF_END = 2  # last row of an exp block
+XF_CONT_N = 3  # next row continues this exp block
+XF_ACT = 4  # row belongs to an exp block
+XF_BITSEL = 5  # 256 one-hot columns: exponent bit index of this row
+AR_NFIXED = XF_BITSEL + 256
+EXP_ROWS = 256
 
 _MULC_MAT = [[0] * (13 * 32) for _ in range(32)]
 for _k in range(32):
@@ -94,6 +118,21 @@ for _k in range(32):
         _DMT_MAT[_k][8 * _k + _t] = 1 << _t
 
 _M256 = (1 << 256) - 1
+
+
+def _mul_carries_mod(x: int, y: int) -> list[int]:
+    """Schoolbook byte-product carries mod 2^256 (same bound argument as
+    evm_air._mul_carries: every carry < 2^13)."""
+    xb = [(x >> (8 * i)) & 0xFF for i in range(32)]
+    yb = [(y >> (8 * j)) & 0xFF for j in range(32)]
+    out = []
+    cprev = 0
+    for k in range(32):
+        t = sum(xb[i] * yb[k - i] for i in range(k + 1)) + cprev
+        cprev = t >> 8
+        assert cprev < (1 << 13)
+        out.append(cprev)
+    return out
 
 
 def _signed(v: int) -> int:
@@ -110,25 +149,102 @@ class ArithAir(Air):
     quotient_chunks = 2
     eager_quotient = True
 
-    def __init__(self, num_calls: int):
-        assert num_calls >= 1
-        self.num_calls = num_calls
-        self.n = _pow2_atleast(num_calls + 1)
+    def __init__(self, kinds):
+        """kinds: per-call kind sequence (1 = SDIV, 2 = SMOD, 3 = EXP);
+        a plain int keeps the round-3 call-count form (all divmod)."""
+        if isinstance(kinds, int):
+            kinds = [1] * kinds
+        kinds = [int(k) for k in kinds]
+        assert kinds and all(k in (1, 2, 3) for k in kinds)
+        self.kinds = kinds
+        self.num_calls = len(kinds)
+        total = sum(EXP_ROWS if k == 3 else 1 for k in kinds)
+        self.n = _pow2_atleast(total + 1)
 
     def structure_key(self) -> tuple:
-        return ()
+        return tuple(self.kinds)
+
+    def _layout(self):
+        """[(call_idx, kind, j)] per active row (j = exp row index)."""
+        out = []
+        for ci, k in enumerate(self.kinds):
+            if k == 3:
+                for j in range(EXP_ROWS):
+                    out.append((ci, k, j))
+            else:
+                out.append((ci, k, 0))
+        return out
 
     def fixed_columns(self, n: int):
         assert n == self.n
-        cols = np.zeros((1, n), dtype=np.uint32)
-        cols[ARF_ACTIVE, : self.num_calls] = 1
+        cols = np.zeros((AR_NFIXED, n), dtype=np.uint32)
+        layout = self._layout()
+        for r, (ci, k, j) in enumerate(layout):
+            cols[ARF_ACTIVE, r] = 1
+            if k == 3:
+                cols[XF_ACT, r] = 1
+                cols[XF_BITSEL + j, r] = 1
+                if j == 0:
+                    cols[XF_START, r] = 1
+                if j == EXP_ROWS - 1:
+                    cols[XF_END, r] = 1
+        for r in range(n - 1):
+            if (
+                r + 1 < len(layout)
+                and layout[r][1] == 3
+                and layout[r + 1][1] == 3
+                and layout[r + 1][2] == layout[r][2] + 1
+                and layout[r + 1][0] == layout[r][0]
+            ):
+                cols[XF_CONT_N, r] = 1
         return cols
 
     def trace(self, calls: list[tuple[int, int, int, int]]) -> np.ndarray:
-        """calls: (kind, a, b, c) with kind 1 = SDIV, 2 = SMOD."""
+        """calls: (kind, a, b, c); kinds must match the constructor."""
         assert len(calls) == self.num_calls
+        assert [k for k, *_ in calls] == self.kinds
         tr = np.zeros((self.n, AR_WIDTH), dtype=np.uint32)
-        for r, (kind, a, bv, c) in enumerate(calls):
+        r = 0
+        for kind, a, bv, c in calls:
+            if kind == 3:
+                r = self._fill_exp_rows(tr, r, a, bv, c)
+                continue
+            self._fill_divmod_row(tr, r, kind, a, bv, c)
+            r += 1
+        return tr
+
+    def _fill_exp_rows(self, tr, r0, a, bv, c) -> int:
+        """256 square-and-multiply rows (LSB-first)."""
+        assert pow(a, bv, 1 << 256) == c, "exp call result mismatch"
+        acc, pw = 1, a
+        for j in range(EXP_ROWS):
+            r = r0 + j
+            bit = (bv >> j) & 1
+            sel = pw if bit else 1
+            tr[r, ARF_SDIV] = 0
+            tr[r, AR_FEXP] = 1
+            tr[r, AR_BIT] = bit
+            tr[r, AR_A0 : AR_A0 + 256] = _word_bits(a)
+            tr[r, AR_B0 : AR_B0 + 256] = _word_bits(bv)
+            tr[r, AR_C0 : AR_C0 + 256] = _word_bits(c)
+            tr[r, XC_ACC0 : XC_ACC0 + 256] = _word_bits(acc)
+            tr[r, XC_PW0 : XC_PW0 + 256] = _word_bits(pw)
+            tr[r, XC_SEL0 : XC_SEL0 + 256] = _word_bits(sel)
+            mc1 = _mul_carries_mod(acc, sel)
+            mc2 = _mul_carries_mod(pw, pw)
+            for k in range(32):
+                for t in range(13):
+                    tr[r, XC_MC1 + 13 * k + t] = (mc1[k] >> t) & 1
+                    bitv = (mc2[k] >> t) & 1
+                    pos = 13 * k + t
+                    col = AR_Q0 + pos if pos < 256 else AR_R0 + pos - 256
+                    tr[r, col] = bitv
+            acc = acc * sel % (1 << 256)
+            pw = pw * pw % (1 << 256)
+        assert acc == c
+        return r0 + EXP_ROWS
+
+    def _fill_divmod_row(self, tr, r, kind, a, bv, c) -> None:
             sa_, sb_ = _signed(a), _signed(bv)
             aa, ba = abs(sa_), abs(sb_)
             q = aa // ba if ba else 0
@@ -183,7 +299,6 @@ class ArithAir(Air):
                     s += 1
             tr[r, AR_SINV] = pow(s, bb.P - 2, bb.P) if s else 0
             tr[r, AR_TAKEN] = 1 if s else 0
-        return tr
 
     # ---------------- host-side channel terms ----------------
     def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
@@ -196,7 +311,9 @@ class ArithAir(Air):
         bytesA = _bits_to_bytes(trace[:, AR_A0 : AR_A0 + 256])
         bytesB = _bits_to_bytes(trace[:, AR_B0 : AR_B0 + 256])
         bytesC = _bits_to_bytes(trace[:, AR_C0 : AR_C0 + 256])
-        kind = (t[:, ARF_SDIV] + 2 * t[:, ARF_SMOD]) % _PU
+        kind = (
+            t[:, ARF_SDIV] + 2 * t[:, ARF_SMOD] + 3 * t[:, AR_FEXP]
+        ) % _PU
         code = _np_tuple_code(
             kind,
             [(bytesA[:, j], 1 + j) for j in range(32)]
@@ -207,7 +324,10 @@ class ArithAir(Air):
         inv = ef.npef_inv(ef.npef_sub(gar[None, :], code))
         n = trace.shape[0]
         act = np.zeros(n, dtype=np.uint64)
-        act[: self.num_calls] = _PU - np.uint64(1)  # receive: -1
+        # one receive per call: divmod rows + exp-block END rows
+        for r, (ci, k, j) in enumerate(self._layout()):
+            if k != 3 or j == EXP_ROWS - 1:
+                act[r] = _PU - np.uint64(1)
         return ef.npef_mul(ef.npef_from_base(act), inv)
 
     def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
@@ -229,15 +349,22 @@ class ArithAir(Air):
         chi = b.challenge_ef(CHAL_CHI)
         g_ar = b.challenge_ef(CHAL_AR)
         active = b.fixed(ARF_ACTIVE)
+        xf_start = b.fixed(XF_START)
+        xf_end = b.fixed(XF_END)
+        xf_cont = b.fixed(XF_CONT_N)
+        xf_act = b.fixed(XF_ACT)
         f_sdv = b.local(ARF_SDIV)
         f_smd = b.local(ARF_SMOD)
+        f_exp = b.local(AR_FEXP)
+        bitc = b.local(AR_BIT)
         sdc = b.local(AR_SDC)
         taken = b.local(AR_TAKEN)
         sinv = b.local(AR_SINV)
+        f_dm = b.add(f_sdv, f_smd)
 
         # booleanity (all but the raw inverse columns)
         bit_cols = (
-            [ARF_SDIV, ARF_SMOD]
+            [ARF_SDIV, ARF_SMOD, AR_FEXP, AR_BIT]
             + list(range(AR_A0, AR_NCA0))  # the seven 256-bit words
             + list(range(AR_NCA0, AR_SDC + 1))  # carries + SDC
             + list(range(AR_MULC0, AR_NZ0 + 16))  # mulc + dmb + dmt + nz
@@ -246,8 +373,10 @@ class ArithAir(Air):
         bits = b.local_block(bit_cols)
         b.all_rows_block(b.mul(bits, b.sub(bits, one)), len(bit_cols))
 
-        # exactly one kind on active rows, none elsewhere
-        b.all_rows(b.sub(b.add(f_sdv, f_smd), active))
+        # exactly one kind on active rows, none elsewhere; the EXP flag
+        # must match the fixed block layout
+        b.all_rows(b.sub(b.add(f_dm, f_exp), active))
+        b.all_rows(b.sub(f_exp, xf_act))
 
         Ablk = b.local_block(range(AR_A0, AR_A0 + 256))
         Bblk = b.local_block(range(AR_B0, AR_B0 + 256))
@@ -271,7 +400,7 @@ class ArithAir(Air):
             (sa, lA, lAA, AAblk, Ablk, AR_NCA0),
             (sb_, lB, lBA, BAblk, Bblk, AR_NCB0),
         ):
-            gate = b.mul(active, sx)
+            gate = b.mul(f_dm, sx)
             cprev = b.constant(0)
             for i in range(16):
                 ci = b.local(nc0 + i)
@@ -287,7 +416,7 @@ class ArithAir(Air):
                 cprev = ci
             b.all_rows(b.mul(gate, b.sub(cprev, one)))  # carry-out = 1
             b.all_rows_block(
-                b.mul(b.mul(active, b.sub(one, sx)), b.sub(XAblk, Xblk)), 256
+                b.mul(b.mul(f_dm, b.sub(one, sx)), b.sub(XAblk, Xblk)), 256
             )
 
         # 2. result-sign condition + negation/copy of the result
@@ -324,11 +453,11 @@ class ArithAir(Air):
         invs = [b.local(AR_INV0 + i) for i in range(16)]
         s_acc = None
         for i in range(16):
-            b.all_rows(b.mul(active, b.sub(nzs[i], b.mul(lBA[i], invs[i]))))
-            b.all_rows(b.mul(active, b.mul(lBA[i], b.sub(one, nzs[i]))))
+            b.all_rows(b.mul(f_dm, b.sub(nzs[i], b.mul(lBA[i], invs[i]))))
+            b.all_rows(b.mul(f_dm, b.mul(lBA[i], b.sub(one, nzs[i]))))
             s_acc = nzs[i] if s_acc is None else b.add(s_acc, nzs[i])
-        b.all_rows(b.mul(active, b.sub(taken, b.mul(s_acc, sinv))))
-        b.all_rows(b.mul(active, b.mul(s_acc, b.sub(one, taken))))
+        b.all_rows(b.mul(f_dm, b.sub(taken, b.mul(s_acc, sinv))))
+        b.all_rows(b.mul(f_dm, b.mul(s_acc, b.sub(one, taken))))
 
         # 4. unsigned divmod:  q'*|b| + r' = taken*|a|  (schoolbook, zero
         # high half, borrow chain r' <= |b| - 1); q' = r' = 0 when b = 0
@@ -351,7 +480,7 @@ class ArithAir(Air):
             conv = t if conv is None else b.add(conv, t)
         b.all_rows_block(
             b.mul(
-                active,
+                f_dm,
                 b.sub(
                     b.add(b.add(conv, rbytes), mulc_prev),
                     b.add(b.mul(taken, aabytes), b.scale(256, mulc)),
@@ -365,7 +494,7 @@ class ArithAir(Air):
         for i in range(1, 32):
             t = b.mul(qbytes[i], basuffix[i])
             hi = t if hi is None else b.add(hi, t)
-        b.all_rows(b.mul(active, b.add(hi, mulc[31])))
+        b.all_rows(b.mul(f_dm, b.add(hi, mulc[31])))
         dmbr = b.local_block(range(AR_DMB0, AR_DMB0 + 32))
         dmbr_prev = b.concat_rows([b.scale(0, dmbr[:1]), dmbr[:31]])
         tbytes = b.linmap(_DMT_MAT, b.local_block(range(AR_DMT0, AR_DMT0 + 256)))
@@ -374,14 +503,110 @@ class ArithAir(Air):
             b.add(b.sub(babytes, rbytes), b.scale(256, dmbr)),
             b.add(b.add(sub1, dmbr_prev), tbytes),
         )
-        b.all_rows_block(b.mul(active, chain), 32)
-        b.all_rows(b.mul(b.mul(active, taken), dmbr[31]))
-        ntk = b.mul(active, b.sub(one, taken))
+        b.all_rows_block(b.mul(f_dm, chain), 32)
+        b.all_rows(b.mul(b.mul(f_dm, taken), dmbr[31]))
+        ntk = b.mul(f_dm, b.sub(one, taken))
         b.all_rows_block(b.mul(ntk, Qblk), 256)
         b.all_rows_block(b.mul(ntk, Rblk), 256)
 
+        # 4b. EXP blocks: square-and-multiply, LSB-first
+        ACCblk = b.local_block(range(XC_ACC0, XC_ACC0 + 256))
+        ACCblk_n = b.next_block(range(XC_ACC0, XC_ACC0 + 256))
+        PWblk = b.local_block(range(XC_PW0, XC_PW0 + 256))
+        PWblk_n = b.next_block(range(XC_PW0, XC_PW0 + 256))
+        SELblk = b.local_block(range(XC_SEL0, XC_SEL0 + 256))
+        accbytes = b.linmap(_BYTE_MAT, ACCblk)
+        accbytes_n = b.linmap(_BYTE_MAT, ACCblk_n)
+        pwbytes = b.linmap(_BYTE_MAT, PWblk)
+        pwbytes_n = b.linmap(_BYTE_MAT, PWblk_n)
+        selbytes = b.linmap(_BYTE_MAT, SELblk)
+        cbytes = b.linmap(_BYTE_MAT, Cblk)
+        # selected exponent bit: fixed one-hot over the held B word
+        bsel = None
+        for j in range(256):
+            t = b.mul(b.fixed(XF_BITSEL + j), b.local(AR_B0 + j))
+            bsel = t if bsel is None else b.add(bsel, t)
+        b.all_rows(b.mul(xf_act, b.sub(bitc, bsel)))
+        # sel = bit ? pw : 1  (bitwise; byte 0 gets the +1 of the "1")
+        b.all_rows_block(
+            b.mul(xf_act, b.sub(SELblk[1:], b.mul(bitc, PWblk[1:]))), 255
+        )
+        b.all_rows(
+            b.mul(
+                xf_act,
+                b.sub(
+                    b.local(XC_SEL0),
+                    b.add(
+                        b.mul(bitc, b.local(XC_PW0)),
+                        b.sub(one, bitc),
+                    ),
+                ),
+            )
+        )
+        # block start: acc = 1, pw = a
+        b.all_rows(b.mul(xf_start, b.sub(b.local(XC_ACC0), one)))
+        b.all_rows_block(b.mul(xf_start, ACCblk[1:]), 255)
+        b.all_rows_block(b.mul(xf_start, b.sub(PWblk, Ablk)), 256)
+        # held words across the block
+        for blk, blk_n in (
+            (Ablk, b.next_block(range(AR_A0, AR_A0 + 256))),
+            (Bblk, b.next_block(range(AR_B0, AR_B0 + 256))),
+            (Cblk, b.next_block(range(AR_C0, AR_C0 + 256))),
+        ):
+            b.transition_block(b.mul(xf_cont, b.sub(blk_n, blk)), 256)
+        # acc multiply: conv(acc, sel) with 13-bit carries; target is the
+        # NEXT row's acc (continuation) or the held result C (block end)
+        xscr1 = b.local_block(range(XC_MC1, XC_MC1 + 13 * 32))
+        mc1 = b.linmap(_MULC_MAT, xscr1)
+        mc1_prev = b.concat_rows([b.scale(0, mc1[:1]), mc1[:31]])
+        conv_as = None
+        for i in range(32):
+            t = b.mul(accbytes[i], shift32_down(selbytes, i))
+            conv_as = t if conv_as is None else b.add(conv_as, t)
+        lhs_as = b.add(conv_as, mc1_prev)
+        b.transition_block(
+            b.mul(
+                xf_cont,
+                b.sub(lhs_as, b.add(accbytes_n, b.scale(256, mc1))),
+            ),
+            32,
+        )
+        b.all_rows_block(
+            b.mul(
+                xf_end,
+                b.sub(lhs_as, b.add(cbytes, b.scale(256, mc1))),
+            ),
+            32,
+        )
+        # pw squaring: conv(pw, pw) -> next pw
+        _XM2 = [[0] * 416 for _ in range(32)]
+        for _k in range(32):
+            for _t in range(13):
+                _XM2[_k][13 * _k + _t] = 1 << _t
+        xscr2 = b.local_block(
+            list(range(AR_Q0, AR_Q0 + 256)) + list(range(AR_R0, AR_R0 + 160))
+        )
+        mc2 = b.linmap(_XM2, xscr2)
+        mc2_prev = b.concat_rows([b.scale(0, mc2[:1]), mc2[:31]])
+        conv_pp = None
+        for i in range(32):
+            t = b.mul(pwbytes[i], shift32_down(pwbytes, i))
+            conv_pp = t if conv_pp is None else b.add(conv_pp, t)
+        b.transition_block(
+            b.mul(
+                xf_cont,
+                b.sub(
+                    b.add(conv_pp, mc2_prev),
+                    b.add(pwbytes_n, b.scale(256, mc2)),
+                ),
+            ),
+            32,
+        )
+
         # 5. receive channel
-        kind_expr = b.add(f_sdv, b.scale(2, f_smd))
+        kind_expr = b.add(
+            b.add(f_sdv, b.scale(2, f_smd)), b.scale(3, f_exp)
+        )
         chi2 = b.ef_mul4(chi, chi)
         chi4 = b.ef_mul4(chi2, chi2)
         chi8 = b.ef_mul4(chi4, chi4)
@@ -398,7 +623,10 @@ class ArithAir(Air):
         acc = [b.aux(c) for c in range(4)]
         acc_n = [b.aux_next(c) for c in range(4)]
         prod = b.ef_mul4(b.ef_sub4(acc_n, acc), b.ef_sub4(g_ar, code))
-        act4 = b.ef_from_base4(active)
+        # one receive per CALL: 1-row divmod rows, exp blocks on their
+        # END row (operands/result are held, so the code is well-defined)
+        recv = b.add(f_dm, xf_end)
+        act4 = b.ef_from_base4(recv)
         for c in range(4):
             b.transition(b.add(prod[c], act4[c]))
             b.first_row(acc[c])

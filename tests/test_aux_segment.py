@@ -1,5 +1,9 @@
 """Auxiliary-segment (challenge-dependent committed columns) tests:
 the permutation grand-product argument end to end."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 import copy
 

@@ -1,6 +1,10 @@
 """Circuit builder + gate/call tables: the wire-bus substrate of the
 recursive verifier (stark/circuit.py, stark/airs/circuit_air.py,
 stark/airs/poseidon2_calls.py)."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 import numpy as np
 import pytest

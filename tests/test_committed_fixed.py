@@ -8,6 +8,10 @@ opens them at zeta + every query; the openings are DEEP/FRI-bound like
 any other committed segment.  Analog of plonky3/risc0 "preprocessed
 trace" commitments (reference vendors this inside risc0-zkvm, SURVEY.md
 §2.2)."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 import copy
 

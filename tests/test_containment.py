@@ -1,5 +1,9 @@
 """Succinct keccak containment system (keccak-mpt-v2): the three-table
 multi-table STARK end to end, plus the debug-checker harness."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 import numpy as np
 import pytest

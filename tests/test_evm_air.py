@@ -187,6 +187,13 @@ def full_coverage_program() -> bytes:
         ("push", 1, 9),
         0x07,                                     # SMOD by zero -> 0
         0x01,                                     # fold
+        ("push", 2, 0x1234),
+        ("push", 1, 3),
+        0x0A,                                     # EXP: 3 ** 0x1234
+        ("push", 1, 0),
+        ("push", 1, 7),
+        0x0A,                                     # EXP: 7 ** 0 = 1
+        0x02,                                     # fold
         # LOGs: gas + aligned memory-range metering, variable topic pops
         ("push", 1, 0),
         ("push", 1, 0),
@@ -272,7 +279,7 @@ def test_executor_covers_everything(frame, ret_frame):
     names = {st.name for st in frame.steps}
     names |= {st.name for st in ret_frame.steps}
     assert names == set(ea.FLAG_NAMES), set(ea.FLAG_NAMES) - names
-    assert len(frame.arith_calls) == 5
+    assert len(frame.arith_calls) == 7
     # interpreter cross-check on an arithmetic sub-program: the covered
     # executor and the full EVM interpreter must agree on gas and stack
     from raiko_tpu.evm.interpreter import EVM, BlockEnv, TxEnv
@@ -394,8 +401,8 @@ def test_stack_read_consistency_caught(frame, challenges):
 
 def test_uncovered_frame_rejected():
     with pytest.raises(ea.UncoveredFrame):
-        ea.execute_frame(bytes([0x60, 0x02, 0x60, 0x03, 0x0A, 0x00]),
-                         ea.FrameEnv(), 10_000)  # EXP (still uncovered)
+        ea.execute_frame(bytes([0x60, 0x02, 0x60, 0x03, 0xF1, 0x00]),
+                         ea.FrameEnv(), 10_000)  # CALL (composition TBD)
     with pytest.raises(ea.UncoveredFrame):
         ea.execute_frame(bytes([0x50]), ea.FrameEnv(), 10_000)  # underflow
     with pytest.raises(ea.UncoveredFrame):
@@ -576,6 +583,7 @@ def test_storage_constraints_and_tampering(frame, challenges):
     assert totals[ea.BUS_STOR] != ef.H_ZERO
 
 
+@pytest.mark.slow
 def test_storage_roundtrip():
     """SLOAD/SSTORE frame through the real prover; tampering with the
     public originals must be rejected."""
@@ -611,6 +619,7 @@ def test_wrong_calldata_word_unbalances_bus(frame, challenges):
     assert totals[2] != ef.H_ZERO
 
 
+@pytest.mark.slow
 def test_prove_verify_roundtrip():
     """Small frame through the real multi-table prover; payload tampering
     must be rejected."""
@@ -644,6 +653,7 @@ def test_prove_verify_roundtrip():
     assert not ea.verify_frame_payload(bad)
 
 
+@pytest.mark.slow
 def test_keccak_roundtrip():
     """Minimal KECCAK256 frame through the real 7-table prover: store one
     word, hash it, verify; digest tampering must be rejected."""
@@ -664,6 +674,7 @@ def test_keccak_roundtrip():
     assert not ea.verify_frame_payload(bad)
 
 
+@pytest.mark.slow
 def test_block_frame_statement():
     """A simulated block whose tx calls a covered contract: the TPU_STARK
     payload gains an `evm` slot proving the frame's execution."""
@@ -794,3 +805,39 @@ def test_log_negative_probes(frame, challenges):
     # size bits changes the charged cost
     t3[r1, ea.B0] ^= 1
     assert check_constraints(cpu, t3, cpub, challenges)
+
+
+def test_exp_negative_probes(frame, challenges):
+    """EXP soundness: wrong result, wrong bit selection, a broken
+    square-and-multiply chain, and an under-claimed exponent byte length
+    are all caught."""
+    from raiko_tpu.stark.airs import evm_arith as ar
+
+    tables = ea.frame_tables(frame)
+    arith, atrace, apub = tables[-1]
+    fx = arith.fixed_columns(arith.n)
+    ends = np.where(fx[ar.XF_END] == 1)[0]
+    assert len(ends) == 2  # two EXP calls
+    # wrong claimed result: the END-row multiply no longer lands on C
+    t1 = atrace.copy()
+    for r in np.where(fx[ar.XF_ACT] == 1)[0]:
+        t1[r, ar.AR_C0 + 3] ^= 1  # flip held C consistently
+    assert check_constraints(arith, t1, apub, challenges)
+    # wrong selected bit on one row
+    t2 = atrace.copy()
+    row = int(np.where(fx[ar.XF_START] == 1)[0][0]) + 5
+    t2[row, ar.AR_BIT] ^= 1
+    assert check_constraints(arith, t2, apub, challenges)
+    # corrupt the running accumulator mid-block
+    t3 = atrace.copy()
+    t3[row, ar.XC_ACC0 + 9] ^= 1
+    assert check_constraints(arith, t3, apub, challenges)
+    # CPU under-claiming the exponent byte length: nonzero suffix caught
+    cpu, ctrace, cpub = tables[0]
+    crow = int(np.where(ctrace[:, ea.FLAG0 + ea.FLAG_IDX["exp"]] == 1)[0][0])
+    ct = ctrace.copy()
+    cur = int(np.where(ct[crow, ea.SCRATCH0 : ea.SCRATCH0 + 33] == 1)[0][0])
+    assert cur > 0
+    ct[crow, ea.SCRATCH0 + cur] = 0
+    ct[crow, ea.SCRATCH0 + cur - 1] = 1  # claim one byte shorter
+    assert check_constraints(cpu, ct, cpub, challenges)

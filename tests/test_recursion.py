@@ -2,6 +2,10 @@
 (stark/recursion.py).  Uses a reduced query count to keep the CPU-mesh
 test fast; the circuit structure is identical at the production
 NUM_QUERIES=40 (just more query blocks)."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 import pytest
 

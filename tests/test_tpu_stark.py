@@ -1,4 +1,8 @@
 """Poseidon2 transcript AIR + tpu_stark prover backend."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 import json
 
