@@ -251,8 +251,41 @@ def test_tpu_stark_prove_taiko_block_with_mpt(world):
     assert not verify_payload(bad)
 
 
+@pytest.fixture()
+def storage_world():
+    """A dedicated world whose genesis already holds a storage contract
+    (genesis state cannot be mutated after blocks exist — the ancestor
+    hash chain pins it)."""
+    saved = dict(_SIM_REGISTRY)
+    _SIM_REGISTRY.clear()
+    from chainsim import TaikoSim
+
+    l1 = ChainSim("ethereum")
+    l1.fund(SENDER, 10**20)
+    l1.produce_block([mktx(0, b"\x77" * 20, value=9)])
+    l2 = TaikoSim(l1, "taiko_a7")
+    l2.fund(SENDER, 10**20)
+    # contract: slot1 += 1  (PUSH1 1, SLOAD, PUSH1 1, ADD, PUSH1 1,
+    # SSTORE, STOP) — covered stack-machine subset only
+    contract = b"\x95" * 20
+    code = bytes.fromhex("6001546001016001" + "5500")
+    l2.fund(contract, 0, code=code, storage={1: 5})
+    l2.produce_taiko_block(
+        [
+            mktx(0, contract, value=0, chain_id=167009, gas=200_000),
+            mktx(1, contract, value=0, chain_id=167009, gas=200_000),
+        ],
+        use_blob=False,
+    )
+    register_sim("ethereum", l1)
+    register_sim("taiko_a7", l2)
+    yield l1, l2
+    _SIM_REGISTRY.clear()
+    _SIM_REGISTRY.update(saved)
+
+
 @pytest.mark.slow
-def test_tpu_stark_full_coverage_with_storage_frames(world):
+def test_tpu_stark_full_coverage_with_storage_frames(storage_world):
     """Round-3 closure criterion (VERDICT #1/#2 'Done'): on a simulated
     block whose txs execute a storage contract, the TPU_STARK payload
     covers EVERY trie preimage (covered == total for state/tx/receipts),
@@ -263,21 +296,7 @@ def test_tpu_stark_full_coverage_with_storage_frames(world):
 
     from raiko_tpu.provers.tpu_stark import verify_payload
 
-    _, l2 = world
-    # contract: slot1 += 1  (PUSH1 1, SLOAD, PUSH1 1, ADD, PUSH1 1,
-    # SSTORE, STOP) — covered stack-machine subset only
-    contract = b"\x95" * 20
-    code = bytes.fromhex("6001546001016001" + "5500")
-    l2.fund(contract, 0, code=code, storage={1: 5})
-    l2.produce_taiko_block(
-        [
-            mktx(2, contract, value=0, chain_id=167009, gas=200_000),
-            mktx(3, contract, value=0, chain_id=167009, gas=200_000),
-        ],
-        use_blob=False,
-    )
-    block_no = len(l2.headers) - 1
-    gi, output, proof = _run("taiko_a7", block_no, ProofType.TPU_STARK)
+    gi, output, proof = _run("taiko_a7", 1, ProofType.TPU_STARK)
     payload = _json.loads(proof.proof)
     # full trie coverage
     for slot in ("mpt", "tx_mpt", "receipts_mpt"):
