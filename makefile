@@ -30,8 +30,11 @@ bench:
 serve:
 	$(PY) -m raiko_tpu.host.cli --port 8080
 
+NETWORK ?= taiko_a7
+BLOCK ?= 1
+
 prove-block:
-	$(PY) tools/prove_block.py --proof-type $(TARGET)
+	$(PY) tools/prove_block.py $(NETWORK) $(TARGET) $(BLOCK)
 
 fmt:
 	$(PY) -m black raiko_tpu tests tools 2>/dev/null || true
