@@ -74,8 +74,8 @@ outside the stack table's 11-bit range and breaks the channel balance.
 Covered: STOP, ADD, MUL, SUB, DIV, SDIV, MOD, SMOD, SIGNEXTEND,
 LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256
 (32-byte-aligned offset), CALLDATALOAD, POP, MLOAD/MSTORE/MSIZE
-(32-byte-aligned, < 2^13 words), PUSH0-32, DUP1-16, SWAP1-16, LOG0-4
-(32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
+(32-byte-aligned, < 2^13 words), MSTORE8 (any byte offset, RMW via a second RAM tuple + one-hot splice),
+PUSH0-32, DUP1-16, SWAP1-16, LOG0-4 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
 SDIV/SMOD/EXP are proven in the dedicated arithmetic table
 (stark/airs/evm_arith.py) over the BUS_AR channel (channel 8); EXP gas
@@ -92,7 +92,9 @@ against the storage journal (EIP-2929 warm/cold + EIP-2200 gas cases +
 the 2300-gas sentry).  LOGn meters 375*n + 8*size + expansion and pops
 its topics without stack-channel reads (topic values feed only the
 receipt log, outside the frame statement; popped cells are always
-re-written before any further read).  Unaligned memory, copies
+re-written before any further read).  MSTORE8 reads the old word at
+sub-clock 4*clk and writes the spliced word at 4*clk + 1 (the second
+memory accumulator AUX_M2).  Unaligned MLOAD/MSTORE, copies
 (CALLDATACOPY/CODECOPY/RETURNDATACOPY), and calls are the documented
 roadmap; frames using them are reported uncovered, never mis-proven.
 """
@@ -142,6 +144,7 @@ SIMPLE_OPS = {
     "pop": (0x50, 2, 1, 0),
     "mload": (0x51, 3, 1, 1),
     "mstore": (0x52, 3, 2, 0),
+    "mstore8": (0x53, 3, 2, 0),
     "sload": (0x54, 0, 1, 1),  # gas fully dynamic (EIP-2929)
     "sstore": (0x55, 0, 2, 0),  # gas fully dynamic (EIP-2200/2929)
     "msize": (0x59, 2, 0, 1),
@@ -218,7 +221,7 @@ def _sp_delta(name: str) -> int:
         return 0
     if name in ("pop", "jump"):
         return -1
-    if name in ("jumpi", "mstore", "sstore", "return"):
+    if name in ("jumpi", "mstore", "mstore8", "sstore", "return"):
         return -2
     if name == "log":
         return 0  # real delta is -(fam_n + 1); added explicitly in eval
@@ -303,7 +306,8 @@ AUX_M = AUX_CD + 4
 AUX_K = AUX_M + 4
 AUX_ST = AUX_K + 4
 AUX_AR = AUX_ST + 4
-CPU_AUX_W = AUX_AR + 4
+AUX_M2 = AUX_AR + 4  # second RAM tuple (MSTORE8's read-modify-write)
+CPU_AUX_W = AUX_M2 + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
@@ -455,6 +459,7 @@ class _Step:
     sg2: int = 0  # SSTORE clean zero write (20000)
     sentry: int = 0  # SSTORE: gas_before - 2301 (EIP-2200 sentry)
     mem_access: tuple | None = None  # (word_addr, iw, value)
+    mem_access2: tuple | None = None  # MSTORE8 write (word_addr, 1, new)
     accesses: list = field(default_factory=list)  # (slot, addr, iw, value)
 
 
@@ -496,6 +501,9 @@ class FrameTrace:
             if st.mem_access is not None:
                 waddr, iw, value = st.mem_access
                 out.append((waddr, 4 * clk, iw, value))
+            if st.mem_access2 is not None:
+                waddr, iw, value = st.mem_access2
+                out.append((waddr, 4 * clk + 1, iw, value))
             for waddr, value in st.kreads:
                 out.append((waddr, 4 * clk + 1, 0, value))
         return out
@@ -926,6 +934,24 @@ def execute_frame(
             use(3 + mem_expand(st, waddr + 1))
             mem_words[waddr] = v
             st.mem_access = (waddr, 1, v)
+        elif op == 0x53:
+            st.name = "mstore8"
+            a, v = pop2()  # a = offset, v = value
+            if a >= (1 << 18):
+                raise UncoveredFrame("far memory access")
+            st.a, st.b = a, v
+            waddr = a // 32
+            k = a % 32  # big-endian byte index within the word
+            st.qsel = k
+            use(3 + mem_expand(st, waddr + 1))
+            old = mem_words.get(waddr, 0)
+            st.w = old
+            shift = 8 * (31 - k)
+            new = (old & ~(0xFF << shift)) | ((v & 0xFF) << shift)
+            mem_words[waddr] = new
+            st.c = new
+            st.mem_access = (waddr, 0, old)
+            st.mem_access2 = (waddr, 1, new)
         elif op == 0x54:
             st.name = "sload"
             a = pop1()
@@ -1314,9 +1340,17 @@ class EvmCpuAir(Air):
         cdl_terms = ef.npef_mul(ef.npef_from_base(cdl_act), inv_c)
         # memory sends (word-granular RAM tuples)
         gm = np.array([x % bb.P for x in gamma_m], dtype=np.uint64)
-        mem_act = (flags["mload"] + flags["mstore"]) % _PU
+        m8 = flags["mstore8"]
+        mem_act = (flags["mload"] + flags["mstore"] + m8) % _PU
         waddr = sum(t[:, A0 + b] << np.uint64(b - 5) for b in range(5, 18))
-        vmem = np.where(flags["mstore"][:, None] == 1, bytesB, bytesC)
+        bytesW = _bits_to_bytes(trace[:, W0 : W0 + 256])
+        # first tuple value: C, except MSTORE (stores B) and MSTORE8's
+        # READ of the old word (W)
+        vmem = np.where(
+            flags["mstore"][:, None] == 1,
+            bytesB,
+            np.where(m8[:, None] == 1, bytesW, bytesC),
+        )
         code_m = _np_tuple_code(
             waddr,
             [(4 * clk, 1), (flags["mstore"], 2)]
@@ -1325,6 +1359,15 @@ class EvmCpuAir(Air):
         )
         inv_m = ef.npef_inv(ef.npef_sub(gm[None, :], code_m))
         mem_terms = ef.npef_mul(ef.npef_from_base(mem_act), inv_m)
+        # MSTORE8 second tuple: the spliced-word WRITE at sub-clock +1
+        code_m2 = _np_tuple_code(
+            waddr,
+            [(4 * clk + 1, 1), (np.ones_like(clk), 2)]
+            + [(bytesC[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_m2 = ef.npef_inv(ef.npef_sub(gm[None, :], code_m2))
+        mem2_terms = ef.npef_mul(ef.npef_from_base(m8 % _PU), inv_m2)
         # hash-call sends (KECCAK256)
         gk = np.array([x % bb.P for x in gamma_k], dtype=np.uint64)
         size_lo = sum(t[:, B0 + bit] << np.uint64(bit) for bit in range(16))
@@ -1391,9 +1434,10 @@ class EvmCpuAir(Air):
             p21
             + flags["iszero"] + flags["not"] + flags["pop"]
             + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
-            + cdl + mld + mst + sl + ss + ret + flags["log"],
+            + cdl + mld + mst + sl + ss + ret + flags["log"]
+            + flags["mstore8"],
             p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret
-            + flags["log"],
+            + flags["log"] + flags["mstore8"],
             p21
             + flags["iszero"] + flags["not"] + flags["push0"] + flags["push"]
             + flags["dup"] + flags["swap"] + flags["pc"] + flags["gas"]
@@ -1426,6 +1470,7 @@ class EvmCpuAir(Air):
             kcall_terms,
             stor_terms,
             ar_terms,
+            mem2_terms,
         )
 
     @staticmethod
@@ -1442,6 +1487,7 @@ class EvmCpuAir(Air):
             kcall_terms,
             stor_terms,
             ar_terms,
+            mem2_terms,
         ) = self._channel_terms(trace, challenges)
         aux = np.zeros((trace.shape[0], CPU_AUX_W), dtype=np.uint32)
         aux[:, AUX_F : AUX_F + 4] = self._excl_prefix(fetch_terms)
@@ -1454,6 +1500,7 @@ class EvmCpuAir(Air):
         aux[:, AUX_K : AUX_K + 4] = self._excl_prefix(kcall_terms)
         aux[:, AUX_ST : AUX_ST + 4] = self._excl_prefix(stor_terms)
         aux[:, AUX_AR : AUX_AR + 4] = self._excl_prefix(ar_terms)
+        aux[:, AUX_M2 : AUX_M2 + 4] = self._excl_prefix(mem2_terms)
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
@@ -1465,6 +1512,7 @@ class EvmCpuAir(Air):
             kcall_terms,
             stor_terms,
             ar_terms,
+            mem2_terms,
         ) = self._channel_terms(trace, challenges)
         # the last row is always halted padding: its own terms vanish
         fetch = tuple(int(v) for v in fetch_terms.sum(axis=0) % _PU)
@@ -1472,7 +1520,9 @@ class EvmCpuAir(Air):
         for st in slot_terms:
             stack = ef.h_add(stack, tuple(int(v) for v in st.sum(axis=0) % _PU))
         cdl = tuple(int(v) for v in cdl_terms.sum(axis=0) % _PU)
-        mem = tuple(int(v) for v in mem_terms.sum(axis=0) % _PU)
+        mem = tuple(
+            int(v) for v in (mem_terms.sum(axis=0) + mem2_terms.sum(axis=0)) % _PU
+        )
         kcall = tuple(int(v) for v in kcall_terms.sum(axis=0) % _PU)
         stor = tuple(int(v) for v in stor_terms.sum(axis=0) % _PU)
         ar = tuple(int(v) for v in ar_terms.sum(axis=0) % _PU)
@@ -1660,9 +1710,11 @@ class EvmCpuAir(Air):
         f_kec = f["keccak"]
         f_ret = f["return"]
         f_log = f["log"]
+        f_m8 = f["mstore8"]
         # keccak/return/log all meter a word-aligned (offset, size) range
         f_kr = b.add(b.add(f_kec, f_ret), f_log)
-        f_mx = b.add(b.add(f["mload"], f["mstore"]), f_kr)
+        # expansion/dq group (MSTORE8 expands too, at ANY byte offset)
+        f_mx = b.add(b.add(b.add(f["mload"], f["mstore"]), f_kr), f_m8)
 
         def reg_val(base: int, nbits: int, nx: bool):
             g = b.next if nx else b.local
@@ -1956,10 +2008,11 @@ class EvmCpuAir(Air):
             t = b.scale(r, ohr[r])
             wr = t if wr is None else b.add(wr, t)
         not_big = b.sub(one, taken)
-        shift_any = b.add(f_sh3, b.add(f_byte, f_se))
+        f_m8q = f["mstore8"]
+        shift_any = b.add(b.add(f_sh3, b.add(f_byte, f_se)), f_m8q)
         b.all_rows(b.mul(shift_any, b.sub(sum_ohq, not_big)))
         b.all_rows(b.mul(f_sh3, b.sub(sum_ohr, not_big)))
-        b.all_rows(b.mul(b.add(f_byte, f_se), sum_ohr))
+        b.all_rows(b.mul(b.add(b.add(f_byte, f_se), f_m8q), sum_ohr))
         s_low = None  # low byte of A (shift amount)
         for bit in range(8):
             t = b.scale(1 << bit, b.local(A0 + bit))
@@ -1972,7 +2025,10 @@ class EvmCpuAir(Air):
             b.mul(f_sh3, b.sub(b.add(b.scale(8, wq1), wr), b.mul(not_big, s_low)))
         )
         b.all_rows(
-            b.mul(b.add(f_byte, f_se), b.sub(wq1, b.mul(not_big, i_low)))
+            b.mul(
+                b.add(b.add(f_byte, f_se), f_m8q),
+                b.sub(wq1, b.mul(not_big, i_low)),
+            )
         )
 
         def shift_up(blk, k):
@@ -2059,6 +2115,22 @@ class EvmCpuAir(Air):
             ),
             256,
         )
+        # MSTORE8: C (the written word) = W (the read word) with the
+        # big-endian byte k replaced by B's low byte
+        m8_acc = None
+        for k in range(32):
+            lo = 8 * (31 - k)
+            parts = []
+            if lo > 0:
+                parts.append(Wblk[:lo])
+            parts.append(Bblk[:8])
+            if lo + 8 < 256:
+                parts.append(Wblk[lo + 8 :])
+            pat = b.concat_rows(parts)
+            t = b.mul(ohq[k], pat)
+            m8_acc = t if m8_acc is None else b.add(m8_acc, t)
+        b.all_rows_block(b.mul(f_m8q, b.sub(Cblk, m8_acc)), 256)
+
         # BYTE: C byte 0 = big-endian byte q of B; upper bits zero
         sel = None
         for q in range(32):
@@ -2115,7 +2187,10 @@ class EvmCpuAir(Air):
         # the expansion target: waddr+1 for MLOAD/MSTORE; for KECCAK256,
         # waddr+sw when size != 0 (taken, via the nonzero gadget), else 0
         b.all_rows(
-            b.mul(b.add(f_mld, f_mst), b.sub(kneed, b.add(waddr, one)))
+            b.mul(
+                b.add(b.add(f_mld, f_mst), f["mstore8"]),
+                b.sub(kneed, b.add(waddr, one)),
+            )
         )
         b.all_rows(
             b.mul(f_kr, b.sub(kneed, b.mul(taken, b.add(waddr, swval))))
@@ -2134,11 +2209,15 @@ class EvmCpuAir(Air):
         b.all_rows(
             b.mul(b.mul(f_mx, b.sub(one, grow)), b.sub(b.sub(M, kneed), dval))
         )
-        # alignment + range: offset bits 0..4 and 18..255 must be zero
-        mem_addr_bits = b.local_block(
-            list(range(A0, A0 + 5)) + list(range(A0 + 18, A0 + 256))
+        # range: offset bits 18..255 zero for every memory-metering op;
+        # 32-byte alignment (bits 0..4 zero) for all EXCEPT MSTORE8,
+        # which addresses single bytes
+        addr_hi_bits = b.local_block(range(A0 + 18, A0 + 256))
+        b.all_rows_block(b.mul(f_mx, addr_hi_bits), 238)
+        addr_lo_bits = b.local_block(range(A0, A0 + 5))
+        b.all_rows_block(
+            b.mul(b.sub(f_mx, f["mstore8"]), addr_lo_bits), 5
         )
-        b.all_rows_block(b.mul(f_mx, mem_addr_bits), 243)
         # quadratic-term delta
         b.transition(
             b.mul(
@@ -2159,8 +2238,16 @@ class EvmCpuAir(Air):
         msz_hi = b.local_block(range(C0 + 19, C0 + 256))
         b.all_rows_block(b.mul(f_msz, msz_hi), 237)
 
-        # 14e. memory channel (send one RAM tuple per MLOAD/MSTORE)
-        vmem = b.add(Cblk, b.mul(f_mst, b.sub(Bblk, Cblk)))
+        # 14e. memory channel: one RAM tuple per MLOAD/MSTORE, and
+        # MSTORE8's read-modify-write pair (read old W at 4clk, write the
+        # spliced C at 4clk+1 through the second accumulator)
+        vmem = b.add(
+            Cblk,
+            b.add(
+                b.mul(f_mst, b.sub(Bblk, Cblk)),
+                b.mul(f["mstore8"], b.sub(Wblk, Cblk)),
+            ),
+        )
         vcode_m = b.bit_block_code(vmem, chi, b.constant(0), 32)
         inner_m = b.ef_add4(b.ef_from_base4(f_mst), vcode_m)
         clk4m = b.scale(4, clk)
@@ -2173,10 +2260,28 @@ class EvmCpuAir(Air):
         accM = [b.aux(AUX_M + c) for c in range(4)]
         accM_n = [b.aux_next(AUX_M + c) for c in range(4)]
         prodM = b.ef_mul4(b.ef_sub4(accM_n, accM), b.ef_sub4(g_m, code_m))
-        actM = b.ef_from_base4(b.add(f_mld, f_mst))
+        actM = b.ef_from_base4(b.add(b.add(f_mld, f_mst), f["mstore8"]))
         for c in range(4):
             b.transition(b.sub(prodM[c], actM[c]))
             b.first_row(accM[c])
+        vcode_m2 = b.bit_block_code(Cblk, chi, b.constant(0), 32)
+        inner_m2 = b.ef_add4(b.ef_from_base4(one), vcode_m2)
+        code_m2 = b.ef_add4(
+            b.ef_from_base4(waddr),
+            b.ef_mul4(
+                chi,
+                b.ef_add4(
+                    b.ef_from_base4(b.add(clk4m, one)), b.ef_mul4(chi, inner_m2)
+                ),
+            ),
+        )
+        accM2 = [b.aux(AUX_M2 + c) for c in range(4)]
+        accM2_n = [b.aux_next(AUX_M2 + c) for c in range(4)]
+        prodM2 = b.ef_mul4(b.ef_sub4(accM2_n, accM2), b.ef_sub4(g_m, code_m2))
+        actM2 = b.ef_from_base4(f["mstore8"])
+        for c in range(4):
+            b.transition(b.sub(prodM2[c], actM2[c]))
+            b.first_row(accM2[c])
 
         # 14f. hash-call channel (one tuple per KECCAK256):
         #   clk + chi*waddr + chi^2*size + sum_j digest_byte_j * chi^{j+3}
@@ -2310,7 +2415,10 @@ class EvmCpuAir(Air):
                     b.add(
                         b.add(b.add(f["jumpi"], f["dup"]), b.add(f["swap"], f_cdl)),
                         b.add(
-                            b.add(b.add(f_mld, f_mst), b.add(f_sl, f_ss)),
+                            b.add(
+                                b.add(f_mld, f_mst),
+                                b.add(f["mstore8"], b.add(f_sl, f_ss)),
+                            ),
                             b.add(f_ret, f_log),
                         ),
                     ),
@@ -2319,7 +2427,7 @@ class EvmCpuAir(Air):
             b.add(
                 p21,
                 b.add(
-                    b.add(f["jumpi"], f["swap"]),
+                    b.add(f["jumpi"], b.add(f["swap"], f["mstore8"])),
                     b.add(b.add(f_mst, f_ss), b.add(f_ret, f_log)),
                 ),
             ),
@@ -2385,7 +2493,9 @@ class EvmCpuAir(Air):
             b.last_row(b.sub(accF[c], b.bus_coord(4 * BUS_FETCH + c)))
             b.last_row(b.sub(acc_sum[c], b.bus_coord(4 * BUS_STACK + c)))
             b.last_row(b.sub(accC[c], b.bus_coord(4 * BUS_CD + c)))
-            b.last_row(b.sub(accM[c], b.bus_coord(4 * BUS_MEM + c)))
+            b.last_row(
+                b.sub(b.add(accM[c], accM2[c]), b.bus_coord(4 * BUS_MEM + c))
+            )
             b.last_row(b.bus_coord(4 * BUS_BLOCKS + c))
             b.last_row(b.bus_coord(4 * BUS_DIG + c))
             b.last_row(b.sub(accK[c], b.bus_coord(4 * BUS_KCALL + c)))

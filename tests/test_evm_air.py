@@ -134,6 +134,16 @@ def full_coverage_program() -> bytes:
         ("push", 2, 0x100),
         0x51,                                     # MLOAD untouched word (0)
         0x01,                                     # fold
+        # MSTORE8: read-modify-write of single bytes (unaligned offsets)
+        ("push", 1, 0xAB),
+        ("push", 1, 0x47),
+        0x53,                                     # MSTORE8 at 0x47 (inside word 2)
+        ("push", 1, 0xCD),
+        ("push", 2, 0x19F),
+        0x53,                                     # MSTORE8 at 0x19F (expands)
+        ("push", 1, 0x40),
+        0x51,                                     # MLOAD word 2: byte visible
+        0x01,                                     # fold
         # KECCAK256: two full words, a slack tail, and the empty hash
         ("push", 1, 64),
         ("push", 1, 0x40),
@@ -841,3 +851,35 @@ def test_exp_negative_probes(frame, challenges):
     ct[crow, ea.SCRATCH0 + cur] = 0
     ct[crow, ea.SCRATCH0 + cur - 1] = 1  # claim one byte shorter
     assert check_constraints(cpu, ct, cpub, challenges)
+
+
+def test_mstore8_negative_probes(frame, challenges):
+    """MSTORE8 soundness: a wrong spliced byte breaks the splice
+    constraint; a lied-about old word unbalances the RAM channel."""
+    tables = ea.frame_tables(frame)
+    cpu, ctrace, cpub = tables[0]
+    rows = np.where(ctrace[:, ea.FLAG0 + ea.FLAG_IDX["mstore8"]] == 1)[0]
+    assert len(rows) == 2
+    r = int(rows[0])
+    # corrupt the written word outside the spliced byte
+    t1 = ctrace.copy()
+    t1[r, ea.C0 + 3] ^= 1
+    assert check_constraints(cpu, t1, cpub, challenges)
+    # corrupt the one-hot position (claim a different byte index)
+    t2 = ctrace.copy()
+    k = int(np.where(t2[r, ea.OHQ0 : ea.OHQ0 + 32] == 1)[0][0])
+    t2[r, ea.OHQ0 + k] = 0
+    t2[r, ea.OHQ0 + ((k + 1) % 32)] = 1
+    assert check_constraints(cpu, t2, cpub, challenges)
+    # lie about the read word: CPU row consistent, RAM channel unbalanced
+    t3 = ctrace.copy()
+    t3[r, ea.W0 + 9] ^= 1
+    # keep the splice self-consistent (bit 9 is outside the spliced byte
+    # unless k maps there; pick a bit inside W only)
+    t3[r, ea.C0 + 9] ^= 1
+    totals = [ef.H_ZERO] * ea.NUM_BUS
+    traces = [t3] + [tab[1] for tab in tables[1:]]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert totals[ea.BUS_MEM] != ef.H_ZERO
