@@ -73,8 +73,10 @@ outside the stack table's 11-bit range and breaks the channel balance.
 
 Covered: STOP, ADD, MUL, SUB, DIV, SDIV, MOD, SMOD, SIGNEXTEND,
 LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256
-(32-byte-aligned offset), CALLDATALOAD, POP, MLOAD/MSTORE/MSIZE
-(32-byte-aligned, < 2^13 words), MSTORE8 (any byte offset, RMW via a second RAM tuple + one-hot splice),
+(32-byte-aligned offset), CALLDATALOAD, POP, MLOAD (ANY byte
+offset: two-word read + one-hot recombination), MSTORE/MSIZE
+(32-byte-aligned, < 2^13 words), MSTORE8 (any byte offset, RMW via a
+second RAM tuple + one-hot splice),
 PUSH0-32, DUP1-16, SWAP1-16, LOG0-4 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
 SDIV/SMOD/EXP are proven in the dedicated arithmetic table
@@ -94,7 +96,9 @@ its topics without stack-channel reads (topic values feed only the
 receipt log, outside the frame statement; popped cells are always
 re-written before any further read).  MSTORE8 reads the old word at
 sub-clock 4*clk and writes the spliced word at 4*clk + 1 (the second
-memory accumulator AUX_M2).  Unaligned MLOAD/MSTORE, copies
+memory accumulator AUX_M2); an unaligned MLOAD reads words w and w+1
+(second read on AUX_M2) and recombines C = (B << 8k | W >> 8(32-k))
+through the same one-hot.  Unaligned MSTORE, copies
 (CALLDATACOPY/CODECOPY/RETURNDATACOPY), and calls are the documented
 roadmap; frames using them are reported uncovered, never mis-proven.
 """
@@ -916,13 +920,26 @@ def execute_frame(
         elif op == 0x51:
             st.name = "mload"
             a = pop1()
-            if a % 32 or a >= (1 << 18):
-                raise UncoveredFrame("unaligned or far memory access")
+            if a >= (1 << 18):
+                raise UncoveredFrame("far memory access")
             st.a = a
             waddr = a // 32
-            use(3 + mem_expand(st, waddr + 1))
-            v = mem_words.get(waddr, 0)
-            st.mem_access = (waddr, 0, v)
+            k = a % 32
+            st.qsel = k
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [k] + [0] * 15
+            )
+            use(3 + mem_expand(st, waddr + 1 + (1 if k else 0)))
+            w1 = mem_words.get(waddr, 0)
+            st.b = w1
+            st.mem_access = (waddr, 0, w1)
+            if k:
+                w2 = mem_words.get(waddr + 1, 0)
+                st.w = w2
+                st.mem_access2 = (waddr + 1, 0, w2)
+                v = ((w1 << (8 * k)) | (w2 >> (8 * (32 - k)))) & _M256
+            else:
+                v = w1
             push(v, sp - 1)
         elif op == 0x52:
             st.name = "mstore"
@@ -1344,10 +1361,10 @@ class EvmCpuAir(Air):
         mem_act = (flags["mload"] + flags["mstore"] + m8) % _PU
         waddr = sum(t[:, A0 + b] << np.uint64(b - 5) for b in range(5, 18))
         bytesW = _bits_to_bytes(trace[:, W0 : W0 + 256])
-        # first tuple value: C, except MSTORE (stores B) and MSTORE8's
-        # READ of the old word (W)
+        # first tuple value: C, except MSTORE/MLOAD (word B) and
+        # MSTORE8's READ of the old word (W)
         vmem = np.where(
-            flags["mstore"][:, None] == 1,
+            (flags["mstore"] + flags["mload"])[:, None] == 1,
             bytesB,
             np.where(m8[:, None] == 1, bytesW, bytesC),
         )
@@ -1359,15 +1376,22 @@ class EvmCpuAir(Air):
         )
         inv_m = ef.npef_inv(ef.npef_sub(gm[None, :], code_m))
         mem_terms = ef.npef_mul(ef.npef_from_base(mem_act), inv_m)
-        # MSTORE8 second tuple: the spliced-word WRITE at sub-clock +1
+        # second tuple: MSTORE8's spliced-word WRITE at waddr, or an
+        # unaligned MLOAD's second-word READ at waddr + 1 (sub-clock +1)
+        mld = flags["mload"]
+        k_low5 = sum(t[:, A0 + bit] << np.uint64(bit) for bit in range(5))
+        mld_unal = mld * (k_low5 != 0)
+        v2 = np.where(mld[:, None] == 1, bytesW, bytesC)
         code_m2 = _np_tuple_code(
-            waddr,
-            [(4 * clk + 1, 1), (np.ones_like(clk), 2)]
-            + [(bytesC[:, j], j + 3) for j in range(32)],
+            (waddr + mld) % _PU,
+            [(4 * clk + 1, 1), (m8, 2)]
+            + [(v2[:, j], j + 3) for j in range(32)],
             pows,
         )
         inv_m2 = ef.npef_inv(ef.npef_sub(gm[None, :], code_m2))
-        mem2_terms = ef.npef_mul(ef.npef_from_base(m8 % _PU), inv_m2)
+        mem2_terms = ef.npef_mul(
+            ef.npef_from_base((m8 + mld_unal) % _PU), inv_m2
+        )
         # hash-call sends (KECCAK256)
         gk = np.array([x % bb.P for x in gamma_k], dtype=np.uint64)
         size_lo = sum(t[:, B0 + bit] << np.uint64(bit) for bit in range(16))
@@ -1825,11 +1849,18 @@ class EvmCpuAir(Air):
         )[0]
         # block form: all 16 limb inputs at once; the single-limb inputs
         # (shift/BYTE/SIGNEXTEND/KECCAK/RETURN/SSTORE gates) live on row 0
+        o_low5 = None
+        for bit in range(5):
+            t = b.scale(1 << bit, b.local(A0 + bit))
+            o_low5 = t if o_low5 is None else b.add(o_low5, t)
         extra0 = b.add(
             b.add(b.mul(f_sh3, a_hi8), b.mul(b.add(f_byte, f_se), a_hi5)),
             b.add(
-                b.mul(b.add(b.add(f_kec, f["return"]), f["log"]), b_lo15),
-                b.mul(f["sstore"], g_hi20),
+                b.add(
+                    b.mul(b.add(b.add(f_kec, f["return"]), f["log"]), b_lo15),
+                    b.mul(f["sstore"], g_hi20),
+                ),
+                b.mul(f["mload"], o_low5),
             ),
         )
         inp_blk = b.add(
@@ -2115,6 +2146,23 @@ class EvmCpuAir(Air):
             ),
             256,
         )
+        # MLOAD (any offset): one-hot bound to k = A mod 32 directly
+        # (taken = [k != 0] via the nonzero gadget), value recombined
+        # from the two read words: C = (B << 8k | W >> 8(32-k))
+        f_mldq = f["mload"]
+        b.all_rows(b.mul(f_mldq, b.sub(sum_ohq, one)))
+        b.all_rows(b.mul(f_mldq, b.sub(wq1, i_low)))
+        b.all_rows(b.mul(f_mldq, sum_ohr))
+        mld_acc = None
+        for k in range(32):
+            if k == 0:
+                pat = Bblk
+            else:
+                pat = b.concat_rows([Wblk[8 * (32 - k) :], Bblk[: 256 - 8 * k]])
+            t = b.mul(ohq[k], pat)
+            mld_acc = t if mld_acc is None else b.add(mld_acc, t)
+        b.all_rows_block(b.mul(f_mldq, b.sub(Cblk, mld_acc)), 256)
+
         # MSTORE8: C (the written word) = W (the read word) with the
         # big-endian byte k replaced by B's low byte
         m8_acc = None
@@ -2188,9 +2236,12 @@ class EvmCpuAir(Air):
         # waddr+sw when size != 0 (taken, via the nonzero gadget), else 0
         b.all_rows(
             b.mul(
-                b.add(b.add(f_mld, f_mst), f["mstore8"]),
+                b.add(f_mst, f["mstore8"]),
                 b.sub(kneed, b.add(waddr, one)),
             )
+        )
+        b.all_rows(
+            b.mul(f_mld, b.sub(kneed, b.add(b.add(waddr, one), taken)))
         )
         b.all_rows(
             b.mul(f_kr, b.sub(kneed, b.mul(taken, b.add(waddr, swval))))
@@ -2216,7 +2267,7 @@ class EvmCpuAir(Air):
         b.all_rows_block(b.mul(f_mx, addr_hi_bits), 238)
         addr_lo_bits = b.local_block(range(A0, A0 + 5))
         b.all_rows_block(
-            b.mul(b.sub(f_mx, f["mstore8"]), addr_lo_bits), 5
+            b.mul(b.sub(b.sub(f_mx, f["mstore8"]), f_mld), addr_lo_bits), 5
         )
         # quadratic-term delta
         b.transition(
@@ -2244,7 +2295,7 @@ class EvmCpuAir(Air):
         vmem = b.add(
             Cblk,
             b.add(
-                b.mul(f_mst, b.sub(Bblk, Cblk)),
+                b.mul(b.add(f_mst, f_mld), b.sub(Bblk, Cblk)),
                 b.mul(f["mstore8"], b.sub(Wblk, Cblk)),
             ),
         )
@@ -2264,10 +2315,12 @@ class EvmCpuAir(Air):
         for c in range(4):
             b.transition(b.sub(prodM[c], actM[c]))
             b.first_row(accM[c])
-        vcode_m2 = b.bit_block_code(Cblk, chi, b.constant(0), 32)
-        inner_m2 = b.ef_add4(b.ef_from_base4(one), vcode_m2)
+        v2 = b.add(Cblk, b.mul(f_mld, b.sub(Wblk, Cblk)))
+        vcode_m2 = b.bit_block_code(v2, chi, b.constant(0), 32)
+        inner_m2 = b.ef_add4(b.ef_from_base4(f["mstore8"]), vcode_m2)
+        waddr2 = b.add(waddr, f_mld)
         code_m2 = b.ef_add4(
-            b.ef_from_base4(waddr),
+            b.ef_from_base4(waddr2),
             b.ef_mul4(
                 chi,
                 b.ef_add4(
@@ -2278,7 +2331,9 @@ class EvmCpuAir(Air):
         accM2 = [b.aux(AUX_M2 + c) for c in range(4)]
         accM2_n = [b.aux_next(AUX_M2 + c) for c in range(4)]
         prodM2 = b.ef_mul4(b.ef_sub4(accM2_n, accM2), b.ef_sub4(g_m, code_m2))
-        actM2 = b.ef_from_base4(f["mstore8"])
+        actM2 = b.ef_from_base4(
+            b.add(f["mstore8"], b.mul(f_mld, taken))
+        )
         for c in range(4):
             b.transition(b.sub(prodM2[c], actM2[c]))
             b.first_row(accM2[c])

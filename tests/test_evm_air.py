@@ -144,6 +144,12 @@ def full_coverage_program() -> bytes:
         ("push", 1, 0x40),
         0x51,                                     # MLOAD word 2: byte visible
         0x01,                                     # fold
+        ("push", 1, 0x47),
+        0x51,                                     # unaligned MLOAD (k=7)
+        0x01,                                     # fold
+        ("push", 2, 0x29D),
+        0x51,                                     # unaligned MLOAD, expands
+        0x01,                                     # fold
         # KECCAK256: two full words, a slack tail, and the empty hash
         ("push", 1, 64),
         ("push", 1, 0x40),
@@ -486,14 +492,23 @@ def test_fresh_memory_read_must_be_zero(frame, challenges):
 
 
 def test_tampered_mload_value_unbalances_bus(frame, challenges):
-    """Changing the word an MLOAD pushes breaks the memory channel."""
+    """Changing the word an MLOAD pushes is caught: the pushed C is
+    bound to the read word B by the recombination constraint, and the
+    read word itself is bound to the RAM table by the memory channel."""
     tables = ea.frame_tables(frame)
     cpu, trace, publics = tables[0]
+    rows = np.where(trace[:, ea.FLAG0 + ea.FLAG_IDX["mload"]] == 1)[0]
+    # flip the pushed value alone: recombination constraint fails
     t = trace.copy()
-    rows = np.where(t[:, ea.FLAG0 + ea.FLAG_IDX["mload"]] == 1)[0]
     t[rows[0], ea.C0 + 1] ^= 1
+    assert check_constraints(cpu, t, publics, challenges)
+    # flip the read word AND the pushed value consistently: the row is
+    # locally valid but the memory channel no longer balances
+    t2 = trace.copy()
+    t2[rows[0], ea.B0 + 1] ^= 1
+    t2[rows[0], ea.C0 + 1] ^= 1
     totals = [ef.H_ZERO] * ea.NUM_BUS
-    traces = [t] + [tab[1] for tab in tables[1:]]
+    traces = [t2] + [tab[1] for tab in tables[1:]]
     for (air, _, _), tr in zip(tables, traces):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
             totals[i] = ef.h_add(totals[i], bv)
@@ -882,4 +897,48 @@ def test_mstore8_negative_probes(frame, challenges):
     for (air, _, _), tr in zip(tables, traces):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
             totals[i] = ef.h_add(totals[i], bv)
+    assert totals[ea.BUS_MEM] != ef.H_ZERO
+
+
+def test_unaligned_mload_negative_probes(frame, challenges):
+    """Unaligned MLOAD: wrong recombination, wrong claimed alignment,
+    and a lied-about second word are caught."""
+    tables = ea.frame_tables(frame)
+    cpu, ctrace, cpub = tables[0]
+    mrows = np.where(ctrace[:, ea.FLAG0 + ea.FLAG_IDX["mload"]] == 1)[0]
+    unal = [
+        int(r)
+        for r in mrows
+        if int(ctrace[r, ea.OHQ0]) == 0  # one-hot not at k = 0
+    ]
+    assert len(unal) == 2
+    r = unal[0]
+    # wrong recombined value
+    t1 = ctrace.copy()
+    t1[r, ea.C0 + 100] ^= 1
+    assert check_constraints(cpu, t1, cpub, challenges)
+    # claim aligned (k one-hot at 0) while offset bits say otherwise
+    t2 = ctrace.copy()
+    k = int(np.where(t2[r, ea.OHQ0 : ea.OHQ0 + 32] == 1)[0][0])
+    t2[r, ea.OHQ0 + k] = 0
+    t2[r, ea.OHQ0] = 1
+    assert check_constraints(cpu, t2, cpub, challenges)
+    # lie about the second word (keep C consistent): RAM unbalances
+    t3 = ctrace.copy()
+    t3[r, ea.W0] ^= 1  # bit 0 of W feeds C bits below 8k; adjust C too
+    # recompute C from the tampered words to stay locally consistent
+    wv = 0
+    bv = 0
+    for i in range(256):
+        wv |= int(t3[r, ea.W0 + i]) << i
+        bv |= int(t3[r, ea.B0 + i]) << i
+    v = ((bv << (8 * k)) | (wv >> (8 * (32 - k)))) & ((1 << 256) - 1)
+    for i in range(256):
+        t3[r, ea.C0 + i] = (v >> i) & 1
+    assert check_constraints(cpu, t3, cpub, challenges) == []  # row valid
+    totals = [ef.H_ZERO] * ea.NUM_BUS
+    traces = [t3] + [tab[1] for tab in tables[1:]]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv_ in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv_)
     assert totals[ea.BUS_MEM] != ef.H_ZERO
