@@ -73,10 +73,11 @@ outside the stack table's 11-bit range and breaks the channel balance.
 
 Covered: STOP, ADD, MUL, SUB, DIV, SDIV, MOD, SMOD, SIGNEXTEND,
 LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256
-(32-byte-aligned offset), CALLDATALOAD, POP, MLOAD (ANY byte
-offset: two-word read + one-hot recombination), MSTORE/MSIZE
-(32-byte-aligned, < 2^13 words), MSTORE8 (any byte offset, RMW via a
-second RAM tuple + one-hot splice),
+(32-byte-aligned offset), CALLDATALOAD, POP, MLOAD/MSTORE at ANY
+byte offset (two-word read + one-hot recombination; MSTORE is a full
+read-modify-write of up to two words, the spliced write values formed
+as in-channel one-hot expressions), MSIZE, MSTORE8 (any byte offset,
+single-word RMW),
 PUSH0-32, DUP1-16, SWAP1-16, LOG0-4 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
 SDIV/SMOD/EXP are proven in the dedicated arithmetic table
@@ -98,9 +99,12 @@ re-written before any further read).  MSTORE8 reads the old word at
 sub-clock 4*clk and writes the spliced word at 4*clk + 1 (the second
 memory accumulator AUX_M2); an unaligned MLOAD reads words w and w+1
 (second read on AUX_M2) and recombines C = (B << 8k | W >> 8(32-k))
-through the same one-hot.  Unaligned MSTORE, copies
-(CALLDATACOPY/CODECOPY/RETURNDATACOPY), and calls are the documented
-roadmap; frames using them are reported uncovered, never mis-proven.
+through the same one-hot; MSTORE reads old words w[, w+1] (slots 0, 1)
+and writes the spliced words (slots 2, 3 via AUX_M3/AUX_M4), whose
+values are one-hot pattern EXPRESSIONS over (old, B, k) — no extra
+witness words.  Copies (CALLDATACOPY/CODECOPY/RETURNDATACOPY) and
+calls are the documented roadmap; frames using them are reported
+uncovered, never mis-proven.
 """
 
 from __future__ import annotations
@@ -310,8 +314,10 @@ AUX_M = AUX_CD + 4
 AUX_K = AUX_M + 4
 AUX_ST = AUX_K + 4
 AUX_AR = AUX_ST + 4
-AUX_M2 = AUX_AR + 4  # second RAM tuple (MSTORE8's read-modify-write)
-CPU_AUX_W = AUX_M2 + 4
+AUX_M2 = AUX_AR + 4  # 2nd RAM tuple (m8 write / unaligned 2nd-word read)
+AUX_M3 = AUX_M2 + 4  # 3rd RAM tuple (MSTORE word-1 write)
+AUX_M4 = AUX_M3 + 4  # 4th RAM tuple (unaligned MSTORE word-2 write)
+CPU_AUX_W = AUX_M4 + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
@@ -462,8 +468,10 @@ class _Step:
     sg1: int = 0  # SSTORE clean nonzero write (2900)
     sg2: int = 0  # SSTORE clean zero write (20000)
     sentry: int = 0  # SSTORE: gas_before - 2301 (EIP-2200 sentry)
-    mem_access: tuple | None = None  # (word_addr, iw, value)
-    mem_access2: tuple | None = None  # MSTORE8 write (word_addr, 1, new)
+    mem_access: tuple | None = None  # (word_addr, iw, value) at slot 0
+    mem_access2: tuple | None = None  # (word_addr, iw, value) at slot 1
+    mem_access3: tuple | None = None  # (word_addr, iw, value) at slot 2
+    mem_access4: tuple | None = None  # (word_addr, iw, value) at slot 3
     accesses: list = field(default_factory=list)  # (slot, addr, iw, value)
 
 
@@ -508,6 +516,12 @@ class FrameTrace:
             if st.mem_access2 is not None:
                 waddr, iw, value = st.mem_access2
                 out.append((waddr, 4 * clk + 1, iw, value))
+            if st.mem_access3 is not None:
+                waddr, iw, value = st.mem_access3
+                out.append((waddr, 4 * clk + 2, iw, value))
+            if st.mem_access4 is not None:
+                waddr, iw, value = st.mem_access4
+                out.append((waddr, 4 * clk + 3, iw, value))
             for waddr, value in st.kreads:
                 out.append((waddr, 4 * clk + 1, 0, value))
         return out
@@ -944,13 +958,36 @@ def execute_frame(
         elif op == 0x52:
             st.name = "mstore"
             a, v = pop2()  # a = offset, v = value
-            if a % 32 or a >= (1 << 18):
-                raise UncoveredFrame("unaligned or far memory access")
+            if a >= (1 << 18):
+                raise UncoveredFrame("far memory access")
             st.a, st.b = a, v
             waddr = a // 32
-            use(3 + mem_expand(st, waddr + 1))
-            mem_words[waddr] = v
-            st.mem_access = (waddr, 1, v)
+            k = a % 32
+            st.qsel = k
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [k] + [0] * 15
+            )
+            use(3 + mem_expand(st, waddr + 1 + (1 if k else 0)))
+            old1 = mem_words.get(waddr, 0)
+            st.c = old1
+            st.mem_access = (waddr, 0, old1)
+            if k == 0:
+                new1 = v
+                st.mem_access3 = (waddr, 1, new1)
+                mem_words[waddr] = new1
+            else:
+                old2 = mem_words.get(waddr + 1, 0)
+                st.w = old2
+                keep_hi = 8 * (32 - k)  # bits of word 1 kept (value terms)
+                new1 = (old1 >> keep_hi << keep_hi) | (v >> (8 * k))
+                new2 = ((v << keep_hi) & _M256) | (
+                    old2 & ((1 << keep_hi) - 1)
+                )
+                st.mem_access2 = (waddr + 1, 0, old2)
+                st.mem_access3 = (waddr, 1, new1)
+                st.mem_access4 = (waddr + 1, 1, new2)
+                mem_words[waddr] = new1
+                mem_words[waddr + 1] = new2
         elif op == 0x53:
             st.name = "mstore8"
             a, v = pop2()  # a = offset, v = value
@@ -1361,36 +1398,80 @@ class EvmCpuAir(Air):
         mem_act = (flags["mload"] + flags["mstore"] + m8) % _PU
         waddr = sum(t[:, A0 + b] << np.uint64(b - 5) for b in range(5, 18))
         bytesW = _bits_to_bytes(trace[:, W0 : W0 + 256])
-        # first tuple value: C, except MSTORE/MLOAD (word B) and
-        # MSTORE8's READ of the old word (W)
+        # first tuple value: C (MSTORE's old word / the generic slot),
+        # except MLOAD (word B) and MSTORE8's READ of the old word (W)
         vmem = np.where(
-            (flags["mstore"] + flags["mload"])[:, None] == 1,
+            flags["mload"][:, None] == 1,
             bytesB,
             np.where(m8[:, None] == 1, bytesW, bytesC),
         )
         code_m = _np_tuple_code(
             waddr,
-            [(4 * clk, 1), (flags["mstore"], 2)]
+            [(4 * clk, 1)]
             + [(vmem[:, j], j + 3) for j in range(32)],
             pows,
         )
         inv_m = ef.npef_inv(ef.npef_sub(gm[None, :], code_m))
         mem_terms = ef.npef_mul(ef.npef_from_base(mem_act), inv_m)
         # second tuple: MSTORE8's spliced-word WRITE at waddr, or an
-        # unaligned MLOAD's second-word READ at waddr + 1 (sub-clock +1)
+        # unaligned MLOAD/MSTORE second-word READ at waddr + 1
         mld = flags["mload"]
+        mst = flags["mstore"]
         k_low5 = sum(t[:, A0 + bit] << np.uint64(bit) for bit in range(5))
-        mld_unal = mld * (k_low5 != 0)
-        v2 = np.where(mld[:, None] == 1, bytesW, bytesC)
+        unal = (k_low5 != 0).astype(np.uint64)
+        v2 = np.where((mld + mst)[:, None] == 1, bytesW, bytesC)
         code_m2 = _np_tuple_code(
-            (waddr + mld) % _PU,
+            (waddr + mld + mst) % _PU,
             [(4 * clk + 1, 1), (m8, 2)]
             + [(v2[:, j], j + 3) for j in range(32)],
             pows,
         )
         inv_m2 = ef.npef_inv(ef.npef_sub(gm[None, :], code_m2))
         mem2_terms = ef.npef_mul(
-            ef.npef_from_base((m8 + mld_unal) % _PU), inv_m2
+            ef.npef_from_base((m8 + (mld + mst) * unal) % _PU), inv_m2
+        )
+        # third/fourth tuples: MSTORE's spliced word-1 / word-2 WRITES
+        # (values derived host-side exactly as the circuit's one-hot
+        # pattern sums)
+        k_int = k_low5.astype(np.int64)
+        n = trace.shape[0]
+        v3 = np.zeros_like(bytesC)
+        v4 = np.zeros_like(bytesC)
+        for r in range(n):
+            if mst[r] != 1:
+                continue
+            k = int(k_int[r])
+            old1 = sum(int(bytesC[r, j]) << (8 * j) for j in range(32))
+            old2 = sum(int(bytesW[r, j]) << (8 * j) for j in range(32))
+            vv = sum(int(bytesB[r, j]) << (8 * j) for j in range(32))
+            keep = 8 * (32 - k)
+            if k == 0:
+                n1, n2 = vv, 0
+            else:
+                n1 = (old1 >> keep << keep) | (vv >> (8 * k))
+                n2 = ((vv << keep) & ((1 << 256) - 1)) | (
+                    old2 & ((1 << keep) - 1)
+                )
+            for j in range(32):
+                v3[r, j] = (n1 >> (8 * j)) & 0xFF
+                v4[r, j] = (n2 >> (8 * j)) & 0xFF
+        code_m3 = _np_tuple_code(
+            waddr,
+            [(4 * clk + 2, 1), (np.ones_like(clk), 2)]
+            + [(v3[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_m3 = ef.npef_inv(ef.npef_sub(gm[None, :], code_m3))
+        mem3_terms = ef.npef_mul(ef.npef_from_base(mst % _PU), inv_m3)
+        code_m4 = _np_tuple_code(
+            (waddr + 1) % _PU,
+            [(4 * clk + 3, 1), (np.ones_like(clk), 2)]
+            + [(v4[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_m4 = ef.npef_inv(ef.npef_sub(gm[None, :], code_m4))
+        mem4_terms = ef.npef_mul(
+            ef.npef_from_base((mst * unal) % _PU), inv_m4
         )
         # hash-call sends (KECCAK256)
         gk = np.array([x % bb.P for x in gamma_k], dtype=np.uint64)
@@ -1495,6 +1576,8 @@ class EvmCpuAir(Air):
             stor_terms,
             ar_terms,
             mem2_terms,
+            mem3_terms,
+            mem4_terms,
         )
 
     @staticmethod
@@ -1512,6 +1595,8 @@ class EvmCpuAir(Air):
             stor_terms,
             ar_terms,
             mem2_terms,
+            mem3_terms,
+            mem4_terms,
         ) = self._channel_terms(trace, challenges)
         aux = np.zeros((trace.shape[0], CPU_AUX_W), dtype=np.uint32)
         aux[:, AUX_F : AUX_F + 4] = self._excl_prefix(fetch_terms)
@@ -1525,6 +1610,8 @@ class EvmCpuAir(Air):
         aux[:, AUX_ST : AUX_ST + 4] = self._excl_prefix(stor_terms)
         aux[:, AUX_AR : AUX_AR + 4] = self._excl_prefix(ar_terms)
         aux[:, AUX_M2 : AUX_M2 + 4] = self._excl_prefix(mem2_terms)
+        aux[:, AUX_M3 : AUX_M3 + 4] = self._excl_prefix(mem3_terms)
+        aux[:, AUX_M4 : AUX_M4 + 4] = self._excl_prefix(mem4_terms)
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
@@ -1537,6 +1624,8 @@ class EvmCpuAir(Air):
             stor_terms,
             ar_terms,
             mem2_terms,
+            mem3_terms,
+            mem4_terms,
         ) = self._channel_terms(trace, challenges)
         # the last row is always halted padding: its own terms vanish
         fetch = tuple(int(v) for v in fetch_terms.sum(axis=0) % _PU)
@@ -1545,7 +1634,14 @@ class EvmCpuAir(Air):
             stack = ef.h_add(stack, tuple(int(v) for v in st.sum(axis=0) % _PU))
         cdl = tuple(int(v) for v in cdl_terms.sum(axis=0) % _PU)
         mem = tuple(
-            int(v) for v in (mem_terms.sum(axis=0) + mem2_terms.sum(axis=0)) % _PU
+            int(v)
+            for v in (
+                mem_terms.sum(axis=0)
+                + mem2_terms.sum(axis=0)
+                + mem3_terms.sum(axis=0)
+                + mem4_terms.sum(axis=0)
+            )
+            % _PU
         )
         kcall = tuple(int(v) for v in kcall_terms.sum(axis=0) % _PU)
         stor = tuple(int(v) for v in stor_terms.sum(axis=0) % _PU)
@@ -1860,7 +1956,7 @@ class EvmCpuAir(Air):
                     b.mul(b.add(b.add(f_kec, f["return"]), f["log"]), b_lo15),
                     b.mul(f["sstore"], g_hi20),
                 ),
-                b.mul(f["mload"], o_low5),
+                b.mul(b.add(f["mload"], f["mstore"]), o_low5),
             ),
         )
         inp_blk = b.add(
@@ -2149,7 +2245,7 @@ class EvmCpuAir(Air):
         # MLOAD (any offset): one-hot bound to k = A mod 32 directly
         # (taken = [k != 0] via the nonzero gadget), value recombined
         # from the two read words: C = (B << 8k | W >> 8(32-k))
-        f_mldq = f["mload"]
+        f_mldq = b.add(f["mload"], f["mstore"])
         b.all_rows(b.mul(f_mldq, b.sub(sum_ohq, one)))
         b.all_rows(b.mul(f_mldq, b.sub(wq1, i_low)))
         b.all_rows(b.mul(f_mldq, sum_ohr))
@@ -2161,7 +2257,7 @@ class EvmCpuAir(Air):
                 pat = b.concat_rows([Wblk[8 * (32 - k) :], Bblk[: 256 - 8 * k]])
             t = b.mul(ohq[k], pat)
             mld_acc = t if mld_acc is None else b.add(mld_acc, t)
-        b.all_rows_block(b.mul(f_mldq, b.sub(Cblk, mld_acc)), 256)
+        b.all_rows_block(b.mul(f["mload"], b.sub(Cblk, mld_acc)), 256)
 
         # MSTORE8: C (the written word) = W (the read word) with the
         # big-endian byte k replaced by B's low byte
@@ -2235,13 +2331,13 @@ class EvmCpuAir(Air):
         # the expansion target: waddr+1 for MLOAD/MSTORE; for KECCAK256,
         # waddr+sw when size != 0 (taken, via the nonzero gadget), else 0
         b.all_rows(
-            b.mul(
-                b.add(f_mst, f["mstore8"]),
-                b.sub(kneed, b.add(waddr, one)),
-            )
+            b.mul(f["mstore8"], b.sub(kneed, b.add(waddr, one)))
         )
         b.all_rows(
-            b.mul(f_mld, b.sub(kneed, b.add(b.add(waddr, one), taken)))
+            b.mul(
+                b.add(f_mld, f_mst),
+                b.sub(kneed, b.add(b.add(waddr, one), taken)),
+            )
         )
         b.all_rows(
             b.mul(f_kr, b.sub(kneed, b.mul(taken, b.add(waddr, swval))))
@@ -2267,7 +2363,11 @@ class EvmCpuAir(Air):
         b.all_rows_block(b.mul(f_mx, addr_hi_bits), 238)
         addr_lo_bits = b.local_block(range(A0, A0 + 5))
         b.all_rows_block(
-            b.mul(b.sub(b.sub(f_mx, f["mstore8"]), f_mld), addr_lo_bits), 5
+            b.mul(
+                b.sub(b.sub(b.sub(f_mx, f["mstore8"]), f_mld), f["mstore"]),
+                addr_lo_bits,
+            ),
+            5,
         )
         # quadratic-term delta
         b.transition(
@@ -2295,12 +2395,12 @@ class EvmCpuAir(Air):
         vmem = b.add(
             Cblk,
             b.add(
-                b.mul(b.add(f_mst, f_mld), b.sub(Bblk, Cblk)),
+                b.mul(f_mld, b.sub(Bblk, Cblk)),
                 b.mul(f["mstore8"], b.sub(Wblk, Cblk)),
             ),
         )
         vcode_m = b.bit_block_code(vmem, chi, b.constant(0), 32)
-        inner_m = b.ef_add4(b.ef_from_base4(f_mst), vcode_m)
+        inner_m = vcode_m
         clk4m = b.scale(4, clk)
         code_m = b.ef_add4(
             b.ef_from_base4(waddr),
@@ -2315,10 +2415,11 @@ class EvmCpuAir(Air):
         for c in range(4):
             b.transition(b.sub(prodM[c], actM[c]))
             b.first_row(accM[c])
-        v2 = b.add(Cblk, b.mul(f_mld, b.sub(Wblk, Cblk)))
+        f_mm = b.add(f_mld, f_mst)
+        v2 = b.add(Cblk, b.mul(f_mm, b.sub(Wblk, Cblk)))
         vcode_m2 = b.bit_block_code(v2, chi, b.constant(0), 32)
         inner_m2 = b.ef_add4(b.ef_from_base4(f["mstore8"]), vcode_m2)
-        waddr2 = b.add(waddr, f_mld)
+        waddr2 = b.add(waddr, f_mm)
         code_m2 = b.ef_add4(
             b.ef_from_base4(waddr2),
             b.ef_mul4(
@@ -2332,11 +2433,70 @@ class EvmCpuAir(Air):
         accM2_n = [b.aux_next(AUX_M2 + c) for c in range(4)]
         prodM2 = b.ef_mul4(b.ef_sub4(accM2_n, accM2), b.ef_sub4(g_m, code_m2))
         actM2 = b.ef_from_base4(
-            b.add(f["mstore8"], b.mul(f_mld, taken))
+            b.add(f["mstore8"], b.mul(f_mm, taken))
         )
         for c in range(4):
             b.transition(b.sub(prodM2[c], actM2[c]))
             b.first_row(accM2[c])
+        # third tuple: MSTORE's word-1 WRITE at sub-clock +2 — the value
+        # is the one-hot splice expression (keep old1's top k bytes, fill
+        # the rest with B >> 8k); k = 0 degenerates to plain B
+        new1_acc = None
+        for k in range(32):
+            if k == 0:
+                pat = Bblk
+            else:
+                pat = b.concat_rows([Bblk[8 * k :], Cblk[8 * (32 - k) :]])
+            t = b.mul(ohq[k], pat)
+            new1_acc = t if new1_acc is None else b.add(new1_acc, t)
+        vcode_m3 = b.bit_block_code(new1_acc, chi, b.constant(0), 32)
+        inner_m3 = b.ef_add4(b.ef_from_base4(one), vcode_m3)
+        code_m3 = b.ef_add4(
+            b.ef_from_base4(waddr),
+            b.ef_mul4(
+                chi,
+                b.ef_add4(
+                    b.ef_from_base4(b.add(clk4m, b.constant(2))),
+                    b.ef_mul4(chi, inner_m3),
+                ),
+            ),
+        )
+        accM3 = [b.aux(AUX_M3 + c) for c in range(4)]
+        accM3_n = [b.aux_next(AUX_M3 + c) for c in range(4)]
+        prodM3 = b.ef_mul4(b.ef_sub4(accM3_n, accM3), b.ef_sub4(g_m, code_m3))
+        actM3 = b.ef_from_base4(f_mst)
+        for c in range(4):
+            b.transition(b.sub(prodM3[c], actM3[c]))
+            b.first_row(accM3[c])
+        # fourth tuple: unaligned MSTORE's word-2 WRITE at sub-clock +3
+        # (B's low 8k bits land in the top, old2's low bits kept)
+        new2_acc = None
+        for k in range(32):
+            if k == 0:
+                pat = b.scale(0, Bblk)
+            else:
+                pat = b.concat_rows([Wblk[: 8 * (32 - k)], Bblk[: 8 * k]])
+            t = b.mul(ohq[k], pat)
+            new2_acc = t if new2_acc is None else b.add(new2_acc, t)
+        vcode_m4 = b.bit_block_code(new2_acc, chi, b.constant(0), 32)
+        inner_m4 = b.ef_add4(b.ef_from_base4(one), vcode_m4)
+        code_m4 = b.ef_add4(
+            b.ef_from_base4(b.add(waddr, one)),
+            b.ef_mul4(
+                chi,
+                b.ef_add4(
+                    b.ef_from_base4(b.add(clk4m, b.constant(3))),
+                    b.ef_mul4(chi, inner_m4),
+                ),
+            ),
+        )
+        accM4 = [b.aux(AUX_M4 + c) for c in range(4)]
+        accM4_n = [b.aux_next(AUX_M4 + c) for c in range(4)]
+        prodM4 = b.ef_mul4(b.ef_sub4(accM4_n, accM4), b.ef_sub4(g_m, code_m4))
+        actM4 = b.ef_from_base4(b.mul(f_mst, taken))
+        for c in range(4):
+            b.transition(b.sub(prodM4[c], actM4[c]))
+            b.first_row(accM4[c])
 
         # 14f. hash-call channel (one tuple per KECCAK256):
         #   clk + chi*waddr + chi^2*size + sum_j digest_byte_j * chi^{j+3}
@@ -2549,7 +2709,10 @@ class EvmCpuAir(Air):
             b.last_row(b.sub(acc_sum[c], b.bus_coord(4 * BUS_STACK + c)))
             b.last_row(b.sub(accC[c], b.bus_coord(4 * BUS_CD + c)))
             b.last_row(
-                b.sub(b.add(accM[c], accM2[c]), b.bus_coord(4 * BUS_MEM + c))
+                b.sub(
+                    b.add(b.add(accM[c], accM2[c]), b.add(accM3[c], accM4[c])),
+                    b.bus_coord(4 * BUS_MEM + c),
+                )
             )
             b.last_row(b.bus_coord(4 * BUS_BLOCKS + c))
             b.last_row(b.bus_coord(4 * BUS_DIG + c))

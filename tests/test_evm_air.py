@@ -147,6 +147,16 @@ def full_coverage_program() -> bytes:
         ("push", 1, 0x47),
         0x51,                                     # unaligned MLOAD (k=7)
         0x01,                                     # fold
+        ("push", 32, (0xDEADBEEF << 128) + 0x1234),
+        ("push", 1, 0x55),
+        0x52,                                     # unaligned MSTORE (k=21)
+        ("push", 1, 0x55),
+        0x51,                                     # unaligned MLOAD reads it back
+        0x01,                                     # fold
+        ("push", 2, 0x2C3),
+        ("push", 2, 0x2C3),
+        0x52,                                     # unaligned MSTORE, expands
+        0x50,                                     # POP (sp fix: mstore pops 2)
         ("push", 2, 0x29D),
         0x51,                                     # unaligned MLOAD, expands
         0x01,                                     # fold
@@ -911,7 +921,7 @@ def test_unaligned_mload_negative_probes(frame, challenges):
         for r in mrows
         if int(ctrace[r, ea.OHQ0]) == 0  # one-hot not at k = 0
     ]
-    assert len(unal) == 2
+    assert len(unal) == 3
     r = unal[0]
     # wrong recombined value
     t1 = ctrace.copy()
@@ -941,4 +951,34 @@ def test_unaligned_mload_negative_probes(frame, challenges):
     for (air, _, _), tr in zip(tables, traces):
         for i, bv_ in enumerate(air.bus_values(tr, challenges)):
             totals[i] = ef.h_add(totals[i], bv_)
+    assert totals[ea.BUS_MEM] != ef.H_ZERO
+
+
+def test_unaligned_mstore_negative_probes(frame, challenges):
+    """Unaligned MSTORE: the spliced write values are channel
+    EXPRESSIONS — lying about an old word shifts the written words and
+    unbalances the RAM channel; a false alignment claim breaks the
+    one-hot binding."""
+    tables = ea.frame_tables(frame)
+    cpu, ctrace, cpub = tables[0]
+    srows = np.where(ctrace[:, ea.FLAG0 + ea.FLAG_IDX["mstore"]] == 1)[0]
+    unal = [r for r in srows if int(ctrace[r, ea.OHQ0]) == 0]
+    assert len(unal) == 2
+    r = int(unal[0])
+    # false alignment claim
+    t1 = ctrace.copy()
+    k = int(np.where(t1[r, ea.OHQ0 : ea.OHQ0 + 32] == 1)[0][0])
+    t1[r, ea.OHQ0 + k] = 0
+    t1[r, ea.OHQ0] = 1
+    assert check_constraints(cpu, t1, cpub, challenges)
+    # lie about old word 1 (C): row stays locally valid (C is only a
+    # channel operand) but both the read and the spliced write move ->
+    # RAM channel imbalance
+    t2 = ctrace.copy()
+    t2[r, ea.C0 + 255] ^= 1  # a kept top byte of word 1
+    totals = [ef.H_ZERO] * ea.NUM_BUS
+    traces = [t2] + [tab[1] for tab in tables[1:]]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
     assert totals[ea.BUS_MEM] != ef.H_ZERO
