@@ -77,7 +77,9 @@ LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256
 byte offset (two-word read + one-hot recombination; MSTORE is a full
 read-modify-write of up to two words, the spliced write values formed
 as in-channel one-hot expressions), MSIZE, MSTORE8 (any byte offset,
-single-word RMW),
+single-word RMW), CALLDATACOPY (aligned dest, word-multiple size, ANY
+source offset incl. past-the-end zero fill — one bridge row per copied
+word, stark/airs/evm_copy.py),
 PUSH0-32, DUP1-16, SWAP1-16, LOG0-4 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
 SDIV/SMOD/EXP are proven in the dedicated arithmetic table
@@ -102,9 +104,12 @@ memory accumulator AUX_M2); an unaligned MLOAD reads words w and w+1
 through the same one-hot; MSTORE reads old words w[, w+1] (slots 0, 1)
 and writes the spliced words (slots 2, 3 via AUX_M3/AUX_M4), whose
 values are one-hot pattern EXPRESSIONS over (old, B, k) — no extra
-witness words.  Copies (CALLDATACOPY/CODECOPY/RETURNDATACOPY) and
-calls are the documented roadmap; frames using them are reported
-uncovered, never mis-proven.
+witness words.  CALLDATACOPY runs through the copy bridge (channel
+BUS_CP): the CPU sends (clk, destw, offset, sw); the bridge reads each
+source word from the calldata channel (or constrains it zero past the
+calldata end) and writes it to RAM at destw + j.  CODECOPY/
+RETURNDATACOPY, byte-granular copy tails, and calls are the documented
+roadmap; frames using them are reported uncovered, never mis-proven.
 """
 
 from __future__ import annotations
@@ -149,6 +154,7 @@ SIMPLE_OPS = {
     "shr": (0x1C, 3, 2, 1),
     "sar": (0x1D, 3, 2, 1),
     "calldataload": (0x35, 3, 1, 1),
+    "calldatacopy": (0x37, 3, 3, 0),  # + 3/word + expansion (dynamic)
     "pop": (0x50, 2, 1, 0),
     "mload": (0x51, 3, 1, 1),
     "mstore": (0x52, 3, 2, 0),
@@ -231,6 +237,8 @@ def _sp_delta(name: str) -> int:
         return -1
     if name in ("jumpi", "mstore", "mstore8", "sstore", "return"):
         return -2
+    if name == "calldatacopy":
+        return -3
     if name == "log":
         return 0  # real delta is -(fam_n + 1); added explicitly in eval
     return 1  # push/push0/dup/pc/gas/env
@@ -317,7 +325,8 @@ AUX_AR = AUX_ST + 4
 AUX_M2 = AUX_AR + 4  # 2nd RAM tuple (m8 write / unaligned 2nd-word read)
 AUX_M3 = AUX_M2 + 4  # 3rd RAM tuple (MSTORE word-1 write)
 AUX_M4 = AUX_M3 + 4  # 4th RAM tuple (unaligned MSTORE word-2 write)
-CPU_AUX_W = AUX_M4 + 4
+AUX_CP = AUX_M4 + 4  # calldata-copy call sends
+CPU_AUX_W = AUX_CP + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
@@ -329,7 +338,8 @@ CHAL_D = 6  # keccak digest codes (sponge -> bridge)
 CHAL_K = 7  # hash-call tuples (CPU -> bridge)
 CHAL_ST = 8  # storage access tuples (CPU -> storage journal)
 CHAL_AR = 9  # signed-arithmetic call tuples (CPU -> arith table)
-NUM_CHALLENGES = 10
+CHAL_CP = 10  # calldata-copy call tuples (CPU -> copy bridge)
+NUM_CHALLENGES = 11
 BUS_FETCH = 0
 BUS_STACK = 1
 BUS_CD = 2
@@ -338,8 +348,9 @@ BUS_BLOCKS = 4
 BUS_DIG = 5
 BUS_KCALL = 6
 BUS_STOR = 7
-BUS_AR = 8  # SDIV/SMOD (and future EXP/MULMOD) calls -> evm_arith.py
-NUM_BUS = 9
+BUS_AR = 8  # SDIV/SMOD/EXP calls -> evm_arith.py
+BUS_CP = 9  # CALLDATACOPY calls -> evm_copy.py
+NUM_BUS = 10
 ENV_IDX_CDSIZE = list(ENV_OPS).index("calldatasize")
 
 # publics layout
@@ -497,6 +508,9 @@ class FrameTrace:
     # signed-arithmetic calls: (kind, a, b, result) proven in ArithAir
     # (stark/airs/evm_arith.py) over the BUS_AR channel
     arith_calls: list = field(default_factory=list)
+    # CALLDATACOPY calls: (clk, destw, offset, sw, words) — (destw,
+    # offset, sw) become public bridge structure (evm_copy.py)
+    copy_calls: list = field(default_factory=list)
 
     @property
     def accesses(self):
@@ -524,6 +538,10 @@ class FrameTrace:
                 out.append((waddr, 4 * clk + 3, iw, value))
             for waddr, value in st.kreads:
                 out.append((waddr, 4 * clk + 1, 0, value))
+        # CALLDATACOPY bridge writes (evm_copy.py rows, sub-clock +2)
+        for clk, destw, off, sw, words in self.copy_calls:
+            for i, wv in enumerate(words):
+                out.append((destw + i, 4 * clk + 2, 1, wv))
         return out
 
 
@@ -648,6 +666,7 @@ def execute_frame(
     m_words = 0
     keccak_calls: list = []
     arith_calls: list = []
+    copy_calls: list = []
     # storage journal: originals are the coverage boundary — slots not in
     # the provided pre-image map make the frame uncovered
     storage_orig = dict(storage or {})
@@ -926,6 +945,40 @@ def execute_frame(
                 push(int.from_bytes(word, "big"), sp - 1)
             else:
                 push(0, sp - 1)
+        elif op == 0x37:
+            st.name = "calldatacopy"
+            if sp < 3:
+                raise UncoveredFrame("stack underflow")
+            dest, off = pop2()
+            size = stack.pop()
+            st.accesses.append((2, sp - 3, 0, size))
+            if dest % 32 or dest >= (1 << 18):
+                raise UncoveredFrame("unaligned or far CALLDATACOPY dest")
+            if size % 32 or size >= (1 << 13):
+                raise UncoveredFrame(
+                    "CALLDATACOPY size not word-multiple / beyond bound"
+                )
+            if off >= (1 << 15):
+                raise UncoveredFrame("CALLDATACOPY offset beyond bound")
+            st.a, st.b, st.w = dest, size, off
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(size & 0x7FFF).bit_count()] + [0] * 15
+            )
+            sw = size // 32
+            st.ksw, st.ksl = sw, 0
+            destw = dest // 32
+            dyn = mem_expand(st, (destw + sw) if size else 0)
+            use(3 + 3 * sw + dyn)
+            words = []
+            for i in range(sw):
+                src = off + 32 * i
+                chunk = calldata[src : src + 32]
+                wv = int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+                words.append(wv)
+                mem_words[destw + i] = wv
+                if src < env.calldatasize:  # bridge's calldata send
+                    cd_loads[src] = cd_loads.get(src, 0) + 1
+            copy_calls.append((len(steps) - 1, destw, off, sw, words))
         elif op == 0x50:
             st.name = "pop"
             a = pop1()
@@ -1180,6 +1233,7 @@ def execute_frame(
         m_final=m_words,
         keccak_calls=keccak_calls,
         arith_calls=arith_calls,
+        copy_calls=copy_calls,
         storage_accesses=storage_accesses,
         storage_groups=sorted(
             (
@@ -1430,6 +1484,18 @@ class EvmCpuAir(Air):
         mem2_terms = ef.npef_mul(
             ef.npef_from_base((m8 + (mld + mst) * unal) % _PU), inv_m2
         )
+        # calldata-copy call sends: clk + destw*chi + off*chi^2 + sw*chi^3
+        gcp = np.array(
+            [x % bb.P for x in challenges[CHAL_CP]], dtype=np.uint64
+        )
+        cdc = flags["calldatacopy"]
+        offv = sum(t[:, W0 + bit] << np.uint64(bit) for bit in range(15))
+        swv = sum(t[:, KSW0 + i] << np.uint64(i) for i in range(10))
+        code_cp = _np_tuple_code(
+            clk, [(waddr, 1), (offv, 2), (swv, 3)], pows
+        )
+        inv_cp = ef.npef_inv(ef.npef_sub(gcp[None, :], code_cp))
+        cp_terms = ef.npef_mul(ef.npef_from_base(cdc % _PU), inv_cp)
         # third/fourth tuples: MSTORE's spliced word-1 / word-2 WRITES
         # (values derived host-side exactly as the circuit's one-hot
         # pattern sums)
@@ -1529,9 +1595,10 @@ class EvmCpuAir(Air):
         p21 = sum(flags[nm] for nm in _POP2PUSH1)
         cdl = flags["calldataload"]
         mld, mst, msz = flags["mload"], flags["mstore"], flags["msize"]
+        cdc_f = flags["calldatacopy"]
         pops_w0 = (
             2 * p21 + flags["iszero"] + flags["not"] + flags["swap"]
-            + cdl + mld + sl
+            + cdl + mld + sl + 3 * cdc_f
         )
         env_sum = sum(flags[nm] for nm in ENV_OPS)
         ret = flags["return"]
@@ -1540,13 +1607,13 @@ class EvmCpuAir(Air):
             + flags["iszero"] + flags["not"] + flags["pop"]
             + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
             + cdl + mld + mst + sl + ss + ret + flags["log"]
-            + flags["mstore8"],
+            + flags["mstore8"] + flags["calldatacopy"],
             p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret
-            + flags["log"] + flags["mstore8"],
+            + flags["log"] + flags["mstore8"] + flags["calldatacopy"],
             p21
             + flags["iszero"] + flags["not"] + flags["push0"] + flags["push"]
             + flags["dup"] + flags["swap"] + flags["pc"] + flags["gas"]
-            + env_sum + cdl + mld + msz + sl,
+            + env_sum + cdl + mld + msz + sl + cdc_f,
             flags["swap"],
         ]
         addr = [
@@ -1555,13 +1622,19 @@ class EvmCpuAir(Air):
             (sp + _PU * 2 - pops_w0) % _PU,
             (sp + _PU - 1 - flags["swap"] * fam_n) % _PU,
         ]
-        w0_bytes = np.where(flags["swap"][:, None] == 1, bytesB, bytesC)
-        vbytes = [bytesA, bytesB, w0_bytes, bytesA]
+        w0_bytes = np.where(
+            (flags["swap"] + cdc_f)[:, None] == 1, bytesB, bytesC
+        )
+        slot1 = np.where(cdc_f[:, None] == 1, bytesW, bytesB)
+        vbytes = [bytesA, slot1, w0_bytes, bytesA]
         slot_terms = []
         for s in range(4):
+            iw_s = np.full(n, s >= 2, dtype=np.uint64)
+            if s == 2:
+                iw_s = iw_s - cdc_f  # CALLDATACOPY's third pop is a READ
             code = _np_tuple_code(
                 addr[s],
-                [(4 * clk + s, 1), (np.full(n, s >= 2, dtype=np.uint64), 2)]
+                [(4 * clk + s, 1), (iw_s % _PU, 2)]
                 + [(vbytes[s][:, j], j + 3) for j in range(32)],
                 pows,
             )
@@ -1578,6 +1651,7 @@ class EvmCpuAir(Air):
             mem2_terms,
             mem3_terms,
             mem4_terms,
+            cp_terms,
         )
 
     @staticmethod
@@ -1597,6 +1671,7 @@ class EvmCpuAir(Air):
             mem2_terms,
             mem3_terms,
             mem4_terms,
+            cp_terms,
         ) = self._channel_terms(trace, challenges)
         aux = np.zeros((trace.shape[0], CPU_AUX_W), dtype=np.uint32)
         aux[:, AUX_F : AUX_F + 4] = self._excl_prefix(fetch_terms)
@@ -1612,6 +1687,7 @@ class EvmCpuAir(Air):
         aux[:, AUX_M2 : AUX_M2 + 4] = self._excl_prefix(mem2_terms)
         aux[:, AUX_M3 : AUX_M3 + 4] = self._excl_prefix(mem3_terms)
         aux[:, AUX_M4 : AUX_M4 + 4] = self._excl_prefix(mem4_terms)
+        aux[:, AUX_CP : AUX_CP + 4] = self._excl_prefix(cp_terms)
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
@@ -1626,6 +1702,7 @@ class EvmCpuAir(Air):
             mem2_terms,
             mem3_terms,
             mem4_terms,
+            cp_terms,
         ) = self._channel_terms(trace, challenges)
         # the last row is always halted padding: its own terms vanish
         fetch = tuple(int(v) for v in fetch_terms.sum(axis=0) % _PU)
@@ -1646,7 +1723,10 @@ class EvmCpuAir(Air):
         kcall = tuple(int(v) for v in kcall_terms.sum(axis=0) % _PU)
         stor = tuple(int(v) for v in stor_terms.sum(axis=0) % _PU)
         ar = tuple(int(v) for v in ar_terms.sum(axis=0) % _PU)
-        return [fetch, stack, cdl, mem, ef.H_ZERO, ef.H_ZERO, kcall, stor, ar]
+        cp = tuple(int(v) for v in cp_terms.sum(axis=0) % _PU)
+        return [
+            fetch, stack, cdl, mem, ef.H_ZERO, ef.H_ZERO, kcall, stor, ar, cp,
+        ]
 
     # ------------------------------- constraints -------------------------
     def eval(self, b: ConstraintBuilder) -> None:  # noqa: C901
@@ -1831,8 +1911,9 @@ class EvmCpuAir(Air):
         f_ret = f["return"]
         f_log = f["log"]
         f_m8 = f["mstore8"]
-        # keccak/return/log all meter a word-aligned (offset, size) range
-        f_kr = b.add(b.add(f_kec, f_ret), f_log)
+        # keccak/return/log/calldatacopy all meter a word-aligned
+        # (offset, size) range through the same sw/slack machinery
+        f_kr = b.add(b.add(b.add(f_kec, f_ret), f_log), f["calldatacopy"])
         # expansion/dq group (MSTORE8 expands too, at ANY byte offset)
         f_mx = b.add(b.add(b.add(f["mload"], f["mstore"]), f_kr), f_m8)
 
@@ -1850,6 +1931,9 @@ class EvmCpuAir(Air):
         swval = reg_val(KSW0, 10, False)
         cost = b.add(cost, b.add(b.scale(3, b.sub(M_n, M)), b.mul(f_mx, dqval)))
         cost = b.add(cost, b.scale(6, b.mul(f_kec, swval)))
+        # CALLDATACOPY: 3 per copied word; size must be a word multiple
+        # (slack = 0) and the offset (W) must fit 15 bits
+        cost = b.add(cost, b.scale(3, b.mul(f["calldatacopy"], swval)))
         # LOGn: 375*n (n = topics + 1) + 8*size (size = B low 15 bits,
         # bound by the f_kr group's 32*sw = size + slack constraint)
         cost = b.add(cost, b.mul(f_log, b.scale(375, fam_n)))
@@ -1953,7 +2037,13 @@ class EvmCpuAir(Air):
             b.add(b.mul(f_sh3, a_hi8), b.mul(b.add(f_byte, f_se), a_hi5)),
             b.add(
                 b.add(
-                    b.mul(b.add(b.add(f_kec, f["return"]), f["log"]), b_lo15),
+                    b.mul(
+                        b.add(
+                            b.add(f_kec, f["return"]),
+                            b.add(f["log"], f["calldatacopy"]),
+                        ),
+                        b_lo15,
+                    ),
                     b.mul(f["sstore"], g_hi20),
                 ),
                 b.mul(b.add(f["mload"], f["mstore"]), o_low5),
@@ -2594,6 +2684,36 @@ class EvmCpuAir(Air):
             b.transition(b.sub(prodAR[c], actAR[c]))
             b.first_row(accAR[c])
 
+        # 14i. CALLDATACOPY: word-multiple size (slack = 0), 15-bit
+        # source offset, and the copy-call channel send to the bridge
+        f_cdcc = f["calldatacopy"]
+        b.all_rows(b.mul(f_cdcc, slval))
+        w_hi15 = b.local_block(range(W0 + 15, W0 + 256))
+        b.all_rows_block(b.mul(f_cdcc, w_hi15), 241)
+        g_cp = b.challenge_ef(CHAL_CP)
+        offv = None
+        for bit in range(15):
+            t = b.scale(1 << bit, b.local(W0 + bit))
+            offv = t if offv is None else b.add(offv, t)
+        chi3cp = b.ef_mul4(chi2, chi)
+        code_cp = b.ef_add4(
+            b.ef_from_base4(clk),
+            b.ef_add4(
+                b.ef_add4(
+                    b.ef_mul4(chi, b.ef_from_base4(waddr)),
+                    b.ef_mul4(chi2, b.ef_from_base4(offv)),
+                ),
+                b.ef_mul4(chi3cp, b.ef_from_base4(swval)),
+            ),
+        )
+        accCP = [b.aux(AUX_CP + c) for c in range(4)]
+        accCP_n = [b.aux_next(AUX_CP + c) for c in range(4)]
+        prodCP = b.ef_mul4(b.ef_sub4(accCP_n, accCP), b.ef_sub4(g_cp, code_cp))
+        actCP = b.ef_from_base4(f_cdcc)
+        for c in range(4):
+            b.transition(b.sub(prodCP[c], actCP[c]))
+            b.first_row(accCP[c])
+
         # 15. fetch channel (receive one instruction tuple per live row)
         imm_bits = b.mul(f["push"], Cblk)
         imm_code = b.bit_block_code(imm_bits, chi, b.constant(0), 32)
@@ -2615,12 +2735,16 @@ class EvmCpuAir(Air):
         # 16. stack channel (up to four access tuples per row)
         p21 = fsum(_POP2PUSH1)
         env_f = fsum(ENV_OPS)
+        f_cdc = f["calldatacopy"]
         pops_w0 = b.add(
-            b.scale(2, p21),
             b.add(
-                b.add(f["iszero"], f["not"]),
-                b.add(f["swap"], b.add(f_cdl, b.add(f_mld, f_sl))),
+                b.scale(2, p21),
+                b.add(
+                    b.add(f["iszero"], f["not"]),
+                    b.add(f["swap"], b.add(f_cdl, b.add(f_mld, f_sl))),
+                ),
             ),
+            b.scale(3, f_cdc),
         )
         actives = [
             b.add(
@@ -2634,7 +2758,7 @@ class EvmCpuAir(Air):
                                 b.add(f_mld, f_mst),
                                 b.add(f["mstore8"], b.add(f_sl, f_ss)),
                             ),
-                            b.add(f_ret, f_log),
+                            b.add(b.add(f_ret, f_log), f["calldatacopy"]),
                         ),
                     ),
                 ),
@@ -2643,7 +2767,10 @@ class EvmCpuAir(Air):
                 p21,
                 b.add(
                     b.add(f["jumpi"], b.add(f["swap"], f["mstore8"])),
-                    b.add(b.add(f_mst, f_ss), b.add(f_ret, f_log)),
+                    b.add(
+                        b.add(f_mst, f_ss),
+                        b.add(b.add(f_ret, f_log), f["calldatacopy"]),
+                    ),
                 ),
             ),
             b.add(
@@ -2655,7 +2782,7 @@ class EvmCpuAir(Air):
                         b.add(
                             b.add(f["pc"], f["gas"]),
                             b.add(
-                                env_f,
+                                b.add(env_f, f_cdc),
                                 b.add(f_cdl, b.add(b.add(f_mld, f_msz), f_sl)),
                             ),
                         ),
@@ -2671,12 +2798,19 @@ class EvmCpuAir(Air):
             b.sub(sp, pops_w0),
             b.sub(b.sub(sp, one), b.mul(f["swap"], fam_n)),
         ]
-        w0_bits = b.add(Cblk, b.mul(f["swap"], b.sub(Bblk, Cblk)))
-        vblks = [Ablk, Bblk, w0_bits, Ablk]
+        w0_bits = b.add(
+            Cblk,
+            b.mul(b.add(f["swap"], f_cdc), b.sub(Bblk, Cblk)),
+        )
+        slot1_bits = b.add(Bblk, b.mul(f_cdc, b.sub(Wblk, Bblk)))
+        vblks = [Ablk, slot1_bits, w0_bits, Ablk]
         acc_sum = None
         for s in range(4):
             vcode = b.bit_block_code(vblks[s], chi, b.constant(0), 32)
-            inner = b.ef_add4(b.ef_from_base4(b.constant(1 if s >= 2 else 0)), vcode)
+            iw_s = b.constant(1 if s >= 2 else 0)
+            if s == 2:
+                iw_s = b.sub(iw_s, f_cdc)  # third-pop READ
+            inner = b.ef_add4(b.ef_from_base4(iw_s), vcode)
             clk4 = b.add(b.scale(4, clk), b.constant(s))
             code = b.ef_add4(
                 b.ef_from_base4(addrs[s]),
@@ -2719,6 +2853,7 @@ class EvmCpuAir(Air):
             b.last_row(b.sub(accK[c], b.bus_coord(4 * BUS_KCALL + c)))
             b.last_row(b.sub(accST[c], b.bus_coord(4 * BUS_STOR + c)))
             b.last_row(b.sub(accAR[c], b.bus_coord(4 * BUS_AR + c)))
+            b.last_row(b.sub(accCP[c], b.bus_coord(4 * BUS_CP + c)))
 
 
 # --------------------------------------------------------------------------
@@ -3357,6 +3492,16 @@ def frame_tables(ft: FrameTrace):
 
         ar = ArithAir([k for k, *_ in ft.arith_calls])
         tables.append((ar, ar.trace(ft.arith_calls), []))
+    if ft.copy_calls:
+        from .evm_copy import EvmCopyAir
+
+        cp = EvmCopyAir(
+            [(d, o, w) for _, d, o, w, _ in ft.copy_calls],
+            ft.env.calldatasize,
+        )
+        tables.append(
+            (cp, cp.trace([(clk, words) for clk, _, _, _, words in ft.copy_calls]), [])
+        )
     return tables
 
 
@@ -3394,6 +3539,9 @@ def prove_frame_trace(ft: FrameTrace) -> dict:
             [offw, size] for _, offw, size, _, _ in ft.keccak_calls
         ],
         "arith_calls": [k for k, *_ in ft.arith_calls],
+        "copy_calls": [
+            [destw, off, sw] for _, destw, off, sw, _ in ft.copy_calls
+        ],
         "storage": [
             [hex(slot), hex(orig), count, prewarm, hex(final)]
             for slot, orig, count, prewarm, final in ft.storage_groups
@@ -3435,6 +3583,10 @@ def verify_frame_payload(payload: dict) -> bool:
             ar_kinds = [1] * ar_kinds
         ar_kinds = [int(k) for k in ar_kinds]
         n_ar = len(ar_kinds)
+        cp_calls = [
+            (int(d), int(o), int(w))
+            for d, o, w in payload.get("copy_calls", [])
+        ]
         starks = payload["starks"]
         if not (0 <= gas_f <= gas0 < 1 << 32 and 0 <= sp_f <= 1024):
             return False
@@ -3444,7 +3596,11 @@ def verify_frame_payload(payload: dict) -> bool:
         if len(kcalls) > MAX_KECCAK_CALLS:
             return False
         expect = (
-            5 + (1 if sgroups else 0) + (2 if kcalls else 0) + (1 if n_ar else 0)
+            5
+            + (1 if sgroups else 0)
+            + (2 if kcalls else 0)
+            + (1 if n_ar else 0)
+            + (1 if cp_calls else 0)
         )
         if len(starks) != expect:
             return False
@@ -3473,6 +3629,10 @@ def verify_frame_payload(payload: dict) -> bool:
             from .evm_arith import ArithAir
 
             airs.append(ArithAir(ar_kinds))
+        if cp_calls:
+            from .evm_copy import EvmCopyAir
+
+            airs.append(EvmCopyAir(cp_calls, env.calldatasize))
     except AssertionError:
         return False
     if proofs[0].publics != frame_publics(env, gas0, gas_f, sp_f):

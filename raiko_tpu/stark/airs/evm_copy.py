@@ -1,0 +1,291 @@
+"""EvmCopyAir — the CALLDATACOPY bridge.
+
+One row per copied 32-byte word.  The CPU sends one call tuple per
+CALLDATACOPY (channel BUS_CP: clk + destw*chi + offset*chi^2 +
+sw*chi^3); this table RECEIVES it on the call's first row (binding its
+witness clk to a real CPU row with these PUBLIC parameters), then per
+word j:
+
+  - when the source offset is in calldata bounds (a FIXED flag — the
+    public structure knows offset and calldatasize), SENDS the
+    (offset + 32j, word) tuple on the calldata channel (BUS_CD), so the
+    copied word IS the public calldata's zero-padded word at that
+    offset (EvmCalldataAir receives it through its multiplicity);
+  - out-of-bounds words are constrained to zero (EVM zero-fill);
+  - SENDS the RAM write (destw + j, 4*clk + 2, 1, word) on BUS_MEM —
+    distinct word addresses make the shared sub-clock unambiguous.
+
+Covered scope (documented in evm_air.py): dest 32-byte aligned and size
+a word multiple — the shape Solidity's abi-decode copies take; byte-tail
+splicing joins with the general copy path later.
+
+Same accumulator/bus conventions as the keccak bridge (evm_keccak.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...fields import babybear as bb
+from ...fields import babybear_ext as ef
+from ..air import Air, ConstraintBuilder
+from .evm_air import (
+    BUS_CD,
+    BUS_CP,
+    BUS_MEM,
+    CHAL_C,
+    CHAL_CHI,
+    CHAL_CP,
+    CHAL_M,
+    NUM_BUS,
+    NUM_CHALLENGES,
+    _bits_to_bytes,
+    _np_chi_pows,
+    _np_tuple_code,
+    _pow2_atleast,
+    _word_bits,
+)
+
+_PU = np.uint64(bb.P)
+
+# witness columns
+CP_CLK = 0  # raw clk (held across a call's rows)
+CP_W0 = 1  # 256 word bits
+CP_WIDTH = CP_W0 + 256
+
+# aux (EF x4): call receives, calldata sends, RAM sends
+CPA_CALL = 0
+CPA_CD = 4
+CPA_MEM = 8
+CP_AUX_W = 12
+
+# fixed
+CPF_ACTIVE = 0
+CPF_START = 1
+CPF_CONT_N = 2
+CPF_DEST = 3  # destw + j of this row
+CPF_OFF = 4  # offset + 32*j of this row
+CPF_INB = 5  # source offset within calldata bounds
+CPF_CDEST = 6  # the call's destw (constant per block)
+CPF_COFF = 7  # the call's offset
+CPF_CSW = 8  # the call's word count
+CP_NFIXED = 9
+
+
+class EvmCopyAir(Air):
+    """One row per CALLDATACOPY'd word (see module docstring)."""
+
+    width = CP_WIDTH
+    aux_width = CP_AUX_W
+    num_aux_challenges = NUM_CHALLENGES
+    num_bus_values = NUM_BUS
+    quotient_chunks = 2
+    eager_quotient = True
+
+    def __init__(self, calls: list[tuple[int, int, int]], calldatasize: int):
+        """calls: PUBLIC (destw, offset, sw) per CALLDATACOPY;
+        calldatasize: the frame's public CALLDATASIZE."""
+        assert calls and all(sw >= 1 for _, _, sw in calls)
+        self.calls = [(int(d), int(o), int(w)) for d, o, w in calls]
+        self.cds = int(calldatasize)
+        total = sum(sw for _, _, sw in self.calls)
+        self.n = max(32, _pow2_atleast(total + 1))
+
+    def structure_key(self) -> tuple:
+        return ()
+
+    def _layout(self):
+        out = []
+        for ci, (destw, off, sw) in enumerate(self.calls):
+            for j in range(sw):
+                out.append((ci, j))
+        return out
+
+    def fixed_columns(self, n: int):
+        assert n == self.n
+        cols = np.zeros((CP_NFIXED, n), dtype=np.uint32)
+        layout = self._layout()
+        for r, (ci, j) in enumerate(layout):
+            destw, off, sw = self.calls[ci]
+            cols[CPF_ACTIVE, r] = 1
+            if j == 0:
+                cols[CPF_START, r] = 1
+            cols[CPF_DEST, r] = destw + j
+            cols[CPF_OFF, r] = off + 32 * j
+            cols[CPF_INB, r] = 1 if off + 32 * j < self.cds else 0
+            cols[CPF_CDEST, r] = destw
+            cols[CPF_COFF, r] = off
+            cols[CPF_CSW, r] = sw
+        for r in range(n - 1):
+            if r + 1 < len(layout) and layout[r + 1][1] != 0:
+                cols[CPF_CONT_N, r] = 1
+        return cols
+
+    def trace(self, witness: list[tuple[int, list[int]]]) -> np.ndarray:
+        """witness: per call (clk, words)."""
+        assert len(witness) == len(self.calls)
+        tr = np.zeros((self.n, CP_WIDTH), dtype=np.uint32)
+        r = 0
+        for (destw, off, sw), (clk, words) in zip(self.calls, witness):
+            assert len(words) == sw
+            for j in range(sw):
+                tr[r, CP_CLK] = clk
+                tr[r, CP_W0 : CP_W0 + 256] = _word_bits(words[j])
+                r += 1
+        return tr
+
+    # ---------------- host-side channel terms ----------------
+    def _terms(self, trace: np.ndarray, challenges):
+        chi = challenges[CHAL_CHI]
+        pows = _np_chi_pows(chi, 40)
+        n = trace.shape[0]
+        t = trace.astype(np.uint64)
+        fx = self.fixed_columns(n).astype(np.uint64)
+        wbytes = _bits_to_bytes(trace[:, CP_W0 : CP_W0 + 256])
+        clk = t[:, CP_CLK]
+        # call receives (start rows, -1)
+        gcp = np.array([x % bb.P for x in challenges[CHAL_CP]], dtype=np.uint64)
+        code_call = _np_tuple_code(
+            clk,
+            [(fx[CPF_CDEST], 1), (fx[CPF_COFF], 2), (fx[CPF_CSW], 3)],
+            pows,
+        )
+        inv_call = ef.npef_inv(ef.npef_sub(gcp[None, :], code_call))
+        call_terms = ef.npef_mul(
+            ef.npef_from_base((_PU - 1) * fx[CPF_START] % _PU), inv_call
+        )
+        # calldata sends (in-bounds rows, +1)
+        gc = np.array([x % bb.P for x in challenges[CHAL_C]], dtype=np.uint64)
+        code_cd = _np_tuple_code(
+            fx[CPF_OFF], [(wbytes[:, j], j + 1) for j in range(32)], pows
+        )
+        inv_cd = ef.npef_inv(ef.npef_sub(gc[None, :], code_cd))
+        cd_terms = ef.npef_mul(
+            ef.npef_from_base(fx[CPF_INB] * fx[CPF_ACTIVE] % _PU), inv_cd
+        )
+        # RAM write sends (every active row, +1)
+        gm = np.array([x % bb.P for x in challenges[CHAL_M]], dtype=np.uint64)
+        code_m = _np_tuple_code(
+            fx[CPF_DEST],
+            [(4 * clk + 2, 1), (np.ones(n, dtype=np.uint64), 2)]
+            + [(wbytes[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_m = ef.npef_inv(ef.npef_sub(gm[None, :], code_m))
+        mem_terms = ef.npef_mul(ef.npef_from_base(fx[CPF_ACTIVE]), inv_m)
+        return call_terms, cd_terms, mem_terms
+
+    @staticmethod
+    def _excl(terms):
+        c = np.cumsum(terms, axis=0) % _PU
+        return ef.npef_sub(c, terms)
+
+    def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
+        call_t, cd_t, mem_t = self._terms(trace, challenges)
+        aux = np.zeros((trace.shape[0], CP_AUX_W), dtype=np.uint32)
+        aux[:, CPA_CALL : CPA_CALL + 4] = self._excl(call_t)
+        aux[:, CPA_CD : CPA_CD + 4] = self._excl(cd_t)
+        aux[:, CPA_MEM : CPA_MEM + 4] = self._excl(mem_t)
+        return aux
+
+    def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
+        call_t, cd_t, mem_t = self._terms(trace, challenges)
+        out = [ef.H_ZERO] * NUM_BUS
+        out[BUS_CP] = tuple(int(v) for v in call_t.sum(axis=0) % _PU)
+        out[BUS_CD] = tuple(int(v) for v in cd_t.sum(axis=0) % _PU)
+        out[BUS_MEM] = tuple(int(v) for v in mem_t.sum(axis=0) % _PU)
+        return out
+
+    # ---------------- constraints ----------------
+    def eval(self, b: ConstraintBuilder) -> None:
+        one = b.constant(1)
+        chi = b.challenge_ef(CHAL_CHI)
+        g_cp = b.challenge_ef(CHAL_CP)
+        g_c = b.challenge_ef(CHAL_C)
+        g_m = b.challenge_ef(CHAL_M)
+        active = b.fixed(CPF_ACTIVE)
+        start = b.fixed(CPF_START)
+        cont = b.fixed(CPF_CONT_N)
+        destf = b.fixed(CPF_DEST)
+        offf = b.fixed(CPF_OFF)
+        inb = b.fixed(CPF_INB)
+        cdest = b.fixed(CPF_CDEST)
+        coff = b.fixed(CPF_COFF)
+        csw = b.fixed(CPF_CSW)
+        clk = b.local(CP_CLK)
+        clk_n = b.next(CP_CLK)
+        Wblk = b.local_block(range(CP_W0, CP_W0 + 256))
+
+        # word-bit booleanity; OOB rows are zero; inactive rows zero
+        b.all_rows_block(b.mul(Wblk, b.sub(Wblk, one)), 256)
+        b.all_rows_block(b.mul(b.sub(one, b.mul(active, inb)), Wblk), 256)
+        # clk held within a call
+        b.transition(b.mul(cont, b.sub(clk_n, clk)))
+        b.all_rows(b.mul(b.sub(one, active), clk))
+
+        chi2 = b.ef_mul4(chi, chi)
+        chi3 = b.ef_mul4(chi2, chi)
+
+        # call receives on start rows
+        code_call = b.ef_add4(
+            b.ef_from_base4(clk),
+            b.ef_add4(
+                b.ef_add4(
+                    b.ef_mul4(chi, b.ef_from_base4(cdest)),
+                    b.ef_mul4(chi2, b.ef_from_base4(coff)),
+                ),
+                b.ef_mul4(chi3, b.ef_from_base4(csw)),
+            ),
+        )
+        accC = [b.aux(CPA_CALL + c) for c in range(4)]
+        accC_n = [b.aux_next(CPA_CALL + c) for c in range(4)]
+        prodC = b.ef_mul4(b.ef_sub4(accC_n, accC), b.ef_sub4(g_cp, code_call))
+        start4 = b.ef_from_base4(start)
+        for c in range(4):
+            b.transition(b.add(prodC[c], start4[c]))
+            b.first_row(accC[c])
+
+        # calldata sends on in-bounds rows
+        code_cd = b.bit_block_code(Wblk, chi, offf, 32)
+        accD = [b.aux(CPA_CD + c) for c in range(4)]
+        accD_n = [b.aux_next(CPA_CD + c) for c in range(4)]
+        prodD = b.ef_mul4(b.ef_sub4(accD_n, accD), b.ef_sub4(g_c, code_cd))
+        actD = b.ef_from_base4(b.mul(active, inb))
+        for c in range(4):
+            b.transition(b.sub(prodD[c], actD[c]))
+            b.first_row(accD[c])
+
+        # RAM write sends on every active row
+        wcode = b.bit_block_code(Wblk, chi, b.constant(0), 32)
+        inner = b.ef_add4(b.ef_from_base4(one), wcode)
+        code_m = b.ef_add4(
+            b.ef_from_base4(destf),
+            b.ef_mul4(
+                chi,
+                b.ef_add4(
+                    b.ef_from_base4(
+                        b.add(b.scale(4, clk), b.constant(2))
+                    ),
+                    b.ef_mul4(chi, inner),
+                ),
+            ),
+        )
+        accM = [b.aux(CPA_MEM + c) for c in range(4)]
+        accM_n = [b.aux_next(CPA_MEM + c) for c in range(4)]
+        prodM = b.ef_mul4(b.ef_sub4(accM_n, accM), b.ef_sub4(g_m, code_m))
+        act4 = b.ef_from_base4(active)
+        for c in range(4):
+            b.transition(b.sub(prodM[c], act4[c]))
+            b.first_row(accM[c])
+
+        # bus pins
+        for i in range(NUM_BUS):
+            for c in range(4):
+                if i == BUS_CP:
+                    b.last_row(b.sub(accC[c], b.bus_coord(4 * i + c)))
+                elif i == BUS_CD:
+                    b.last_row(b.sub(accD[c], b.bus_coord(4 * i + c)))
+                elif i == BUS_MEM:
+                    b.last_row(b.sub(accM[c], b.bus_coord(4 * i + c)))
+                else:
+                    b.last_row(b.bus_coord(4 * i + c))

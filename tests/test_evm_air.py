@@ -160,6 +160,19 @@ def full_coverage_program() -> bytes:
         ("push", 2, 0x29D),
         0x51,                                     # unaligned MLOAD, expands
         0x01,                                     # fold
+        # CALLDATACOPY: in-bounds words, a zero-fill word past the
+        # calldata end, and an expanding copy
+        ("push", 1, 64),                          # size = 2 words
+        ("push", 1, 4),                           # offset 4 (unaligned src)
+        ("push", 2, 0x120),                       # dest (aligned)
+        0x37,                                     # CALLDATACOPY
+        ("push", 1, 32),
+        ("push", 2, 200),                         # source beyond cds=68
+        ("push", 2, 0x160),
+        0x37,                                     # CALLDATACOPY (zero word)
+        ("push", 2, 0x120),
+        0x51,                                     # MLOAD a copied word
+        0x01,                                     # fold
         # KECCAK256: two full words, a slack tail, and the empty hash
         ("push", 1, 64),
         ("push", 1, 0x40),
@@ -350,7 +363,7 @@ def test_executor_covers_everything(frame, ret_frame):
 def test_constraints_and_bus_balance(frame, challenges):
     tables = ea.frame_tables(frame)
     # CPU/ROM/stack/calldata/RAM + storage + keccak bridge + sponge
-    assert len(tables) == 9
+    assert len(tables) == 10
     totals = [ef.H_ZERO] * ea.NUM_BUS
     for air, trace, publics in tables:
         assert check_constraints(air, trace, publics, challenges) == []
@@ -778,8 +791,9 @@ def test_arith_table_negative_probes(frame, challenges):
     from raiko_tpu.stark.airs import evm_arith as ar
 
     tables = ea.frame_tables(frame)
-    arith, atrace, apub = tables[-1]
-    assert isinstance(arith, ar.ArithAir)
+    arith, atrace, apub = next(
+        t for t in tables if type(t[0]).__name__ == "ArithAir"
+    )
     assert check_constraints(arith, atrace, apub, challenges) == []
     # flip the result-sign condition -> the negate/copy branches disagree
     t1 = atrace.copy()
@@ -849,7 +863,9 @@ def test_exp_negative_probes(frame, challenges):
     from raiko_tpu.stark.airs import evm_arith as ar
 
     tables = ea.frame_tables(frame)
-    arith, atrace, apub = tables[-1]
+    arith, atrace, apub = next(
+        t for t in tables if type(t[0]).__name__ == "ArithAir"
+    )
     fx = arith.fixed_columns(arith.n)
     ends = np.where(fx[ar.XF_END] == 1)[0]
     assert len(ends) == 2  # two EXP calls
@@ -982,3 +998,49 @@ def test_unaligned_mstore_negative_probes(frame, challenges):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
             totals[i] = ef.h_add(totals[i], bv)
     assert totals[ea.BUS_MEM] != ef.H_ZERO
+
+
+def test_calldatacopy_negative_probes(frame, challenges):
+    """CALLDATACOPY: a wrong copied word is caught (in-bounds words
+    through the calldata channel, zero-fill words by constraint), and a
+    dropped RAM write unbalances the memory channel."""
+    from raiko_tpu.stark.airs import evm_copy as ec
+
+    tables = ea.frame_tables(frame)
+    cp, ctrace, cpub = next(
+        t for t in tables if type(t[0]).__name__ == "EvmCopyAir"
+    )
+    assert check_constraints(cp, ctrace, cpub, challenges) == []
+    fx = cp.fixed_columns(cp.n)
+    inb = np.where((fx[ec.CPF_INB] == 1) & (fx[ec.CPF_ACTIVE] == 1))[0]
+    oob = np.where((fx[ec.CPF_INB] == 0) & (fx[ec.CPF_ACTIVE] == 1))[0]
+    assert len(inb) and len(oob)
+    # a zero-fill word claiming data
+    t1 = ctrace.copy()
+    t1[int(oob[0]), ec.CP_W0 + 5] = 1
+    assert check_constraints(cp, t1, cpub, challenges)
+    # an in-bounds word with a flipped bit: row locally fine, but the
+    # calldata channel (vs the committed calldata table) unbalances
+    t2 = ctrace.copy()
+    t2[int(inb[0]), ec.CP_W0 + 77] ^= 1
+    totals = [ef.H_ZERO] * ea.NUM_BUS
+    traces = [
+        t2 if tab[0] is cp else tab[1] for tab in tables
+    ]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert totals[ea.BUS_CD] != ef.H_ZERO or totals[ea.BUS_MEM] != ef.H_ZERO
+    # CPU claiming a different copy size: the call-tuple channel breaks
+    cpu, cputrace, cpupub = tables[0]
+    crow = int(
+        np.where(cputrace[:, ea.FLAG0 + ea.FLAG_IDX["calldatacopy"]] == 1)[0][0]
+    )
+    t3 = cputrace.copy()
+    t3[crow, ea.KSW0] ^= 1
+    totals = [ef.H_ZERO] * ea.NUM_BUS
+    traces = [t3] + [tab[1] for tab in tables[1:]]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert totals[ea.BUS_CP] != ef.H_ZERO
