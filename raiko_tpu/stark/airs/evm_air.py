@@ -77,9 +77,12 @@ LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256
 byte offset (two-word read + one-hot recombination; MSTORE is a full
 read-modify-write of up to two words, the spliced write values formed
 as in-channel one-hot expressions), MSIZE, MSTORE8 (any byte offset,
-single-word RMW), CALLDATACOPY (aligned dest, word-multiple size, ANY
-source offset incl. past-the-end zero fill — one bridge row per copied
-word, stark/airs/evm_copy.py),
+single-word RMW), CALLDATACOPY + CODECOPY (aligned dest, word-multiple
+size, ANY source offset incl. past-the-end zero fill — one bridge row
+per copied word, stark/airs/evm_copy.py; CODECOPY's source words are
+FIXED columns from the public bytecode), RETURNDATACOPY (empty-
+returndata form: offset = size = 0 pinned; larger arguments
+exceptionally halt under EIP-211 since covered frames make no calls),
 PUSH0-32, DUP1-16, SWAP1-16, LOG0-4 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
 SDIV/SMOD/EXP are proven in the dedicated arithmetic table
@@ -104,12 +107,14 @@ memory accumulator AUX_M2); an unaligned MLOAD reads words w and w+1
 through the same one-hot; MSTORE reads old words w[, w+1] (slots 0, 1)
 and writes the spliced words (slots 2, 3 via AUX_M3/AUX_M4), whose
 values are one-hot pattern EXPRESSIONS over (old, B, k) — no extra
-witness words.  CALLDATACOPY runs through the copy bridge (channel
-BUS_CP): the CPU sends (clk, destw, offset, sw); the bridge reads each
-source word from the calldata channel (or constrains it zero past the
-calldata end) and writes it to RAM at destw + j.  CODECOPY/
-RETURNDATACOPY, byte-granular copy tails, and calls are the documented
-roadmap; frames using them are reported uncovered, never mis-proven.
+witness words.  CALLDATACOPY/CODECOPY run through copy bridges
+(channel BUS_CP, kind-tagged tuples): the CPU sends (clk, destw,
+offset, sw, kind); the calldata bridge reads each source word from the
+calldata channel (or constrains it zero past the end), the code bridge
+carries its source words as fixed columns, and both write every word
+to RAM at destw + j.  Byte-granular copy tails and calls are the
+documented roadmap; frames using them are reported uncovered, never
+mis-proven.
 """
 
 from __future__ import annotations
@@ -155,6 +160,10 @@ SIMPLE_OPS = {
     "sar": (0x1D, 3, 2, 1),
     "calldataload": (0x35, 3, 1, 1),
     "calldatacopy": (0x37, 3, 3, 0),  # + 3/word + expansion (dynamic)
+    "codecopy": (0x39, 3, 3, 0),  # + 3/word + expansion (dynamic)
+    # covered RETURNDATACOPY: size must be 0 (no calls in a covered
+    # frame => returndata is empty; any size > 0 reverts)
+    "returndatacopy": (0x3E, 3, 3, 0),
     "pop": (0x50, 2, 1, 0),
     "mload": (0x51, 3, 1, 1),
     "mstore": (0x52, 3, 2, 0),
@@ -237,7 +246,7 @@ def _sp_delta(name: str) -> int:
         return -1
     if name in ("jumpi", "mstore", "mstore8", "sstore", "return"):
         return -2
-    if name == "calldatacopy":
+    if name in ("calldatacopy", "codecopy", "returndatacopy"):
         return -3
     if name == "log":
         return 0  # real delta is -(fam_n + 1); added explicitly in eval
@@ -538,8 +547,8 @@ class FrameTrace:
                 out.append((waddr, 4 * clk + 3, iw, value))
             for waddr, value in st.kreads:
                 out.append((waddr, 4 * clk + 1, 0, value))
-        # CALLDATACOPY bridge writes (evm_copy.py rows, sub-clock +2)
-        for clk, destw, off, sw, words in self.copy_calls:
+        # copy-bridge writes (evm_copy.py rows, sub-clock +2)
+        for _kind, clk, destw, off, sw, words in self.copy_calls:
             for i, wv in enumerate(words):
                 out.append((destw + i, 4 * clk + 2, 1, wv))
         return out
@@ -978,7 +987,56 @@ def execute_frame(
                 mem_words[destw + i] = wv
                 if src < env.calldatasize:  # bridge's calldata send
                     cd_loads[src] = cd_loads.get(src, 0) + 1
-            copy_calls.append((len(steps) - 1, destw, off, sw, words))
+            copy_calls.append(
+                ("calldata", len(steps) - 1, destw, off, sw, words)
+            )
+        elif op == 0x39:
+            st.name = "codecopy"
+            if sp < 3:
+                raise UncoveredFrame("stack underflow")
+            dest, off = pop2()
+            size = stack.pop()
+            st.accesses.append((2, sp - 3, 0, size))
+            if dest % 32 or dest >= (1 << 18):
+                raise UncoveredFrame("unaligned or far CODECOPY dest")
+            if size % 32 or size >= (1 << 13):
+                raise UncoveredFrame(
+                    "CODECOPY size not word-multiple / beyond bound"
+                )
+            if off >= (1 << 15):
+                raise UncoveredFrame("CODECOPY offset beyond bound")
+            st.a, st.b, st.w = dest, size, off
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(size & 0x7FFF).bit_count()] + [0] * 15
+            )
+            sw = size // 32
+            st.ksw, st.ksl = sw, 0
+            destw = dest // 32
+            dyn = mem_expand(st, (destw + sw) if size else 0)
+            use(3 + 3 * sw + dyn)
+            words = []
+            for i in range(sw):
+                chunk = code[off + 32 * i : off + 32 * i + 32]
+                wv = int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+                words.append(wv)
+                mem_words[destw + i] = wv
+            copy_calls.append(
+                ("code", len(steps) - 1, destw, off, sw, words)
+            )
+        elif op == 0x3E:
+            st.name = "returndatacopy"
+            if sp < 3:
+                raise UncoveredFrame("stack underflow")
+            dest, off = pop2()
+            size = stack.pop()
+            st.accesses.append((2, sp - 3, 0, size))
+            if size != 0 or off != 0:
+                # returndata is empty in a covered frame; offset + size
+                # > 0 exceptionally halts (EIP-211 bounds check)
+                raise UncoveredFrame("RETURNDATACOPY with data")
+            st.a, st.b, st.w = dest, 0, 0
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness([0] * 16)
+            use(3)
         elif op == 0x50:
             st.name = "pop"
             a = pop1()
@@ -1489,13 +1547,14 @@ class EvmCpuAir(Air):
             [x % bb.P for x in challenges[CHAL_CP]], dtype=np.uint64
         )
         cdc = flags["calldatacopy"]
+        ccp = flags["codecopy"]
         offv = sum(t[:, W0 + bit] << np.uint64(bit) for bit in range(15))
         swv = sum(t[:, KSW0 + i] << np.uint64(i) for i in range(10))
         code_cp = _np_tuple_code(
-            clk, [(waddr, 1), (offv, 2), (swv, 3)], pows
+            clk, [(waddr, 1), (offv, 2), (swv, 3), (ccp, 4)], pows
         )
         inv_cp = ef.npef_inv(ef.npef_sub(gcp[None, :], code_cp))
-        cp_terms = ef.npef_mul(ef.npef_from_base(cdc % _PU), inv_cp)
+        cp_terms = ef.npef_mul(ef.npef_from_base((cdc + ccp) % _PU), inv_cp)
         # third/fourth tuples: MSTORE's spliced word-1 / word-2 WRITES
         # (values derived host-side exactly as the circuit's one-hot
         # pattern sums)
@@ -1595,7 +1654,10 @@ class EvmCpuAir(Air):
         p21 = sum(flags[nm] for nm in _POP2PUSH1)
         cdl = flags["calldataload"]
         mld, mst, msz = flags["mload"], flags["mstore"], flags["msize"]
-        cdc_f = flags["calldatacopy"]
+        cdc_f = (
+            flags["calldatacopy"] + flags["codecopy"]
+            + flags["returndatacopy"]
+        )
         pops_w0 = (
             2 * p21 + flags["iszero"] + flags["not"] + flags["swap"]
             + cdl + mld + sl + 3 * cdc_f
@@ -1607,9 +1669,9 @@ class EvmCpuAir(Air):
             + flags["iszero"] + flags["not"] + flags["pop"]
             + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
             + cdl + mld + mst + sl + ss + ret + flags["log"]
-            + flags["mstore8"] + flags["calldatacopy"],
+            + flags["mstore8"] + cdc_f,
             p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret
-            + flags["log"] + flags["mstore8"] + flags["calldatacopy"],
+            + flags["log"] + flags["mstore8"] + cdc_f,
             p21
             + flags["iszero"] + flags["not"] + flags["push0"] + flags["push"]
             + flags["dup"] + flags["swap"] + flags["pc"] + flags["gas"]
@@ -1911,9 +1973,12 @@ class EvmCpuAir(Air):
         f_ret = f["return"]
         f_log = f["log"]
         f_m8 = f["mstore8"]
-        # keccak/return/log/calldatacopy all meter a word-aligned
-        # (offset, size) range through the same sw/slack machinery
-        f_kr = b.add(b.add(b.add(f_kec, f_ret), f_log), f["calldatacopy"])
+        # keccak/return/log/calldatacopy/codecopy all meter a
+        # word-aligned (offset, size) range via the sw/slack machinery
+        f_kr = b.add(
+            b.add(b.add(f_kec, f_ret), f_log),
+            b.add(f["calldatacopy"], f["codecopy"]),
+        )
         # expansion/dq group (MSTORE8 expands too, at ANY byte offset)
         f_mx = b.add(b.add(b.add(f["mload"], f["mstore"]), f_kr), f_m8)
 
@@ -1933,7 +1998,10 @@ class EvmCpuAir(Air):
         cost = b.add(cost, b.scale(6, b.mul(f_kec, swval)))
         # CALLDATACOPY: 3 per copied word; size must be a word multiple
         # (slack = 0) and the offset (W) must fit 15 bits
-        cost = b.add(cost, b.scale(3, b.mul(f["calldatacopy"], swval)))
+        cost = b.add(
+            cost,
+            b.scale(3, b.mul(b.add(f["calldatacopy"], f["codecopy"]), swval)),
+        )
         # LOGn: 375*n (n = topics + 1) + 8*size (size = B low 15 bits,
         # bound by the f_kr group's 32*sw = size + slack constraint)
         cost = b.add(cost, b.mul(f_log, b.scale(375, fam_n)))
@@ -2040,7 +2108,10 @@ class EvmCpuAir(Air):
                     b.mul(
                         b.add(
                             b.add(f_kec, f["return"]),
-                            b.add(f["log"], f["calldatacopy"]),
+                            b.add(
+                                f["log"],
+                                b.add(f["calldatacopy"], f["codecopy"]),
+                            ),
                         ),
                         b_lo15,
                     ),
@@ -2684,18 +2755,23 @@ class EvmCpuAir(Air):
             b.transition(b.sub(prodAR[c], actAR[c]))
             b.first_row(accAR[c])
 
-        # 14i. CALLDATACOPY: word-multiple size (slack = 0), 15-bit
-        # source offset, and the copy-call channel send to the bridge
-        f_cdcc = f["calldatacopy"]
+        # 14i. copies: word-multiple size (slack = 0), 15-bit source
+        # offset, the copy-call channel send (kind 0 = calldata, 1 =
+        # code), and RETURNDATACOPY's size == 0 pin (covered frames have
+        # empty returndata)
+        f_cdcc = b.add(f["calldatacopy"], f["codecopy"])
         b.all_rows(b.mul(f_cdcc, slval))
         w_hi15 = b.local_block(range(W0 + 15, W0 + 256))
         b.all_rows_block(b.mul(f_cdcc, w_hi15), 241)
+        b.all_rows_block(b.mul(f["returndatacopy"], Bblk), 256)
+        b.all_rows_block(b.mul(f["returndatacopy"], Wblk), 256)
         g_cp = b.challenge_ef(CHAL_CP)
         offv = None
         for bit in range(15):
             t = b.scale(1 << bit, b.local(W0 + bit))
             offv = t if offv is None else b.add(offv, t)
         chi3cp = b.ef_mul4(chi2, chi)
+        chi4cp = b.ef_mul4(chi2, chi2)
         code_cp = b.ef_add4(
             b.ef_from_base4(clk),
             b.ef_add4(
@@ -2703,7 +2779,10 @@ class EvmCpuAir(Air):
                     b.ef_mul4(chi, b.ef_from_base4(waddr)),
                     b.ef_mul4(chi2, b.ef_from_base4(offv)),
                 ),
-                b.ef_mul4(chi3cp, b.ef_from_base4(swval)),
+                b.ef_add4(
+                    b.ef_mul4(chi3cp, b.ef_from_base4(swval)),
+                    [b.mul(f["codecopy"], chi4cp[c]) for c in range(4)],
+                ),
             ),
         )
         accCP = [b.aux(AUX_CP + c) for c in range(4)]
@@ -2735,7 +2814,9 @@ class EvmCpuAir(Air):
         # 16. stack channel (up to four access tuples per row)
         p21 = fsum(_POP2PUSH1)
         env_f = fsum(ENV_OPS)
-        f_cdc = f["calldatacopy"]
+        f_cdc = b.add(
+            f["calldatacopy"], b.add(f["codecopy"], f["returndatacopy"])
+        )
         pops_w0 = b.add(
             b.add(
                 b.scale(2, p21),
@@ -2758,7 +2839,7 @@ class EvmCpuAir(Air):
                                 b.add(f_mld, f_mst),
                                 b.add(f["mstore8"], b.add(f_sl, f_ss)),
                             ),
-                            b.add(b.add(f_ret, f_log), f["calldatacopy"]),
+                            b.add(b.add(f_ret, f_log), f_cdc),
                         ),
                     ),
                 ),
@@ -2769,7 +2850,7 @@ class EvmCpuAir(Air):
                     b.add(f["jumpi"], b.add(f["swap"], f["mstore8"])),
                     b.add(
                         b.add(f_mst, f_ss),
-                        b.add(b.add(f_ret, f_log), f["calldatacopy"]),
+                        b.add(b.add(f_ret, f_log), f_cdc),
                     ),
                 ),
             ),
@@ -3492,15 +3573,30 @@ def frame_tables(ft: FrameTrace):
 
         ar = ArithAir([k for k, *_ in ft.arith_calls])
         tables.append((ar, ar.trace(ft.arith_calls), []))
-    if ft.copy_calls:
+    cd_copies = [c for c in ft.copy_calls if c[0] == "calldata"]
+    code_copies = [c for c in ft.copy_calls if c[0] == "code"]
+    if cd_copies:
         from .evm_copy import EvmCopyAir
 
         cp = EvmCopyAir(
-            [(d, o, w) for _, d, o, w, _ in ft.copy_calls],
+            [(d, o, w) for _, _, d, o, w, _ in cd_copies],
             ft.env.calldatasize,
         )
         tables.append(
-            (cp, cp.trace([(clk, words) for clk, _, _, _, words in ft.copy_calls]), [])
+            (
+                cp,
+                cp.trace([(clk, words) for _, clk, _, _, _, words in cd_copies]),
+                [],
+            )
+        )
+    if code_copies:
+        from .evm_copy import CodeCopyAir
+
+        cc = CodeCopyAir(
+            [(d, o, w) for _, _, d, o, w, _ in code_copies], ft.code
+        )
+        tables.append(
+            (cc, cc.trace([clk for _, clk, *_ in code_copies]), [])
         )
     return tables
 
@@ -3540,7 +3636,14 @@ def prove_frame_trace(ft: FrameTrace) -> dict:
         ],
         "arith_calls": [k for k, *_ in ft.arith_calls],
         "copy_calls": [
-            [destw, off, sw] for _, destw, off, sw, _ in ft.copy_calls
+            [destw, off, sw]
+            for kind, _, destw, off, sw, _ in ft.copy_calls
+            if kind == "calldata"
+        ],
+        "codecopy_calls": [
+            [destw, off, sw]
+            for kind, _, destw, off, sw, _ in ft.copy_calls
+            if kind == "code"
         ],
         "storage": [
             [hex(slot), hex(orig), count, prewarm, hex(final)]
@@ -3587,6 +3690,10 @@ def verify_frame_payload(payload: dict) -> bool:
             (int(d), int(o), int(w))
             for d, o, w in payload.get("copy_calls", [])
         ]
+        cc_calls = [
+            (int(d), int(o), int(w))
+            for d, o, w in payload.get("codecopy_calls", [])
+        ]
         starks = payload["starks"]
         if not (0 <= gas_f <= gas0 < 1 << 32 and 0 <= sp_f <= 1024):
             return False
@@ -3601,6 +3708,7 @@ def verify_frame_payload(payload: dict) -> bool:
             + (2 if kcalls else 0)
             + (1 if n_ar else 0)
             + (1 if cp_calls else 0)
+            + (1 if cc_calls else 0)
         )
         if len(starks) != expect:
             return False
@@ -3633,6 +3741,10 @@ def verify_frame_payload(payload: dict) -> bool:
             from .evm_copy import EvmCopyAir
 
             airs.append(EvmCopyAir(cp_calls, env.calldatasize))
+        if cc_calls:
+            from .evm_copy import CodeCopyAir
+
+            airs.append(CodeCopyAir(cc_calls, code))
     except AssertionError:
         return False
     if proofs[0].publics != frame_publics(env, gas0, gas_f, sp_f):

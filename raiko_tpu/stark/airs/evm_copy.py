@@ -289,3 +289,213 @@ class EvmCopyAir(Air):
                     b.last_row(b.sub(accM[c], b.bus_coord(4 * i + c)))
                 else:
                     b.last_row(b.bus_coord(4 * i + c))
+
+
+# --------------------------------------------------------------------------
+# CodeCopyAir — CODECOPY bridge: source words are FIXED (public bytecode)
+# --------------------------------------------------------------------------
+
+CC_CLK = 0  # raw clk (held across a call's rows)
+CC_WIDTH = 1
+
+CCF_ACTIVE = 0
+CCF_START = 1
+CCF_CONT_N = 2
+CCF_DEST = 3
+CCF_CDEST = 4
+CCF_COFF = 5
+CCF_CSW = 6
+CCF_W0 = 7  # 256 fixed word bits (from the public bytecode, zero-padded)
+CC_NFIXED = CCF_W0 + 256
+
+
+class CodeCopyAir(Air):
+    """One row per CODECOPY'd word.  The copied words are derived from
+    the PUBLIC bytecode at construction, so they live entirely in fixed
+    columns — the bridge only binds the witness clk to a CPU call tuple
+    (kind 1 on BUS_CP) and sends the RAM writes."""
+
+    width = CC_WIDTH
+    aux_width = 8  # call receives + RAM sends
+    num_aux_challenges = NUM_CHALLENGES
+    num_bus_values = NUM_BUS
+    quotient_chunks = 2
+    eager_quotient = True
+
+    def __init__(self, calls: list[tuple[int, int, int]], code: bytes):
+        assert calls and all(sw >= 1 for _, _, sw in calls)
+        self.calls = [(int(d), int(o), int(w)) for d, o, w in calls]
+        self.code = bytes(code)
+        total = sum(sw for _, _, sw in self.calls)
+        self.n = max(32, _pow2_atleast(total + 1))
+
+    def structure_key(self) -> tuple:
+        return ()
+
+    def _layout(self):
+        out = []
+        for ci, (destw, off, sw) in enumerate(self.calls):
+            for j in range(sw):
+                out.append((ci, j))
+        return out
+
+    def _word(self, off: int) -> int:
+        chunk = self.code[off : off + 32]
+        return int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+
+    def fixed_columns(self, n: int):
+        assert n == self.n
+        cols = np.zeros((CC_NFIXED, n), dtype=np.uint32)
+        layout = self._layout()
+        for r, (ci, j) in enumerate(layout):
+            destw, off, sw = self.calls[ci]
+            cols[CCF_ACTIVE, r] = 1
+            if j == 0:
+                cols[CCF_START, r] = 1
+            cols[CCF_DEST, r] = destw + j
+            cols[CCF_CDEST, r] = destw
+            cols[CCF_COFF, r] = off
+            cols[CCF_CSW, r] = sw
+            wv = self._word(off + 32 * j)
+            for bit in range(256):
+                if (wv >> bit) & 1:
+                    cols[CCF_W0 + bit, r] = 1
+        for r in range(n - 1):
+            if r + 1 < len(layout) and layout[r + 1][1] != 0:
+                cols[CCF_CONT_N, r] = 1
+        return cols
+
+    def trace(self, clks: list[int]) -> np.ndarray:
+        assert len(clks) == len(self.calls)
+        tr = np.zeros((self.n, CC_WIDTH), dtype=np.uint32)
+        r = 0
+        for (destw, off, sw), clk in zip(self.calls, clks):
+            for j in range(sw):
+                tr[r, CC_CLK] = clk
+                r += 1
+        return tr
+
+    def _terms(self, trace: np.ndarray, challenges):
+        chi = challenges[CHAL_CHI]
+        pows = _np_chi_pows(chi, 40)
+        n = trace.shape[0]
+        t = trace.astype(np.uint64)
+        fx = self.fixed_columns(n).astype(np.uint64)
+        clk = t[:, CC_CLK]
+        wbytes = np.zeros((n, 32), dtype=np.uint64)
+        for j in range(32):
+            wbytes[:, j] = sum(
+                fx[CCF_W0 + 8 * j + bit] << np.uint64(bit) for bit in range(8)
+            )
+        gcp = np.array([x % bb.P for x in challenges[CHAL_CP]], dtype=np.uint64)
+        code_call = _np_tuple_code(
+            clk,
+            [
+                (fx[CCF_CDEST], 1),
+                (fx[CCF_COFF], 2),
+                (fx[CCF_CSW], 3),
+                (np.ones(n, dtype=np.uint64), 4),  # kind 1 = code
+            ],
+            pows,
+        )
+        inv_call = ef.npef_inv(ef.npef_sub(gcp[None, :], code_call))
+        call_terms = ef.npef_mul(
+            ef.npef_from_base((_PU - 1) * fx[CCF_START] % _PU), inv_call
+        )
+        gm = np.array([x % bb.P for x in challenges[CHAL_M]], dtype=np.uint64)
+        code_m = _np_tuple_code(
+            fx[CCF_DEST],
+            [(4 * clk + 2, 1), (np.ones(n, dtype=np.uint64), 2)]
+            + [(wbytes[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_m = ef.npef_inv(ef.npef_sub(gm[None, :], code_m))
+        mem_terms = ef.npef_mul(ef.npef_from_base(fx[CCF_ACTIVE]), inv_m)
+        return call_terms, mem_terms
+
+    def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
+        call_t, mem_t = self._terms(trace, challenges)
+        aux = np.zeros((trace.shape[0], 8), dtype=np.uint32)
+        aux[:, 0:4] = EvmCopyAir._excl(call_t)
+        aux[:, 4:8] = EvmCopyAir._excl(mem_t)
+        return aux
+
+    def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
+        call_t, mem_t = self._terms(trace, challenges)
+        out = [ef.H_ZERO] * NUM_BUS
+        out[BUS_CP] = tuple(int(v) for v in call_t.sum(axis=0) % _PU)
+        out[BUS_MEM] = tuple(int(v) for v in mem_t.sum(axis=0) % _PU)
+        return out
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        one = b.constant(1)
+        chi = b.challenge_ef(CHAL_CHI)
+        g_cp = b.challenge_ef(CHAL_CP)
+        g_m = b.challenge_ef(CHAL_M)
+        active = b.fixed(CCF_ACTIVE)
+        start = b.fixed(CCF_START)
+        cont = b.fixed(CCF_CONT_N)
+        destf = b.fixed(CCF_DEST)
+        cdest = b.fixed(CCF_CDEST)
+        coff = b.fixed(CCF_COFF)
+        csw = b.fixed(CCF_CSW)
+        clk = b.local(CC_CLK)
+        clk_n = b.next(CC_CLK)
+        Wfix = b.fixed_block(range(CCF_W0, CCF_W0 + 256))
+
+        b.transition(b.mul(cont, b.sub(clk_n, clk)))
+        b.all_rows(b.mul(b.sub(one, active), clk))
+
+        chi2 = b.ef_mul4(chi, chi)
+        chi3 = b.ef_mul4(chi2, chi)
+        chi4 = b.ef_mul4(chi2, chi2)
+
+        code_call = b.ef_add4(
+            b.ef_from_base4(clk),
+            b.ef_add4(
+                b.ef_add4(
+                    b.ef_mul4(chi, b.ef_from_base4(cdest)),
+                    b.ef_mul4(chi2, b.ef_from_base4(coff)),
+                ),
+                b.ef_add4(
+                    b.ef_mul4(chi3, b.ef_from_base4(csw)),
+                    list(chi4),  # kind 1
+                ),
+            ),
+        )
+        accC = [b.aux(c) for c in range(4)]
+        accC_n = [b.aux_next(c) for c in range(4)]
+        prodC = b.ef_mul4(b.ef_sub4(accC_n, accC), b.ef_sub4(g_cp, code_call))
+        start4 = b.ef_from_base4(start)
+        for c in range(4):
+            b.transition(b.add(prodC[c], start4[c]))
+            b.first_row(accC[c])
+
+        wcode = b.bit_block_code(Wfix, chi, b.constant(0), 32)
+        inner = b.ef_add4(b.ef_from_base4(one), wcode)
+        code_m = b.ef_add4(
+            b.ef_from_base4(destf),
+            b.ef_mul4(
+                chi,
+                b.ef_add4(
+                    b.ef_from_base4(b.add(b.scale(4, clk), b.constant(2))),
+                    b.ef_mul4(chi, inner),
+                ),
+            ),
+        )
+        accM = [b.aux(4 + c) for c in range(4)]
+        accM_n = [b.aux_next(4 + c) for c in range(4)]
+        prodM = b.ef_mul4(b.ef_sub4(accM_n, accM), b.ef_sub4(g_m, code_m))
+        act4 = b.ef_from_base4(active)
+        for c in range(4):
+            b.transition(b.sub(prodM[c], act4[c]))
+            b.first_row(accM[c])
+
+        for i in range(NUM_BUS):
+            for c in range(4):
+                if i == BUS_CP:
+                    b.last_row(b.sub(accC[c], b.bus_coord(4 * i + c)))
+                elif i == BUS_MEM:
+                    b.last_row(b.sub(accM[c], b.bus_coord(4 * i + c)))
+                else:
+                    b.last_row(b.bus_coord(4 * i + c))

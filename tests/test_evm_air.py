@@ -173,6 +173,21 @@ def full_coverage_program() -> bytes:
         ("push", 2, 0x120),
         0x51,                                     # MLOAD a copied word
         0x01,                                     # fold
+        ("push", 1, 64),                          # size = 2 words
+        ("push", 1, 3),                           # code offset 3
+        ("push", 2, 0x1A0),
+        0x39,                                     # CODECOPY
+        ("push", 1, 32),
+        ("push", 2, 0x7000),                      # beyond code end
+        ("push", 2, 0x1E0),
+        0x39,                                     # CODECOPY (zero fill)
+        ("push", 2, 0x1A0),
+        0x51,                                     # MLOAD copied code
+        0x01,                                     # fold
+        ("push", 1, 0),                           # size 0
+        ("push", 1, 0),                           # offset 0 (EIP-211)
+        ("push", 1, 0),
+        0x3E,                                     # RETURNDATACOPY (empty)
         # KECCAK256: two full words, a slack tail, and the empty hash
         ("push", 1, 64),
         ("push", 1, 0x40),
@@ -363,7 +378,7 @@ def test_executor_covers_everything(frame, ret_frame):
 def test_constraints_and_bus_balance(frame, challenges):
     tables = ea.frame_tables(frame)
     # CPU/ROM/stack/calldata/RAM + storage + keccak bridge + sponge
-    assert len(tables) == 10
+    assert len(tables) == 11
     totals = [ef.H_ZERO] * ea.NUM_BUS
     for air, trace, publics in tables:
         assert check_constraints(air, trace, publics, challenges) == []
@@ -1044,3 +1059,42 @@ def test_calldatacopy_negative_probes(frame, challenges):
         for i, bv in enumerate(air.bus_values(tr, challenges)):
             totals[i] = ef.h_add(totals[i], bv)
     assert totals[ea.BUS_CP] != ef.H_ZERO
+
+
+def test_codecopy_negative_probes(frame, challenges):
+    """CODECOPY: the source words are FIXED columns from the public
+    bytecode — a CPU lying about the call parameters unbalances the
+    call-tuple channel; kind separation keeps a CODECOPY tuple from
+    satisfying a CALLDATACOPY bridge."""
+    from raiko_tpu.stark.airs import evm_copy as ec
+
+    tables = ea.frame_tables(frame)
+    cc, cctrace, ccpub = next(
+        t for t in tables if type(t[0]).__name__ == "CodeCopyAir"
+    )
+    assert check_constraints(cc, cctrace, ccpub, challenges) == []
+    # bridge claiming a different clk: call receive unbalances
+    t1 = cctrace.copy()
+    rows = np.where(cc.fixed_columns(cc.n)[ec.CCF_ACTIVE] == 1)[0]
+    t1[rows[0], ec.CC_CLK] += 1
+    # clk-held constraint breaks within the block OR the channel flips
+    viol = check_constraints(cc, t1, ccpub, challenges)
+    if not viol:
+        totals = [ef.H_ZERO] * ea.NUM_BUS
+        traces = [t1 if tab[0] is cc else tab[1] for tab in tables]
+        for (air, _, _), tr in zip(tables, traces):
+            for i, bv in enumerate(air.bus_values(tr, challenges)):
+                totals[i] = ef.h_add(totals[i], bv)
+        viol = totals[ea.BUS_CP] != ef.H_ZERO
+    assert viol
+    # CPU claiming a CODECOPY was a CALLDATACOPY (flip the flag pair):
+    # the kind term in the tuple breaks the channel
+    cpu, cputrace, cpupub = tables[0]
+    crow = int(
+        np.where(cputrace[:, ea.FLAG0 + ea.FLAG_IDX["codecopy"]] == 1)[0][0]
+    )
+    t2 = cputrace.copy()
+    t2[crow, ea.FLAG0 + ea.FLAG_IDX["codecopy"]] = 0
+    t2[crow, ea.FLAG0 + ea.FLAG_IDX["calldatacopy"]] = 1
+    # opcode reconstruction breaks immediately (0x39 != 0x37)
+    assert check_constraints(cpu, t2, cpupub, challenges)
