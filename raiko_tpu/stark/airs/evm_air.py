@@ -77,10 +77,12 @@ LT/GT/SLT/SGT, EQ, ISZERO, AND/OR/XOR/NOT, BYTE/SHL/SHR/SAR, KECCAK256
 byte offset (two-word read + one-hot recombination; MSTORE is a full
 read-modify-write of up to two words, the spliced write values formed
 as in-channel one-hot expressions), MSIZE, MSTORE8 (any byte offset,
-single-word RMW), CALLDATACOPY + CODECOPY (aligned dest, word-multiple
-size, ANY source offset incl. past-the-end zero fill — one bridge row
-per copied word, stark/airs/evm_copy.py; CODECOPY's source words are
-FIXED columns from the public bytecode), RETURNDATACOPY (empty-
+single-word RMW), CALLDATACOPY + CODECOPY (aligned dest, ANY size
+incl. byte tails — the final partial word is a read-modify-write whose
+spliced value is selected by a FIXED slack one-hot — and ANY source
+offset incl. past-the-end zero fill; one bridge row per copied word,
+stark/airs/evm_copy.py; CODECOPY's source words are FIXED columns from
+the public bytecode), RETURNDATACOPY (empty-
 returndata form: offset = size = 0 pinned; larger arguments
 exceptionally halt under EIP-211 since covered frames make no calls),
 PUSH0-32, DUP1-16, SWAP1-16, LOG0-4 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
@@ -112,8 +114,9 @@ witness words.  CALLDATACOPY/CODECOPY run through copy bridges
 offset, sw, kind); the calldata bridge reads each source word from the
 calldata channel (or constrains it zero past the end), the code bridge
 carries its source words as fixed columns, and both write every word
-to RAM at destw + j.  Byte-granular copy tails and calls are the
-documented roadmap; frames using them are reported uncovered, never
+to RAM at destw + j; byte tails read the old word at sub-clock +1 and
+write the splice at +2.  Calls (docs/EVM_COMPOSITION.md) are the
+remaining roadmap; frames using them are reported uncovered, never
 mis-proven.
 """
 
@@ -547,8 +550,13 @@ class FrameTrace:
                 out.append((waddr, 4 * clk + 3, iw, value))
             for waddr, value in st.kreads:
                 out.append((waddr, 4 * clk + 1, 0, value))
-        # copy-bridge writes (evm_copy.py rows, sub-clock +2)
-        for _kind, clk, destw, off, sw, words in self.copy_calls:
+        # copy-bridge accesses: tail-word RMW read at sub-clock +1,
+        # writes at +2 (evm_copy.py rows)
+        for _kind, clk, destw, off, sw, slack, words, _srcs, tail_old in (
+            self.copy_calls
+        ):
+            if slack:
+                out.append((destw + sw - 1, 4 * clk + 1, 0, tail_old))
             for i, wv in enumerate(words):
                 out.append((destw + i, 4 * clk + 2, 1, wv))
         return out
@@ -963,32 +971,45 @@ def execute_frame(
             st.accesses.append((2, sp - 3, 0, size))
             if dest % 32 or dest >= (1 << 18):
                 raise UncoveredFrame("unaligned or far CALLDATACOPY dest")
-            if size % 32 or size >= (1 << 13):
-                raise UncoveredFrame(
-                    "CALLDATACOPY size not word-multiple / beyond bound"
-                )
+            if size >= (1 << 13):
+                raise UncoveredFrame("CALLDATACOPY size beyond bound")
             if off >= (1 << 15):
                 raise UncoveredFrame("CALLDATACOPY offset beyond bound")
             st.a, st.b, st.w = dest, size, off
             st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
                 [(size & 0x7FFF).bit_count()] + [0] * 15
             )
-            sw = size // 32
-            st.ksw, st.ksl = sw, 0
+            sw = (size + 31) // 32
+            slack = 32 * sw - size
+            st.ksw, st.ksl = sw, slack
             destw = dest // 32
             dyn = mem_expand(st, (destw + sw) if size else 0)
             use(3 + 3 * sw + dyn)
             words = []
+            src_words = []
+            tail_old = None
             for i in range(sw):
                 src = off + 32 * i
                 chunk = calldata[src : src + 32]
-                wv = int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+                srcw = int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+                src_words.append(srcw)
+                if slack and i == sw - 1:  # tail splice keeps old bytes
+                    t_keep = 8 * slack
+                    tail_old = mem_words.get(destw + i, 0)
+                    wv = (srcw >> t_keep << t_keep) | (
+                        tail_old & ((1 << t_keep) - 1)
+                    )
+                else:
+                    wv = srcw
                 words.append(wv)
                 mem_words[destw + i] = wv
                 if src < env.calldatasize:  # bridge's calldata send
                     cd_loads[src] = cd_loads.get(src, 0) + 1
             copy_calls.append(
-                ("calldata", len(steps) - 1, destw, off, sw, words)
+                (
+                    "calldata", len(steps) - 1, destw, off, sw, slack,
+                    words, src_words, tail_old,
+                )
             )
         elif op == 0x39:
             st.name = "codecopy"
@@ -999,29 +1020,40 @@ def execute_frame(
             st.accesses.append((2, sp - 3, 0, size))
             if dest % 32 or dest >= (1 << 18):
                 raise UncoveredFrame("unaligned or far CODECOPY dest")
-            if size % 32 or size >= (1 << 13):
-                raise UncoveredFrame(
-                    "CODECOPY size not word-multiple / beyond bound"
-                )
+            if size >= (1 << 13):
+                raise UncoveredFrame("CODECOPY size beyond bound")
             if off >= (1 << 15):
                 raise UncoveredFrame("CODECOPY offset beyond bound")
             st.a, st.b, st.w = dest, size, off
             st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
                 [(size & 0x7FFF).bit_count()] + [0] * 15
             )
-            sw = size // 32
-            st.ksw, st.ksl = sw, 0
+            sw = (size + 31) // 32
+            slack = 32 * sw - size
+            st.ksw, st.ksl = sw, slack
             destw = dest // 32
             dyn = mem_expand(st, (destw + sw) if size else 0)
             use(3 + 3 * sw + dyn)
             words = []
+            tail_old = None
             for i in range(sw):
                 chunk = code[off + 32 * i : off + 32 * i + 32]
-                wv = int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+                srcw = int.from_bytes(chunk.ljust(32, b"\x00"), "big")
+                if slack and i == sw - 1:
+                    t_keep = 8 * slack
+                    tail_old = mem_words.get(destw + i, 0)
+                    wv = (srcw >> t_keep << t_keep) | (
+                        tail_old & ((1 << t_keep) - 1)
+                    )
+                else:
+                    wv = srcw
                 words.append(wv)
                 mem_words[destw + i] = wv
             copy_calls.append(
-                ("code", len(steps) - 1, destw, off, sw, words)
+                (
+                    "code", len(steps) - 1, destw, off, sw, slack,
+                    words, None, tail_old,
+                )
             )
         elif op == 0x3E:
             st.name = "returndatacopy"
@@ -1550,8 +1582,11 @@ class EvmCpuAir(Air):
         ccp = flags["codecopy"]
         offv = sum(t[:, W0 + bit] << np.uint64(bit) for bit in range(15))
         swv = sum(t[:, KSW0 + i] << np.uint64(i) for i in range(10))
+        slackv = sum(t[:, KSL0 + i] << np.uint64(i) for i in range(5))
         code_cp = _np_tuple_code(
-            clk, [(waddr, 1), (offv, 2), (swv, 3), (ccp, 4)], pows
+            clk,
+            [(waddr, 1), (offv, 2), (swv, 3), (ccp, 4), (slackv, 5)],
+            pows,
         )
         inv_cp = ef.npef_inv(ef.npef_sub(gcp[None, :], code_cp))
         cp_terms = ef.npef_mul(ef.npef_from_base((cdc + ccp) % _PU), inv_cp)
@@ -2760,7 +2795,6 @@ class EvmCpuAir(Air):
         # code), and RETURNDATACOPY's size == 0 pin (covered frames have
         # empty returndata)
         f_cdcc = b.add(f["calldatacopy"], f["codecopy"])
-        b.all_rows(b.mul(f_cdcc, slval))
         w_hi15 = b.local_block(range(W0 + 15, W0 + 256))
         b.all_rows_block(b.mul(f_cdcc, w_hi15), 241)
         b.all_rows_block(b.mul(f["returndatacopy"], Bblk), 256)
@@ -2780,8 +2814,14 @@ class EvmCpuAir(Air):
                     b.ef_mul4(chi2, b.ef_from_base4(offv)),
                 ),
                 b.ef_add4(
-                    b.ef_mul4(chi3cp, b.ef_from_base4(swval)),
-                    [b.mul(f["codecopy"], chi4cp[c]) for c in range(4)],
+                    b.ef_add4(
+                        b.ef_mul4(chi3cp, b.ef_from_base4(swval)),
+                        [b.mul(f["codecopy"], chi4cp[c]) for c in range(4)],
+                    ),
+                    b.ef_mul4(
+                        b.ef_mul4(chi4cp, chi),
+                        b.ef_from_base4(slval),
+                    ),
                 ),
             ),
         )
@@ -3579,13 +3619,18 @@ def frame_tables(ft: FrameTrace):
         from .evm_copy import EvmCopyAir
 
         cp = EvmCopyAir(
-            [(d, o, w) for _, _, d, o, w, _ in cd_copies],
+            [(d, o, w, sl) for _, _, d, o, w, sl, _, _, _ in cd_copies],
             ft.env.calldatasize,
         )
         tables.append(
             (
                 cp,
-                cp.trace([(clk, words) for _, clk, _, _, _, words in cd_copies]),
+                cp.trace(
+                    [
+                        (clk, srcs, told)
+                        for _, clk, _, _, _, _, _, srcs, told in cd_copies
+                    ]
+                ),
                 [],
             )
         )
@@ -3593,10 +3638,20 @@ def frame_tables(ft: FrameTrace):
         from .evm_copy import CodeCopyAir
 
         cc = CodeCopyAir(
-            [(d, o, w) for _, _, d, o, w, _ in code_copies], ft.code
+            [(d, o, w, sl) for _, _, d, o, w, sl, _, _, _ in code_copies],
+            ft.code,
         )
         tables.append(
-            (cc, cc.trace([clk for _, clk, *_ in code_copies]), [])
+            (
+                cc,
+                cc.trace(
+                    [
+                        (clk, told)
+                        for _, clk, _, _, _, _, _, _, told in code_copies
+                    ]
+                ),
+                [],
+            )
         )
     return tables
 
@@ -3636,13 +3691,13 @@ def prove_frame_trace(ft: FrameTrace) -> dict:
         ],
         "arith_calls": [k for k, *_ in ft.arith_calls],
         "copy_calls": [
-            [destw, off, sw]
-            for kind, _, destw, off, sw, _ in ft.copy_calls
+            [destw, off, sw, slack]
+            for kind, _, destw, off, sw, slack, _, _, _ in ft.copy_calls
             if kind == "calldata"
         ],
         "codecopy_calls": [
-            [destw, off, sw]
-            for kind, _, destw, off, sw, _ in ft.copy_calls
+            [destw, off, sw, slack]
+            for kind, _, destw, off, sw, slack, _, _, _ in ft.copy_calls
             if kind == "code"
         ],
         "storage": [
@@ -3687,12 +3742,12 @@ def verify_frame_payload(payload: dict) -> bool:
         ar_kinds = [int(k) for k in ar_kinds]
         n_ar = len(ar_kinds)
         cp_calls = [
-            (int(d), int(o), int(w))
-            for d, o, w in payload.get("copy_calls", [])
+            (int(d), int(o), int(w), int(sl))
+            for d, o, w, sl in payload.get("copy_calls", [])
         ]
         cc_calls = [
-            (int(d), int(o), int(w))
-            for d, o, w in payload.get("codecopy_calls", [])
+            (int(d), int(o), int(w), int(sl))
+            for d, o, w, sl in payload.get("codecopy_calls", [])
         ]
         starks = payload["starks"]
         if not (0 <= gas_f <= gas0 < 1 << 32 and 0 <= sp_f <= 1024):

@@ -50,14 +50,16 @@ _PU = np.uint64(bb.P)
 
 # witness columns
 CP_CLK = 0  # raw clk (held across a call's rows)
-CP_W0 = 1  # 256 word bits
-CP_WIDTH = CP_W0 + 256
+CP_W0 = 1  # 256 source-word bits (zero-padded calldata word)
+CP_OLD0 = CP_W0 + 256  # 256 old-word bits (tail rows only)
+CP_WIDTH = CP_OLD0 + 256
 
-# aux (EF x4): call receives, calldata sends, RAM sends
+# aux (EF x4): call receives, calldata sends, RAM writes, tail reads
 CPA_CALL = 0
 CPA_CD = 4
 CPA_MEM = 8
-CP_AUX_W = 12
+CPA_OLD = 12
+CP_AUX_W = 16
 
 # fixed
 CPF_ACTIVE = 0
@@ -69,7 +71,19 @@ CPF_INB = 5  # source offset within calldata bounds
 CPF_CDEST = 6  # the call's destw (constant per block)
 CPF_COFF = 7  # the call's offset
 CPF_CSW = 8  # the call's word count
-CP_NFIXED = 9
+CPF_CSLACK = 9  # the call's slack (32*sw - size)
+CPF_TAIL = 10  # last word of a call with slack != 0 (RMW row)
+CPF_TS = 11  # 32 one-hot columns selecting the slack byte count
+CP_NFIXED = CPF_TS + 32
+
+
+def _splice_patterns(b, SRC, OLD):
+    """pattern[t] (t = slack 1..31): keep OLD's low 8t bits, SRC above
+    (big-endian: the copied size%32 = 32-t head bytes come from SRC)."""
+    pats = {}
+    for t in range(1, 32):
+        pats[t] = b.concat_rows([OLD[: 8 * t], SRC[8 * t :]])
+    return pats
 
 
 class EvmCopyAir(Air):
@@ -82,13 +96,19 @@ class EvmCopyAir(Air):
     quotient_chunks = 2
     eager_quotient = True
 
-    def __init__(self, calls: list[tuple[int, int, int]], calldatasize: int):
-        """calls: PUBLIC (destw, offset, sw) per CALLDATACOPY;
+    def __init__(self, calls, calldatasize: int):
+        """calls: PUBLIC (destw, offset, sw[, slack]) per CALLDATACOPY;
         calldatasize: the frame's public CALLDATASIZE."""
-        assert calls and all(sw >= 1 for _, _, sw in calls)
-        self.calls = [(int(d), int(o), int(w)) for d, o, w in calls]
+        norm = []
+        for c in calls:
+            d, o, w = c[0], c[1], c[2]
+            sl = c[3] if len(c) > 3 else 0
+            assert w >= 1 and 0 <= sl < 32
+            norm.append((int(d), int(o), int(w), int(sl)))
+        assert norm
+        self.calls = norm
         self.cds = int(calldatasize)
-        total = sum(sw for _, _, sw in self.calls)
+        total = sum(sw for _, _, sw, _ in self.calls)
         self.n = max(32, _pow2_atleast(total + 1))
 
     def structure_key(self) -> tuple:
@@ -96,7 +116,7 @@ class EvmCopyAir(Air):
 
     def _layout(self):
         out = []
-        for ci, (destw, off, sw) in enumerate(self.calls):
+        for ci, (destw, off, sw, sl) in enumerate(self.calls):
             for j in range(sw):
                 out.append((ci, j))
         return out
@@ -106,7 +126,7 @@ class EvmCopyAir(Air):
         cols = np.zeros((CP_NFIXED, n), dtype=np.uint32)
         layout = self._layout()
         for r, (ci, j) in enumerate(layout):
-            destw, off, sw = self.calls[ci]
+            destw, off, sw, sl = self.calls[ci]
             cols[CPF_ACTIVE, r] = 1
             if j == 0:
                 cols[CPF_START, r] = 1
@@ -116,21 +136,31 @@ class EvmCopyAir(Air):
             cols[CPF_CDEST, r] = destw
             cols[CPF_COFF, r] = off
             cols[CPF_CSW, r] = sw
+            cols[CPF_CSLACK, r] = sl
+            if sl and j == sw - 1:
+                cols[CPF_TAIL, r] = 1
+                cols[CPF_TS + sl, r] = 1
         for r in range(n - 1):
             if r + 1 < len(layout) and layout[r + 1][1] != 0:
                 cols[CPF_CONT_N, r] = 1
         return cols
 
-    def trace(self, witness: list[tuple[int, list[int]]]) -> np.ndarray:
-        """witness: per call (clk, words)."""
+    def trace(self, witness) -> np.ndarray:
+        """witness: per call (clk, src_words[, tail_old]): the SOURCE
+        words (zero-padded calldata words — what the calldata channel
+        serves) plus the tail row's old memory word."""
         assert len(witness) == len(self.calls)
         tr = np.zeros((self.n, CP_WIDTH), dtype=np.uint32)
         r = 0
-        for (destw, off, sw), (clk, words) in zip(self.calls, witness):
-            assert len(words) == sw
+        for (destw, off, sw, sl), wit in zip(self.calls, witness):
+            clk, srcs = wit[0], wit[1]
+            told = wit[2] if len(wit) > 2 else None
+            assert len(srcs) == sw
             for j in range(sw):
                 tr[r, CP_CLK] = clk
-                tr[r, CP_W0 : CP_W0 + 256] = _word_bits(words[j])
+                tr[r, CP_W0 : CP_W0 + 256] = _word_bits(srcs[j])
+                if sl and j == sw - 1:
+                    tr[r, CP_OLD0 : CP_OLD0 + 256] = _word_bits(told or 0)
                 r += 1
         return tr
 
@@ -147,7 +177,12 @@ class EvmCopyAir(Air):
         gcp = np.array([x % bb.P for x in challenges[CHAL_CP]], dtype=np.uint64)
         code_call = _np_tuple_code(
             clk,
-            [(fx[CPF_CDEST], 1), (fx[CPF_COFF], 2), (fx[CPF_CSW], 3)],
+            [
+                (fx[CPF_CDEST], 1),
+                (fx[CPF_COFF], 2),
+                (fx[CPF_CSW], 3),
+                (fx[CPF_CSLACK], 5),
+            ],
             pows,
         )
         inv_call = ef.npef_inv(ef.npef_sub(gcp[None, :], code_call))
@@ -163,17 +198,35 @@ class EvmCopyAir(Air):
         cd_terms = ef.npef_mul(
             ef.npef_from_base(fx[CPF_INB] * fx[CPF_ACTIVE] % _PU), inv_cd
         )
-        # RAM write sends (every active row, +1)
+        # RAM write sends (every active row, +1): tail rows write the
+        # SPLICE of (source head bytes, old low bytes)
         gm = np.array([x % bb.P for x in challenges[CHAL_M]], dtype=np.uint64)
+        obytes = _bits_to_bytes(trace[:, CP_OLD0 : CP_OLD0 + 256])
+        slack_arr = np.zeros(n, dtype=np.int64)
+        for t in range(1, 32):
+            slack_arr += t * fx[CPF_TS + t].astype(np.int64)
+        keepmask = np.arange(32)[None, :] < slack_arr[:, None]
+        wrbytes = np.where(
+            (fx[CPF_TAIL] == 1)[:, None] & keepmask, obytes, wbytes
+        )
         code_m = _np_tuple_code(
             fx[CPF_DEST],
             [(4 * clk + 2, 1), (np.ones(n, dtype=np.uint64), 2)]
-            + [(wbytes[:, j], j + 3) for j in range(32)],
+            + [(wrbytes[:, j], j + 3) for j in range(32)],
             pows,
         )
         inv_m = ef.npef_inv(ef.npef_sub(gm[None, :], code_m))
         mem_terms = ef.npef_mul(ef.npef_from_base(fx[CPF_ACTIVE]), inv_m)
-        return call_terms, cd_terms, mem_terms
+        # tail-old READ sends at sub-clock +1
+        code_o = _np_tuple_code(
+            fx[CPF_DEST],
+            [(4 * clk + 1, 1)]
+            + [(obytes[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_o = ef.npef_inv(ef.npef_sub(gm[None, :], code_o))
+        old_terms = ef.npef_mul(ef.npef_from_base(fx[CPF_TAIL]), inv_o)
+        return call_terms, cd_terms, mem_terms, old_terms
 
     @staticmethod
     def _excl(terms):
@@ -181,19 +234,22 @@ class EvmCopyAir(Air):
         return ef.npef_sub(c, terms)
 
     def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
-        call_t, cd_t, mem_t = self._terms(trace, challenges)
+        call_t, cd_t, mem_t, old_t = self._terms(trace, challenges)
         aux = np.zeros((trace.shape[0], CP_AUX_W), dtype=np.uint32)
         aux[:, CPA_CALL : CPA_CALL + 4] = self._excl(call_t)
         aux[:, CPA_CD : CPA_CD + 4] = self._excl(cd_t)
         aux[:, CPA_MEM : CPA_MEM + 4] = self._excl(mem_t)
+        aux[:, CPA_OLD : CPA_OLD + 4] = self._excl(old_t)
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
-        call_t, cd_t, mem_t = self._terms(trace, challenges)
+        call_t, cd_t, mem_t, old_t = self._terms(trace, challenges)
         out = [ef.H_ZERO] * NUM_BUS
         out[BUS_CP] = tuple(int(v) for v in call_t.sum(axis=0) % _PU)
         out[BUS_CD] = tuple(int(v) for v in cd_t.sum(axis=0) % _PU)
-        out[BUS_MEM] = tuple(int(v) for v in mem_t.sum(axis=0) % _PU)
+        out[BUS_MEM] = tuple(
+            int(v) for v in (mem_t.sum(axis=0) + old_t.sum(axis=0)) % _PU
+        )
         return out
 
     # ---------------- constraints ----------------
@@ -227,6 +283,9 @@ class EvmCopyAir(Air):
         chi3 = b.ef_mul4(chi2, chi)
 
         # call receives on start rows
+        cslack = b.fixed(CPF_CSLACK)
+        chi4 = b.ef_mul4(chi2, chi2)
+        chi5 = b.ef_mul4(chi4, chi)
         code_call = b.ef_add4(
             b.ef_from_base4(clk),
             b.ef_add4(
@@ -234,7 +293,10 @@ class EvmCopyAir(Air):
                     b.ef_mul4(chi, b.ef_from_base4(cdest)),
                     b.ef_mul4(chi2, b.ef_from_base4(coff)),
                 ),
-                b.ef_mul4(chi3, b.ef_from_base4(csw)),
+                b.ef_add4(
+                    b.ef_mul4(chi3, b.ef_from_base4(csw)),
+                    b.ef_mul4(chi5, b.ef_from_base4(cslack)),
+                ),
             ),
         )
         accC = [b.aux(CPA_CALL + c) for c in range(4)]
@@ -255,8 +317,15 @@ class EvmCopyAir(Air):
             b.transition(b.sub(prodD[c], actD[c]))
             b.first_row(accD[c])
 
-        # RAM write sends on every active row
-        wcode = b.bit_block_code(Wblk, chi, b.constant(0), 32)
+        # RAM write sends on every active row; tail rows write the
+        # splice (FIXED one-hot selects the slack byte count)
+        Oblk = b.local_block(range(CP_OLD0, CP_OLD0 + 256))
+        tailf = b.fixed(CPF_TAIL)
+        spl = b.mul(b.sub(one, tailf), Wblk)
+        for t in range(1, 32):
+            pat = b.concat_rows([Oblk[: 8 * t], Wblk[8 * t :]])
+            spl = b.add(spl, b.mul(b.fixed(CPF_TS + t), pat))
+        wcode = b.bit_block_code(spl, chi, b.constant(0), 32)
         inner = b.ef_add4(b.ef_from_base4(one), wcode)
         code_m = b.ef_add4(
             b.ef_from_base4(destf),
@@ -277,6 +346,27 @@ class EvmCopyAir(Air):
         for c in range(4):
             b.transition(b.sub(prodM[c], act4[c]))
             b.first_row(accM[c])
+        # tail-old READ at sub-clock +1; non-tail rows keep OLD zero
+        b.all_rows_block(b.mul(b.sub(one, tailf), Oblk), 256)
+        b.all_rows_block(b.mul(Oblk, b.sub(Oblk, one)), 256)
+        ocode = b.bit_block_code(Oblk, chi, b.constant(0), 32)
+        code_o = b.ef_add4(
+            b.ef_from_base4(destf),
+            b.ef_mul4(
+                chi,
+                b.ef_add4(
+                    b.ef_from_base4(b.add(b.scale(4, clk), one)),
+                    b.ef_mul4(chi, ocode),
+                ),
+            ),
+        )
+        accO = [b.aux(CPA_OLD + c) for c in range(4)]
+        accO_n = [b.aux_next(CPA_OLD + c) for c in range(4)]
+        prodO = b.ef_mul4(b.ef_sub4(accO_n, accO), b.ef_sub4(g_m, code_o))
+        tact = b.ef_from_base4(tailf)
+        for c in range(4):
+            b.transition(b.sub(prodO[c], tact[c]))
+            b.first_row(accO[c])
 
         # bus pins
         for i in range(NUM_BUS):
@@ -286,7 +376,11 @@ class EvmCopyAir(Air):
                 elif i == BUS_CD:
                     b.last_row(b.sub(accD[c], b.bus_coord(4 * i + c)))
                 elif i == BUS_MEM:
-                    b.last_row(b.sub(accM[c], b.bus_coord(4 * i + c)))
+                    b.last_row(
+                        b.sub(
+                            b.add(accM[c], accO[c]), b.bus_coord(4 * i + c)
+                        )
+                    )
                 else:
                     b.last_row(b.bus_coord(4 * i + c))
 
@@ -296,7 +390,8 @@ class EvmCopyAir(Air):
 # --------------------------------------------------------------------------
 
 CC_CLK = 0  # raw clk (held across a call's rows)
-CC_WIDTH = 1
+CC_OLD0 = 1  # 256 old-word bits (tail rows only)
+CC_WIDTH = CC_OLD0 + 256
 
 CCF_ACTIVE = 0
 CCF_START = 1
@@ -305,7 +400,10 @@ CCF_DEST = 3
 CCF_CDEST = 4
 CCF_COFF = 5
 CCF_CSW = 6
-CCF_W0 = 7  # 256 fixed word bits (from the public bytecode, zero-padded)
+CCF_CSLACK = 7
+CCF_TAIL = 8
+CCF_TS = 9  # 32 one-hot slack selectors
+CCF_W0 = CCF_TS + 32  # 256 fixed word bits (public bytecode, zero-padded)
 CC_NFIXED = CCF_W0 + 256
 
 
@@ -316,17 +414,23 @@ class CodeCopyAir(Air):
     (kind 1 on BUS_CP) and sends the RAM writes."""
 
     width = CC_WIDTH
-    aux_width = 8  # call receives + RAM sends
+    aux_width = 12  # call receives + RAM writes + tail reads
     num_aux_challenges = NUM_CHALLENGES
     num_bus_values = NUM_BUS
     quotient_chunks = 2
     eager_quotient = True
 
-    def __init__(self, calls: list[tuple[int, int, int]], code: bytes):
-        assert calls and all(sw >= 1 for _, _, sw in calls)
-        self.calls = [(int(d), int(o), int(w)) for d, o, w in calls]
+    def __init__(self, calls, code: bytes):
+        norm = []
+        for c in calls:
+            d, o, w = c[0], c[1], c[2]
+            sl = c[3] if len(c) > 3 else 0
+            assert w >= 1 and 0 <= sl < 32
+            norm.append((int(d), int(o), int(w), int(sl)))
+        assert norm
+        self.calls = norm
         self.code = bytes(code)
-        total = sum(sw for _, _, sw in self.calls)
+        total = sum(sw for _, _, sw, _ in self.calls)
         self.n = max(32, _pow2_atleast(total + 1))
 
     def structure_key(self) -> tuple:
@@ -334,7 +438,7 @@ class CodeCopyAir(Air):
 
     def _layout(self):
         out = []
-        for ci, (destw, off, sw) in enumerate(self.calls):
+        for ci, (destw, off, sw, sl) in enumerate(self.calls):
             for j in range(sw):
                 out.append((ci, j))
         return out
@@ -348,7 +452,7 @@ class CodeCopyAir(Air):
         cols = np.zeros((CC_NFIXED, n), dtype=np.uint32)
         layout = self._layout()
         for r, (ci, j) in enumerate(layout):
-            destw, off, sw = self.calls[ci]
+            destw, off, sw, sl = self.calls[ci]
             cols[CCF_ACTIVE, r] = 1
             if j == 0:
                 cols[CCF_START, r] = 1
@@ -356,6 +460,10 @@ class CodeCopyAir(Air):
             cols[CCF_CDEST, r] = destw
             cols[CCF_COFF, r] = off
             cols[CCF_CSW, r] = sw
+            cols[CCF_CSLACK, r] = sl
+            if sl and j == sw - 1:
+                cols[CCF_TAIL, r] = 1
+                cols[CCF_TS + sl, r] = 1
             wv = self._word(off + 32 * j)
             for bit in range(256):
                 if (wv >> bit) & 1:
@@ -365,13 +473,20 @@ class CodeCopyAir(Air):
                 cols[CCF_CONT_N, r] = 1
         return cols
 
-    def trace(self, clks: list[int]) -> np.ndarray:
-        assert len(clks) == len(self.calls)
+    def trace(self, witness) -> np.ndarray:
+        """witness: per call (clk[, tail_old])."""
+        assert len(witness) == len(self.calls)
         tr = np.zeros((self.n, CC_WIDTH), dtype=np.uint32)
         r = 0
-        for (destw, off, sw), clk in zip(self.calls, clks):
+        for (destw, off, sw, sl), wit in zip(self.calls, witness):
+            clk = wit[0] if isinstance(wit, (tuple, list)) else wit
+            told = (
+                wit[1] if isinstance(wit, (tuple, list)) and len(wit) > 1 else None
+            )
             for j in range(sw):
                 tr[r, CC_CLK] = clk
+                if sl and j == sw - 1:
+                    tr[r, CC_OLD0 : CC_OLD0 + 256] = _word_bits(told or 0)
                 r += 1
         return tr
 
@@ -395,6 +510,7 @@ class CodeCopyAir(Air):
                 (fx[CCF_COFF], 2),
                 (fx[CCF_CSW], 3),
                 (np.ones(n, dtype=np.uint64), 4),  # kind 1 = code
+                (fx[CCF_CSLACK], 5),
             ],
             pows,
         )
@@ -403,28 +519,47 @@ class CodeCopyAir(Air):
             ef.npef_from_base((_PU - 1) * fx[CCF_START] % _PU), inv_call
         )
         gm = np.array([x % bb.P for x in challenges[CHAL_M]], dtype=np.uint64)
+        obytes = _bits_to_bytes(trace[:, CC_OLD0 : CC_OLD0 + 256])
+        slack_arr = np.zeros(n, dtype=np.int64)
+        for tt in range(1, 32):
+            slack_arr += tt * fx[CCF_TS + tt].astype(np.int64)
+        keepmask = np.arange(32)[None, :] < slack_arr[:, None]
+        wrbytes = np.where(
+            (fx[CCF_TAIL] == 1)[:, None] & keepmask, obytes, wbytes
+        )
         code_m = _np_tuple_code(
             fx[CCF_DEST],
             [(4 * clk + 2, 1), (np.ones(n, dtype=np.uint64), 2)]
-            + [(wbytes[:, j], j + 3) for j in range(32)],
+            + [(wrbytes[:, j], j + 3) for j in range(32)],
             pows,
         )
         inv_m = ef.npef_inv(ef.npef_sub(gm[None, :], code_m))
         mem_terms = ef.npef_mul(ef.npef_from_base(fx[CCF_ACTIVE]), inv_m)
-        return call_terms, mem_terms
+        code_o = _np_tuple_code(
+            fx[CCF_DEST],
+            [(4 * clk + 1, 1)]
+            + [(obytes[:, j], j + 3) for j in range(32)],
+            pows,
+        )
+        inv_o = ef.npef_inv(ef.npef_sub(gm[None, :], code_o))
+        old_terms = ef.npef_mul(ef.npef_from_base(fx[CCF_TAIL]), inv_o)
+        return call_terms, mem_terms, old_terms
 
     def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
-        call_t, mem_t = self._terms(trace, challenges)
-        aux = np.zeros((trace.shape[0], 8), dtype=np.uint32)
+        call_t, mem_t, old_t = self._terms(trace, challenges)
+        aux = np.zeros((trace.shape[0], 12), dtype=np.uint32)
         aux[:, 0:4] = EvmCopyAir._excl(call_t)
         aux[:, 4:8] = EvmCopyAir._excl(mem_t)
+        aux[:, 8:12] = EvmCopyAir._excl(old_t)
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
-        call_t, mem_t = self._terms(trace, challenges)
+        call_t, mem_t, old_t = self._terms(trace, challenges)
         out = [ef.H_ZERO] * NUM_BUS
         out[BUS_CP] = tuple(int(v) for v in call_t.sum(axis=0) % _PU)
-        out[BUS_MEM] = tuple(int(v) for v in mem_t.sum(axis=0) % _PU)
+        out[BUS_MEM] = tuple(
+            int(v) for v in (mem_t.sum(axis=0) + old_t.sum(axis=0)) % _PU
+        )
         return out
 
     def eval(self, b: ConstraintBuilder) -> None:
@@ -450,6 +585,8 @@ class CodeCopyAir(Air):
         chi3 = b.ef_mul4(chi2, chi)
         chi4 = b.ef_mul4(chi2, chi2)
 
+        cslack = b.fixed(CCF_CSLACK)
+        chi5 = b.ef_mul4(chi4, chi)
         code_call = b.ef_add4(
             b.ef_from_base4(clk),
             b.ef_add4(
@@ -458,8 +595,11 @@ class CodeCopyAir(Air):
                     b.ef_mul4(chi2, b.ef_from_base4(coff)),
                 ),
                 b.ef_add4(
-                    b.ef_mul4(chi3, b.ef_from_base4(csw)),
-                    list(chi4),  # kind 1
+                    b.ef_add4(
+                        b.ef_mul4(chi3, b.ef_from_base4(csw)),
+                        list(chi4),  # kind 1
+                    ),
+                    b.ef_mul4(chi5, b.ef_from_base4(cslack)),
                 ),
             ),
         )
@@ -471,7 +611,15 @@ class CodeCopyAir(Air):
             b.transition(b.add(prodC[c], start4[c]))
             b.first_row(accC[c])
 
-        wcode = b.bit_block_code(Wfix, chi, b.constant(0), 32)
+        Oblk = b.local_block(range(CC_OLD0, CC_OLD0 + 256))
+        tailf = b.fixed(CCF_TAIL)
+        b.all_rows_block(b.mul(Oblk, b.sub(Oblk, one)), 256)
+        b.all_rows_block(b.mul(b.sub(one, tailf), Oblk), 256)
+        spl = b.mul(b.sub(one, tailf), Wfix)
+        for t in range(1, 32):
+            pat = b.concat_rows([Oblk[: 8 * t], Wfix[8 * t :]])
+            spl = b.add(spl, b.mul(b.fixed(CCF_TS + t), pat))
+        wcode = b.bit_block_code(spl, chi, b.constant(0), 32)
         inner = b.ef_add4(b.ef_from_base4(one), wcode)
         code_m = b.ef_add4(
             b.ef_from_base4(destf),
@@ -490,12 +638,35 @@ class CodeCopyAir(Air):
         for c in range(4):
             b.transition(b.sub(prodM[c], act4[c]))
             b.first_row(accM[c])
+        # tail-old READ at sub-clock +1
+        ocode = b.bit_block_code(Oblk, chi, b.constant(0), 32)
+        code_o = b.ef_add4(
+            b.ef_from_base4(destf),
+            b.ef_mul4(
+                chi,
+                b.ef_add4(
+                    b.ef_from_base4(b.add(b.scale(4, clk), one)),
+                    b.ef_mul4(chi, ocode),
+                ),
+            ),
+        )
+        accO = [b.aux(8 + c) for c in range(4)]
+        accO_n = [b.aux_next(8 + c) for c in range(4)]
+        prodO = b.ef_mul4(b.ef_sub4(accO_n, accO), b.ef_sub4(g_m, code_o))
+        tact = b.ef_from_base4(tailf)
+        for c in range(4):
+            b.transition(b.sub(prodO[c], tact[c]))
+            b.first_row(accO[c])
 
         for i in range(NUM_BUS):
             for c in range(4):
                 if i == BUS_CP:
                     b.last_row(b.sub(accC[c], b.bus_coord(4 * i + c)))
                 elif i == BUS_MEM:
-                    b.last_row(b.sub(accM[c], b.bus_coord(4 * i + c)))
+                    b.last_row(
+                        b.sub(
+                            b.add(accM[c], accO[c]), b.bus_coord(4 * i + c)
+                        )
+                    )
                 else:
                     b.last_row(b.bus_coord(4 * i + c))

@@ -170,6 +170,10 @@ def full_coverage_program() -> bytes:
         ("push", 2, 200),                         # source beyond cds=68
         ("push", 2, 0x160),
         0x37,                                     # CALLDATACOPY (zero word)
+        ("push", 1, 7),                           # size 7: byte tail
+        ("push", 1, 1),
+        ("push", 2, 0x160),
+        0x37,                                     # CALLDATACOPY tail splice
         ("push", 2, 0x120),
         0x51,                                     # MLOAD a copied word
         0x01,                                     # fold
@@ -181,6 +185,10 @@ def full_coverage_program() -> bytes:
         ("push", 2, 0x7000),                      # beyond code end
         ("push", 2, 0x1E0),
         0x39,                                     # CODECOPY (zero fill)
+        ("push", 1, 33),                          # 1 word + 1 tail byte
+        ("push", 1, 2),
+        ("push", 2, 0x1E0),
+        0x39,                                     # CODECOPY tail splice
         ("push", 2, 0x1A0),
         0x51,                                     # MLOAD copied code
         0x01,                                     # fold
@@ -1098,3 +1106,34 @@ def test_codecopy_negative_probes(frame, challenges):
     t2[crow, ea.FLAG0 + ea.FLAG_IDX["calldatacopy"]] = 1
     # opcode reconstruction breaks immediately (0x39 != 0x37)
     assert check_constraints(cpu, t2, cpupub, challenges)
+
+
+def test_copy_tail_negative_probes(frame, challenges):
+    """Byte-tail copies: lying about the old word's kept bytes or the
+    spliced write breaks the RAM channel; a wrong slack claim breaks the
+    call tuple."""
+    from raiko_tpu.stark.airs import evm_copy as ec
+
+    tables = ea.frame_tables(frame)
+    cp, ctrace, cpub = next(
+        t for t in tables if type(t[0]).__name__ == "EvmCopyAir"
+    )
+    fx = cp.fixed_columns(cp.n)
+    tails = np.where(fx[ec.CPF_TAIL] == 1)[0]
+    assert len(tails) == 1
+    r = int(tails[0])
+    assert check_constraints(cp, ctrace, cpub, challenges) == []
+    # flip a KEPT old byte: both the old-read and the spliced write move
+    t1 = ctrace.copy()
+    t1[r, ec.CP_OLD0 + 3] ^= 1
+    totals = [ef.H_ZERO] * ea.NUM_BUS
+    traces = [t1 if tab[0] is cp else tab[1] for tab in tables]
+    for (air, _, _), tr in zip(tables, traces):
+        for i, bv in enumerate(air.bus_values(tr, challenges)):
+            totals[i] = ef.h_add(totals[i], bv)
+    assert totals[ea.BUS_MEM] != ef.H_ZERO
+    # an OLD word on a non-tail row must be zero
+    nont = int(np.where((fx[ec.CPF_TAIL] == 0) & (fx[ec.CPF_ACTIVE] == 1))[0][0])
+    t2 = ctrace.copy()
+    t2[nont, ec.CP_OLD0] = 1
+    assert check_constraints(cp, t2, cpub, challenges)
