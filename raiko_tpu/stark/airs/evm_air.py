@@ -89,8 +89,9 @@ PUSH0-32, DUP1-16, SWAP1-16, LOG0-4 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/J
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
 SDIV/SMOD/EXP are proven in the dedicated arithmetic table
 (stark/airs/evm_arith.py) over the BUS_AR channel (channel 8); EXP gas
-charges 10 + 50*L with L bound by a 33-wide one-hot + suffix-zero check
-(L can only be over-claimed, never under).
+charges 10 + 50*L with L bound EXACTLY by a 33-wide one-hot: suffix-zero
+forbids under-claims, and a nonzero-inverse on byte L-1 forbids
+over-claims.
 MUL is a schoolbook byte product with 13-bit range-checked carries;
 DIV/MOD prove q*b + r = a with a zero high half and r <= b - 1 via a
 byte borrow chain (division by zero pushes zero through the nonzero
@@ -777,6 +778,10 @@ def execute_frame(
             st.qsel = -1  # one-hot lives at SCRATCH0 + elen (33-wide)
             st.mulc = None
             st.expL = elen
+            if elen:  # minimality: byte elen-1 is nonzero
+                v_top = (b_ >> (8 * (elen - 1))) & 0xFF
+                st.s_inv = v_top
+                st.inv[0] = pow(v_top, bb.P - 2, bb.P)
             c = pow(a, b_, 1 << 256)
             arith_calls.append((3, a, b_, c))
             push(c, sp - 2)
@@ -2058,6 +2063,12 @@ class EvmCpuAir(Air):
         cost = b.add(
             cost, b.mul(f_exp, b.add(b.constant(10), b.scale(50, lsum)))
         )
+        # minimality: the byte at L-1 must be NONZERO (L cannot be over-
+        # claimed; the suffix check already forbids under-claims).  The
+        # selected byte is materialized in S_INV (raw, unused by the
+        # nonzero gadget on exp rows since its inputs are all zero) and
+        # inverted through INV0[0].
+        # (the selected-byte sum is emitted in 14a next to bbytes)
         # storage gas (EIP-2929/2200): SLOAD 100 + 2000*cold; SSTORE
         # 100 + 2800*g1 + 19900*g2 + 2100*cold
         f_sl, f_ss = f["sload"], f["sstore"]
@@ -2258,6 +2269,21 @@ class EvmCpuAir(Air):
         bsfx = b.linmap(_ESUF, bbytes)  # bsfx[i] = sum_{j>=i} b_j
         for i in range(33):
             b.all_rows(b.mul(b.mul(f_exp, exp_oh[i]), bsfx[i]))
+        # EXP minimality: selected byte b_{L-1} (held in S_INV) nonzero
+        vsel = None
+        for i in range(1, 33):
+            t = b.mul(exp_oh[i], bbytes[i - 1])
+            vsel = t if vsel is None else b.add(vsel, t)
+        b.all_rows(b.mul(f_exp, b.sub(s_inv, vsel)))
+        b.all_rows(
+            b.mul(
+                f_exp,
+                b.sub(
+                    b.mul(s_inv, b.local(INV0)),
+                    b.sub(one, exp_oh[0]),
+                ),
+            )
+        )
 
         conv_ab = byte_conv(abytes)
         b.all_rows_block(

@@ -915,6 +915,12 @@ def test_exp_negative_probes(frame, challenges):
     ct[crow, ea.SCRATCH0 + cur] = 0
     ct[crow, ea.SCRATCH0 + cur - 1] = 1  # claim one byte shorter
     assert check_constraints(cpu, ct, cpub, challenges)
+    # OVER-claiming (charging extra gas) is now also caught: the byte at
+    # L-1 would be zero, violating the minimality inverse
+    ct2 = ctrace.copy()
+    ct2[crow, ea.SCRATCH0 + cur] = 0
+    ct2[crow, ea.SCRATCH0 + cur + 1] = 1  # claim one byte longer
+    assert check_constraints(cpu, ct2, cpub, challenges)
 
 
 def test_mstore8_negative_probes(frame, challenges):
