@@ -23,6 +23,7 @@ from ..mpt import proofs_to_tries
 from ..proto.input import GuestInput, TaikoGuestInput
 from ..proto.types import BlockHeader
 from ..utils.txlist import generate_transactions
+from . import l1_data
 from .interfaces import PreflightError, ProofRequest
 from .provider import provider_for
 from .provider_db import ProviderDb
@@ -121,35 +122,59 @@ def prepare_taiko_chain_input(
     header: BlockHeader,
     txs,
 ) -> TaikoGuestInput:
-    """L1-side data assembly (ref :191-280).
+    """L1-side data assembly (ref :191-280), entirely through provider
+    wire calls:
 
-    The provider for the L1 network must expose the proposal lookup
-    (``get_block_proposed``) and blob retrieval (``get_blob``); the RPC
-    implementation resolves them via log filters and the beacon API, the
-    simulator serves them directly."""
+    1. decode the anchor tx -> the anchored L1 state block; the proposal
+       lives in the next L1 block (ref :202-206),
+    2. fetch both L1 headers (ref :215-220),
+    3. find the BlockProposed event by log filter at the inclusion block
+       and fetch the proposing tx (ref :233-240, l1_data.py),
+    4. blob DA: slot from the inclusion timestamp, sidecars from the
+       beacon API (blobscan fallback), matched by versioned hash and
+       re-committed locally; calldata DA: decode proposeBlock calldata
+       (ref :243-267).
+    """
     l1_spec = chain_specs.get(request.l1_network)
     l1_provider = provider_for(l1_spec)
     if not txs:
         raise PreflightError("taiko block without anchor tx")
     anchor_tx = txs[0]
-    if not hasattr(l1_provider, "sim") or not hasattr(
-        l1_provider.sim, "get_block_proposed"
-    ):
-        raise PreflightError(
-            "L1 provider does not expose proposal data (live beacon/blobscan "
-            "retrieval requires network access)"
-        )
-    proposal = l1_provider.sim.get_block_proposed(header.number)
-    meta = proposal["meta"]
-    l1_header = BlockHeader.decode(proposal["l1_header"].encode())
-    tx_data = proposal["tx_data"]
+    anchor_call = l1_data.decode_anchor(anchor_tx.data)
+    l1_state_block_number = anchor_call.l1_block_id
+    l1_inclusion_block_number = l1_state_block_number + 1
+
+    l1_blocks = l1_provider.get_blocks(
+        [l1_inclusion_block_number, l1_state_block_number]
+    )
+    (l1_inclusion_header, _, _), (l1_state_header, _, _) = l1_blocks
+    if l1_state_header.hash() != anchor_call.l1_hash:
+        raise PreflightError("anchored L1 block hash mismatch")
+
+    proposal_tx, meta = l1_data.get_block_proposed_event(
+        l1_provider, spec, l1_inclusion_header.hash(), header.number
+    )
+
     blob_commitment = None
     if meta.blob_used:
+        blob_hashes = proposal_tx.blob_versioned_hashes
+        if not blob_hashes:
+            raise PreflightError("blob hashes are empty")
+        # the protocol enforces the first blob hash (ref :247-249)
+        blob_hash = bytes(blob_hashes[0])
+        slot = l1_data.block_time_to_block_slot(
+            l1_inclusion_header.timestamp,
+            l1_spec.genesis_time,
+            l1_spec.seconds_per_slot,
+        )
+        tx_data = l1_data.get_blob_data(l1_spec, slot, blob_hash)
         blob_commitment = eip4844.blob_to_kzg_commitment(tx_data, use_tpu=False)
         if eip4844.commitment_to_version_hash(blob_commitment) != meta.blob_hash:
             raise PreflightError("blob versioned hash mismatch")
+    else:
+        _params, tx_data = l1_data.decode_propose_block(proposal_tx.data)
     return TaikoGuestInput(
-        l1_header=l1_header,
+        l1_header=l1_state_header,
         tx_data=tx_data,
         anchor_tx=anchor_tx,
         block_proposed_meta=meta,

@@ -38,6 +38,18 @@ class BlockDataProvider:
     def get_logs(self, address: bytes, topic0: bytes, block: int) -> list[dict]:
         raise NotImplementedError
 
+    def get_logs_by_block_hash(
+        self, address: bytes, topic0: bytes, block_hash: bytes
+    ) -> list[dict]:
+        """Wire-shaped log dicts ({topics, data, transactionHash}) for the
+        contract + signature filter at one block (ref preflight.rs:431-440
+        Filter::new().address().at_block_hash().event_signature())."""
+        raise NotImplementedError
+
+    def get_transaction_by_hash(self, tx_hash: bytes):
+        """-> Transaction | None (ref preflight.rs:455-459)."""
+        raise NotImplementedError
+
 
 def get_task_data(network: str, block_number: int, chain_specs) -> tuple[int, bytes]:
     """(chain_id, blockhash) task key (reference provider/mod.rs:33-51)."""
@@ -95,6 +107,12 @@ class SimBlockDataProvider(BlockDataProvider):
 
     def get_logs(self, address, topic0, block):
         return self.sim.get_logs(address, topic0, block) if hasattr(self.sim, "get_logs") else []
+
+    def get_logs_by_block_hash(self, address, topic0, block_hash):
+        return self.sim.get_logs_by_block_hash(address, topic0, block_hash)
+
+    def get_transaction_by_hash(self, tx_hash):
+        return self.sim.get_transaction_by_hash(tx_hash)
 
 
 class RpcBlockDataProvider(BlockDataProvider):
@@ -228,6 +246,28 @@ class RpcBlockDataProvider(BlockDataProvider):
             ]
         )[0]
         return res
+
+    def get_logs_by_block_hash(self, address, topic0, block_hash):
+        return self._batch(
+            [
+                (
+                    "eth_getLogs",
+                    [
+                        {
+                            "address": "0x" + address.hex(),
+                            "topics": ["0x" + topic0.hex()],
+                            "blockHash": "0x" + block_hash.hex(),
+                        }
+                    ],
+                )
+            ]
+        )[0]
+
+    def get_transaction_by_hash(self, tx_hash):
+        res = self._batch(
+            [("eth_getTransactionByHash", ["0x" + tx_hash.hex()])]
+        )[0]
+        return _parse_tx(res) if res else None
 
 
 def _parse_block(b: dict) -> tuple:

@@ -16,9 +16,12 @@ risc0/sp1 prover cores):
 All committed data stays in bit-reversed coset order end to end, so no
 bit-reversal gather ever materializes (see ops/ntt.py docstring).
 
-Degree budget: transition constraints deg <= 3, boundary deg <= 2,
-blowup 4 => quotient degree < 2n (two chunks), every committed polynomial
-deg < n, DEEP composition deg < n - 1 < m/4 = FRI bound.
+Degree budget: per-Air via ``quotient_chunks`` = max constraint degree
+minus 1.  The simple AIRs run degree <= 3 (2 chunks, quotient degree
+< 2n); the keccak/EVM AIRs run degree <= 5 (4 chunks, quotient degree
+< 4n = m).  In every case each committed chunk has deg < n, every other
+committed polynomial deg < n, and the DEEP composition deg < n - 1 <
+m/4 = FRI bound — blowup 4 supports up to degree 5.
 """
 
 from __future__ import annotations
@@ -40,7 +43,10 @@ from .channel import Channel
 from .domain import Domain
 
 BLOWUP_LOG = 2
-NUM_QUERIES = 40
+# 45 queries * 2 bits/query (rate 1/4, capacity conjecture) + 10 grind
+# bits = ~100-bit conjectured query soundness (docs/SOUNDNESS.md) —
+# matching the security class of the provers this engine replaces.
+NUM_QUERIES = 45
 GRIND_BITS = 10  # FRI proof-of-work (channel.grind)
 
 

@@ -63,6 +63,9 @@ class ChainSim:
         self.blocks_txs: list[list] = [[]]
         self.blocks_withdrawals: list[list] = [[]]
         self.snapshots: list[_Snapshot] = [self._snap()]
+        self.block_logs: dict[int, list] = {}  # number -> wire-shaped logs
+        self.txs_by_hash: dict[bytes, object] = {}
+        self.blob_sidecars: dict[int, list] = {}  # beacon slot -> sidecars
 
     # -- state setup ---------------------------------------------------
     def fund(
@@ -200,9 +203,54 @@ class ChainSim:
         self.snapshots.append(self._snap())
         return header
 
+    # -- data-availability blocks (txs carried, not executed) -----------
+    def add_da_block(self, txs, logs=None):
+        """Append a block that CARRIES transactions and logs without
+        executing them (state unchanged) — how the sim hosts L1 proposal
+        transactions; raiko never re-executes L1 blocks, it only reads
+        their headers, logs and tx data."""
+        parent = self.headers[-1]
+        header = BlockHeader(
+            parent_hash=parent.hash(),
+            state_root=parent.state_root,
+            transactions_root=_index_trie([_envelope(tx) for tx in txs]).hash(),
+            receipts_root=EMPTY_ROOT,
+            number=parent.number + 1,
+            gas_limit=parent.gas_limit,
+            timestamp=parent.timestamp + 12,
+            base_fee_per_gas=parent.base_fee_per_gas,
+            withdrawals_root=EMPTY_ROOT,
+        )
+        self.headers.append(header)
+        self.blocks_txs.append(list(txs))
+        self.blocks_withdrawals.append([])
+        self.snapshots.append(self._snap())
+        self.block_logs[header.number] = list(logs or [])
+        for tx in txs:
+            self.txs_by_hash[tx.hash()] = tx
+        return header
+
     # -- provider-style queries ------------------------------------------
     def get_block(self, number: int):
         return self.headers[number], self.blocks_txs[number], self.blocks_withdrawals[number]
+
+    def get_logs_by_block_hash(self, address: bytes, topic0: bytes, block_hash: bytes):
+        for h in self.headers:
+            if h.hash() == block_hash:
+                return [
+                    log
+                    for log in self.block_logs.get(h.number, [])
+                    if bytes.fromhex(log["address"][2:]) == address
+                    and bytes.fromhex(log["topics"][0][2:]) == topic0
+                ]
+        return []
+
+    def get_transaction_by_hash(self, tx_hash: bytes):
+        return self.txs_by_hash.get(tx_hash)
+
+    def get_blob_sidecars(self, slot: int):
+        """Beacon-API-shaped sidecar list for a slot."""
+        return self.blob_sidecars.get(slot, [])
 
     def tip(self) -> int:
         return len(self.headers) - 1
@@ -250,15 +298,23 @@ GOLDEN_TOUCH_KEY = 0x92954368AFD3CAA1F3CE3EAD0069C1AF414054AEFE1EF9AEACC1BF42622
 
 
 class TaikoSim(ChainSim):
-    """A taiko L2 chain paired with an L1 ChainSim that records proposals."""
+    """A taiko L2 chain paired with an L1 ChainSim.
+
+    Proposals are posted the way they are on chain: a ``proposeBlock``
+    transaction in the NEXT L1 block after the anchored state block,
+    emitting a ``BlockProposed`` log; blob-DA tx lists become beacon
+    sidecars at the inclusion block's slot.  Preflight then discovers
+    everything through the wire-shaped provider surface (logs by block
+    hash, tx by hash, sidecars by slot) — no side channel."""
 
     def __init__(self, l1_sim: ChainSim, network: str = "taiko_a7"):
         super().__init__(network)
         self.l1 = l1_sim
-        self.proposals: dict[int, dict] = {}
         self.treasury = bytes.fromhex(self.spec.l2_contract[2:].zfill(40))
+        self.l1_contract = bytes.fromhex(self.spec.l1_contract[2:].zfill(40))
 
     def produce_taiko_block(self, txs, use_blob=True, coinbase=b"\xc2" * 20):
+        from raiko_tpu.core import l1_data
         from raiko_tpu.evm.execute import ANCHOR_GAS_LIMIT, GOLDEN_TOUCH
         from raiko_tpu.kzg import eip4844
         from raiko_tpu.proto.instance import BlockMetadata
@@ -274,7 +330,11 @@ class TaikoSim(ChainSim):
         # tx data exactly as posted on chain
         compressed = zlib_compress_data(encode_transactions(txs))
         tx_data = encode_blob_data(compressed) if use_blob else compressed
-        # anchor tx
+        # anchor tx: binds the L1 state block (the current L1 tip); the
+        # proposal will land in the next L1 block
+        l1_state_number = self.l1.tip()
+        l1_header = self.l1.headers[l1_state_number]
+        parent_l2 = self.headers[-1]
         golden_nonce = self.accounts.get(GOLDEN_TOUCH)
         anchor = Transaction(
             tx_type=2,
@@ -285,7 +345,14 @@ class TaikoSim(ChainSim):
             gas_limit=ANCHOR_GAS_LIMIT,
             to=self.treasury,
             value=0,
-            data=b"\x8e\x3f\x56\x75",  # anchor selector placeholder
+            data=l1_data.encode_anchor(
+                l1_data.AnchorCall(
+                    l1_hash=l1_header.hash(),
+                    l1_state_root=l1_header.state_root,
+                    l1_block_id=l1_state_number,
+                    parent_gas_used=parent_l2.gas_used,
+                )
+            ),
         )
         anchor.sign(GOLDEN_TOUCH_KEY)
         all_txs = [anchor] + list(txs)
@@ -296,7 +363,6 @@ class TaikoSim(ChainSim):
             treasury=self.treasury,
             gas_limit=15_000_000 + ANCHOR_GAS_LIMIT,
         )
-        l1_header = self.l1.headers[-1]
         if use_blob:
             commitment = eip4844.blob_to_kzg_commitment(tx_data, use_tpu=False)
             blob_hash = eip4844.commitment_to_version_hash(commitment)
@@ -322,18 +388,43 @@ class TaikoSim(ChainSim):
             parent_meta_hash=b"\x22" * 32,
             sender=b"\x33" * 20,
         )
-        proposal = {"meta": meta, "l1_header": l1_header, "tx_data": tx_data}
-        self.proposals[header.number] = proposal
-        # proposals live on L1 in reality; expose through the L1 sim too
-        self.l1.__dict__.setdefault("proposals", {})[header.number] = proposal
+        # the proposal tx on L1: blob DA carries the versioned hash, the
+        # calldata form carries the tx list in proposeBlock(params, txList)
+        proposal_tx = Transaction(
+            tx_type=3 if use_blob else 2,
+            chain_id=self.l1.spec.chain_id,
+            nonce=len(self.l1.txs_by_hash),
+            max_priority_fee_per_gas=1,
+            max_fee_per_gas=100,
+            gas_limit=1_000_000,
+            to=self.l1_contract,
+            value=0,
+            data=l1_data.encode_propose_block(
+                b"", b"" if use_blob else tx_data
+            ),
+            max_fee_per_blob_gas=1 if use_blob else 0,
+            blob_versioned_hashes=[blob_hash] if use_blob else [],
+        )
+        topics, data = l1_data.encode_block_proposed_event(
+            header.number, meta.sender, 0, meta
+        )
+        log = {
+            "address": "0x" + self.l1_contract.hex(),
+            "topics": ["0x" + t.hex() for t in topics],
+            "data": "0x" + data.hex(),
+            "transactionHash": "0x" + proposal_tx.hash().hex(),
+        }
+        inclusion = self.l1.add_da_block([proposal_tx], [log])
+        if use_blob:
+            slot = (
+                inclusion.timestamp - self.l1.spec.genesis_time
+            ) // self.l1.spec.seconds_per_slot
+            self.l1.blob_sidecars.setdefault(slot, []).append(
+                {
+                    "index": str(len(self.l1.blob_sidecars.get(slot, []))),
+                    "blob": "0x" + tx_data.hex(),
+                    "kzg_commitment": "0x" + commitment.hex(),
+                    "kzg_proof": "0x",
+                }
+            )
         return header
-
-    def get_block_proposed(self, block_id: int) -> dict:
-        return self.proposals[block_id]
-
-
-def _l1_get_block_proposed(self, block_id):
-    return self.proposals[block_id]
-
-
-ChainSim.get_block_proposed = _l1_get_block_proposed

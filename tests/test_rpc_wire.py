@@ -84,6 +84,11 @@ def _tx_json(tx) -> dict:
         else:
             out["maxPriorityFeePerGas"] = _hx(tx.max_priority_fee_per_gas)
             out["maxFeePerGas"] = _hx(tx.max_fee_per_gas)
+        if tx.tx_type == 3:
+            out["maxFeePerBlobGas"] = _hx(tx.max_fee_per_blob_gas)
+            out["blobVersionedHashes"] = [
+                _hb(h) for h in tx.blob_versioned_hashes
+            ]
         out["accessList"] = [
             {
                 "address": _hb(a),
@@ -197,7 +202,17 @@ class RpcFacade:
                 ],
             }
         if method == "eth_getLogs":
+            flt = params[0]
+            if "blockHash" in flt:
+                return sim.get_logs_by_block_hash(
+                    bytes.fromhex(flt["address"][2:]),
+                    bytes.fromhex(flt["topics"][0][2:]),
+                    bytes.fromhex(flt["blockHash"][2:]),
+                )
             return []
+        if method == "eth_getTransactionByHash":
+            tx = sim.get_transaction_by_hash(bytes.fromhex(params[0][2:]))
+            return _tx_json(tx) if tx is not None else None
         raise ValueError(f"unsupported method {method}")
 
 
@@ -271,3 +286,158 @@ def test_rpc_error_taxonomy(wired_world):
     )
     with pytest.raises(RpcError):
         Raiko(specs, req).generate_input()
+
+
+# --------------------------------------------------------------------------
+# Taiko over the wire: BlockProposed log filter + beacon/blobscan blobs
+# (VERDICT r3 #3 — reference core/src/preflight.rs:283-466)
+# --------------------------------------------------------------------------
+
+
+class BeaconFacade:
+    """Beacon-API HTTP endpoint over a ChainSim's blob sidecars."""
+
+    def __init__(self, sim, blobscan=False):
+        import http.server
+
+        self.sim = sim
+        self.requests: list[str] = []
+        outer = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                outer.requests.append(self.path)
+                blob = json.dumps(outer._handle(self.path)).encode()
+                self.send_response(200)
+                self.send_header("content-type", "application/json")
+                self.send_header("content-length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+
+            def log_message(self, *a):
+                pass
+
+        self.blobscan = blobscan
+        self.port = _free_port()
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", self.port), H)
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def _handle(self, path: str):
+        if self.blobscan:
+            # blobscan: GET /blobs/{versioned_hash}
+            assert "/blobs/0x" in path
+            want = bytes.fromhex(path.rsplit("0x", 1)[1])
+            from raiko_tpu.core.l1_data import calc_blob_versioned_hash
+
+            for sidecars in self.sim.blob_sidecars.values():
+                for sc in sidecars:
+                    if calc_blob_versioned_hash(sc["blob"]) == want:
+                        return {"commitment": sc["kzg_commitment"], "data": sc["blob"]}
+            return {"commitment": "0x", "data": "0x"}
+        # beacon: GET /eth/v1/beacon/blob_sidecars/{slot}
+        slot = int(path.rsplit("/", 1)[1])
+        return {"data": self.sim.get_blob_sidecars(slot)}
+
+    @property
+    def url(self) -> str:
+        host = f"http://127.0.0.1:{self.port}"
+        # get_blob_data routes on the URL: blobscan endpoints are
+        # recognized by substring, like the reference (preflight.rs:322)
+        return host + "/blobscan" if self.blobscan else host
+
+    def stop(self):
+        self.httpd.shutdown()
+
+
+def _mk_taiko_world():
+    from chainsim import TaikoSim
+
+    l1 = ChainSim("ethereum")
+    l1.fund(SENDER, 10**20)
+    l1.produce_block([mktx(0, b"\x77" * 20, value=9)])
+    l2 = TaikoSim(l1, "taiko_a7")
+    l2.fund(SENDER, 10**20)
+    l2.produce_taiko_block(
+        [mktx(0, b"\x88" * 20, value=5, chain_id=167009)], use_blob=True
+    )
+    l2.produce_taiko_block(
+        [mktx(1, b"\x88" * 20, value=5, chain_id=167009)], use_blob=False
+    )
+    return l1, l2
+
+
+@pytest.fixture()
+def taiko_wired_world():
+    _SIM_REGISTRY.clear()
+    l1, l2 = _mk_taiko_world()
+    l1f, l2f = RpcFacade(l1), RpcFacade(l2)
+    beacon = BeaconFacade(l1)
+    yield l1, l2, l1f, l2f, beacon
+    for f in (l1f, l2f, beacon):
+        f.stop()
+    _SIM_REGISTRY.clear()
+
+
+def _wire_specs(l1f, l2f, beacon):
+    specs = SupportedChainSpecs()
+    specs.get("ethereum").rpc = l1f.url
+    specs.get("ethereum").beacon_rpc = beacon.url
+    specs.get("taiko_a7").rpc = l2f.url
+    return specs
+
+
+def test_taiko_preflight_blob_over_wire(taiko_wired_world):
+    """Full taiko preflight with NO registered simulator: the proposal is
+    found via eth_getLogs at the inclusion block hash, the propose tx via
+    eth_getTransactionByHash, and the blob via the beacon HTTP API with
+    slot computation — then the block proves natively."""
+    l1, l2, l1f, l2f, beacon = taiko_wired_world
+    specs = _wire_specs(l1f, l2f, beacon)
+    req = ProofRequest(
+        block_number=1, network="taiko_a7", proof_type=ProofType.NATIVE
+    )
+    raiko = Raiko(specs, req)
+    gi = raiko.generate_input()
+    output = raiko.get_output(gi)
+    raiko.prove(gi, output)
+    assert output.header.hash() == l2.headers[1].hash()
+    assert gi.taiko.blob_commitment is not None
+    # the live-path wire calls actually happened
+    assert "eth_getLogs" in l1f.calls
+    assert "eth_getTransactionByHash" in l1f.calls
+    assert any("/eth/v1/beacon/blob_sidecars/" in p for p in beacon.requests)
+
+
+def test_taiko_preflight_calldata_over_wire(taiko_wired_world):
+    """Calldata-DA block: tx list decoded from proposeBlock calldata of
+    the fetched proposal tx (no beacon involved)."""
+    l1, l2, l1f, l2f, beacon = taiko_wired_world
+    specs = _wire_specs(l1f, l2f, beacon)
+    req = ProofRequest(
+        block_number=2, network="taiko_a7", proof_type=ProofType.NATIVE
+    )
+    raiko = Raiko(specs, req)
+    gi = raiko.generate_input()
+    output = raiko.get_output(gi)
+    assert output.header.hash() == l2.headers[2].hash()
+    assert not gi.taiko.block_proposed_meta.blob_used
+    assert beacon.requests == []
+
+
+def test_taiko_preflight_blobscan_fallback(taiko_wired_world):
+    """With a blobscan-style endpoint configured, the blob is fetched by
+    versioned hash from /blobs/{hash} (ref preflight.rs:391-417)."""
+    l1, l2, l1f, l2f, _ = taiko_wired_world
+    blobscan = BeaconFacade(l1, blobscan=True)
+    try:
+        specs = _wire_specs(l1f, l2f, blobscan)
+        req = ProofRequest(
+            block_number=1, network="taiko_a7", proof_type=ProofType.NATIVE
+        )
+        raiko = Raiko(specs, req)
+        gi = raiko.generate_input()
+        output = raiko.get_output(gi)
+        assert output.header.hash() == l2.headers[1].hash()
+        assert any(p.startswith("/blobscan/blobs/0x") for p in blobscan.requests)
+    finally:
+        blobscan.stop()
