@@ -32,6 +32,38 @@ NTT_BASELINE = 55.4e9  # butterflies/s, TPU v5e single chip (BASELINE.md)
 
 
 def main() -> None:
+    from raiko_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    # ---- taiko_a7 sim-block proof wall-clock (SURVEY §6 obligation) ----
+    # Runs FIRST, in subprocesses, before this process initializes the
+    # TPU backend: the sandbox relay admits ONE process at a time, so the
+    # tpu_stark child must hold it alone.  The persistent XLA cache makes
+    # the child's compiles one-time; null on timeout.
+    import subprocess
+
+    def block_bench(backend: str, timeout_s: int, cpu: bool = False):
+        env = dict(os.environ)
+        if cpu:
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join("tools", "bench_block.py"), backend],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            return json.loads(line) if r.returncode == 0 and line else None
+        except Exception:
+            return None
+
+    blk_native = block_bench("native", 900, cpu=True)
+    blk_stark = block_bench("tpu_stark", 2400)
     os.environ.setdefault("JAX_COMPILATION_CACHE", "1")
     import jax
 
@@ -188,6 +220,16 @@ def main() -> None:
                     "kzg_blob_commitment_s": round(msm_s, 4),
                     "kzg_blob_commitment_amortized_s": round(msm_multi_s / nblobs, 4),
                     "ecrecover_batch_txs_per_s": round(nrec / rec_s),
+                    "taiko_a7_block_proof_native_s": (
+                        blk_native and blk_native["total_s"]
+                    ),
+                    "taiko_a7_block_proof_tpu_stark_s": (
+                        blk_stark and blk_stark["total_s"]
+                    ),
+                    "taiko_a7_block_proof_detail": {
+                        "native": blk_native,
+                        "tpu_stark": blk_stark,
+                    },
                 },
             }
         )

@@ -163,21 +163,28 @@ def execute_transaction(
     for i in range(1, 11):
         state.access_account(bytes(19) + bytes([i]))
     prewarm_slots: set[int] = set()
+    prewarm_slot_map: dict[bytes, set[int]] = {}
     for item in tx.access_list:
         addr_keys = item if isinstance(item, list) else item.rlp_item()
         state.access_account(bytes(addr_keys[0]))
         for k in addr_keys[1]:
             slot = int.from_bytes(k, "big")
             state.access_slot(bytes(addr_keys[0]), slot)
+            prewarm_slot_map.setdefault(bytes(addr_keys[0]), set()).add(slot)
             if tx.to is not None and bytes(addr_keys[0]) == tx.to:
                 prewarm_slots.add(slot)
+    # tx-start warm ADDRESS set (EIP-2929/3651): the frame replay's
+    # address-journal prewarm baseline (stark/airs/evm_call.py)
+    prewarm_addrs = {int.from_bytes(a, "big") for a in state.warm_accounts}
 
+    acct_log: dict = {}
     evm = EVM(
         state,
         block,
         TxEnv(origin=sender, gas_price=gas_price, blob_hashes=list(tx.blob_versioned_hashes)),
         is_taiko=is_taiko,
         tracer=tracer,
+        acct_log=acct_log,
     )
     gas_exec = tx.gas_limit - ig
     frame_code = b"" if is_create else state.code(tx.to)
@@ -211,6 +218,30 @@ def execute_transaction(
                     if addr == tx.to
                 },
                 "warm_slots": sorted(prewarm_slots),
+                # world view for CALL composition: every touched account
+                # with code + its storage originals, and the tx-start
+                # warm address set (docs/EVM_COMPOSITION.md)
+                "world": {
+                    int.from_bytes(a, "big"): {
+                        "code": state.code(a),
+                        "storage": {
+                            slot: val
+                            for (aa, slot), val in state.orig_storage.items()
+                            if aa == a
+                        },
+                        "warm_slots": sorted(
+                            prewarm_slot_map.get(a, ())
+                        ),
+                    }
+                    for a in list(state.accounts)
+                    if state.code(a)
+                },
+                "warm_addresses": sorted(prewarm_addrs),
+                # account-context reads actually observed (value-exact;
+                # keys poisoned to None on mid-tx divergence)
+                "acct_ctx": {
+                    k: v for k, v in acct_log.items() if v is not None
+                },
                 "gasprice": gas_price,
                 "coinbase": int.from_bytes(block.coinbase, "big"),
                 "timestamp": block.timestamp,

@@ -67,17 +67,29 @@ class EVM:
         tx: TxEnv,
         is_taiko=False,
         tracer=None,
+        acct_log: dict | None = None,
     ):
         self.state = state
         self.block = block
         self.tx = tx
         self.depth = 0
+        # account-context read log for the covered-frame replay
+        # (stark/airs/evm_air.py): (kind, key) -> value, poisoned to None
+        # when the same key is read with different values mid-tx
+        self.acct_log = acct_log
         self.is_taiko = is_taiko
         # optional per-step tracer (evm/tracer.StructTracer); None keeps
         # the interpreter loop at one is-None check per step
         self.tracer = tracer
 
     # ------------------------------------------------------------------
+    def _alog(self, kind: int, key: int, value: int) -> None:
+        if self.acct_log is None or key >= (1 << 160):
+            return
+        k = (kind, key)
+        prev = self.acct_log.get(k, value)
+        self.acct_log[k] = value if prev == value else None
+
     def call(
         self,
         caller: bytes,
@@ -384,7 +396,9 @@ class EVM:
                 elif op == 0x31:  # BALANCE
                     a = _addr(pop())
                     use(2600 if state.access_account(a) else 100)
-                    push(state.balance(a))
+                    bal = state.balance(a)
+                    self._alog(1, int.from_bytes(a, "big"), bal)
+                    push(bal)
                 elif op == 0x32:  # ORIGIN
                     use(2)
                     push(int.from_bytes(self.tx.origin, "big"))
@@ -424,7 +438,9 @@ class EVM:
                 elif op == 0x3B:  # EXTCODESIZE
                     a = _addr(pop())
                     use(2600 if state.access_account(a) else 100)
-                    push(len(state.code(a)))
+                    cs = len(state.code(a))
+                    self._alog(2, int.from_bytes(a, "big"), cs)
+                    push(cs)
                 elif op == 0x3C:  # EXTCODECOPY
                     a = _addr(pop())
                     dst, src, size = pop(), pop(), pop()
@@ -448,17 +464,22 @@ class EVM:
                 elif op == 0x3F:  # EXTCODEHASH
                     a = _addr(pop())
                     use(2600 if state.access_account(a) else 100)
-                    if not state.exists(a):
-                        push(0)
-                    else:
-                        push(int.from_bytes(keccak256(state.code(a)), "big"))
+                    ch = (
+                        int.from_bytes(keccak256(state.code(a)), "big")
+                        if state.exists(a)
+                        else 0
+                    )
+                    self._alog(3, int.from_bytes(a, "big"), ch)
+                    push(ch)
                 elif op == 0x40:  # BLOCKHASH
                     use(20)
                     n = pop()
                     if 0 < self.block.number - n <= 256:
-                        push(int.from_bytes(state.db.block_hash(n), "big"))
+                        bh = int.from_bytes(state.db.block_hash(n), "big")
                     else:
-                        push(0)
+                        bh = 0
+                    self._alog(4, n, bh)
+                    push(bh)
                 elif op == 0x41:  # COINBASE
                     use(2)
                     push(int.from_bytes(self.block.coinbase, "big"))
@@ -479,7 +500,9 @@ class EVM:
                     push(self.block.chain_id)
                 elif op == 0x47:  # SELFBALANCE
                     use(5)
-                    push(state.balance(address))
+                    sb = state.balance(address)
+                    self._alog(1, int.from_bytes(address, "big"), sb)
+                    push(sb)
                 elif op == 0x48:  # BASEFEE
                     use(2)
                     push(self.block.base_fee)

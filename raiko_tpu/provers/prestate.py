@@ -69,10 +69,18 @@ def collect_prestate_paths(collect: dict) -> dict | None:
     per_account: dict[bytes, set[int]] = {}
     for cand in frames:
         slots = cand.get("storage") or {}
-        if not slots:
-            continue
-        ab = int(cand.get("address", 0)).to_bytes(20, "big")
-        per_account.setdefault(ab, set()).update(int(s) for s in slots)
+        if slots:
+            ab = int(cand.get("address", 0)).to_bytes(20, "big")
+            per_account.setdefault(ab, set()).update(int(s) for s in slots)
+        # callee frames' storage (CALL composition): the candidate's
+        # world view carries per-address originals
+        for addr_int, info in (cand.get("world") or {}).items():
+            wslots = info.get("storage") or {}
+            if wslots:
+                ab = int(addr_int).to_bytes(20, "big")
+                per_account.setdefault(ab, set()).update(
+                    int(s) for s in wslots
+                )
     if not per_account:
         return None
 
@@ -159,7 +167,13 @@ def verify_prestate_binding(payload: dict) -> bool:
 
     ps = payload.get("prestate")
     evm = payload.get("evm") or {}
-    frames = evm.get("frames") or []
+    # evm["frames"] entries are call-tree GROUPS (evm-call-tree-v1);
+    # flatten to frame records in execution order (groups are tx-ordered,
+    # and within a group each address appears in at most one frame — the
+    # phase-1 coverage restriction of docs/EVM_COMPOSITION.md)
+    frames = [
+        fr for grp in (evm.get("frames") or []) for fr in grp.get("frames", [])
+    ]
     has_storage = any(fr.get("storage") for fr in frames)
     if ps is None:
         # nothing claimed: acceptable only when no proven frame touches

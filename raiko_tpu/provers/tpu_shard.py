@@ -235,7 +235,7 @@ def prove_block_sharded(
         for cand in candidates:
             if len(frame_traces) == max_frames:
                 break
-            if not cand.get("success") or cand["gas"] >= 1 << 32:
+            if not cand.get("success") or cand["gas"] >= 1 << 28:
                 continue
             code = cand["code"]
             env = ea.FrameEnv(
@@ -255,6 +255,9 @@ def prove_block_sharded(
                     calldata=cand.get("calldata"),
                     storage=cand.get("storage"),
                     warm_slots=set(cand.get("warm_slots", ())),
+                    world=cand.get("world") or {},
+                    warm_addresses=set(cand.get("warm_addresses", ())),
+                    acct_ctx=cand.get("acct_ctx") or {},
                 )
             except ea.UncoveredFrame:
                 continue
@@ -282,7 +285,11 @@ def prove_block_sharded(
             "covered": len(frames),
             "frames": frames,
         }
-        if "chain" in payload and any(f.get("storage") for f in frames):
+        if "chain" in payload and any(
+            fr.get("storage")
+            for grp in frames
+            for fr in grp.get("frames", [])
+        ):
             from .prestate import prove_prestate
 
             pre = prove_prestate(collect)

@@ -121,7 +121,9 @@ class TpuStarkProver(Prover):
                 # (provers/prestate.py); requires the chain statement for
                 # the parent-header anchor
                 if "chain" in payload and any(
-                    f.get("storage") for f in evm["frames"]
+                    fr.get("storage")
+                    for grp in evm["frames"]
+                    for fr in grp.get("frames", [])
                 ):
                     from .prestate import prove_prestate
 
@@ -425,7 +427,7 @@ def prove_evm_frames(
     for cand in candidates:
         if len(frames) == max_frames:
             break
-        if not cand.get("success") or cand["gas"] >= 1 << 32:
+        if not cand.get("success") or cand["gas"] >= 1 << 28:
             continue
         code = cand["code"]
         env = ea.FrameEnv(
@@ -445,6 +447,9 @@ def prove_evm_frames(
                 calldata=cand.get("calldata"),
                 storage=cand.get("storage"),
                 warm_slots=set(cand.get("warm_slots", ())),
+                world=cand.get("world") or {},
+                warm_addresses=set(cand.get("warm_addresses", ())),
+                acct_ctx=cand.get("acct_ctx") or {},
             )
         except ea.UncoveredFrame:
             continue

@@ -116,9 +116,28 @@ offset, sw, kind); the calldata bridge reads each source word from the
 calldata channel (or constrains it zero past the end), the code bridge
 carries its source words as fixed columns, and both write every word
 to RAM at destw + j; byte tails read the old word at sub-clock +1 and
-write the splice at +2.  Calls (docs/EVM_COMPOSITION.md) are the
-remaining roadmap; frames using them are reported uncovered, never
-mis-proven.
+write the splice at +2.
+
+CALL composition (round 4, docs/EVM_COMPOSITION.md): CALL (0xF1)
+occupies TWO rows — the "call" row reads argsOff/addr/argsSize/gas,
+charges the EIP-2929 base (cold flag journaled via BUS_AD against
+stark/airs/evm_call.py's EvmAddrAir) and expands memory to cover both
+the args and ret ranges (a max gadget over two materialized targets);
+the "callret" row reads value/retOff/retSize, runs the EIP-150 63/64
+forwarding gadget (avail = the row's gas register, gas_in = min cap),
+pays gas_in, receives gas_ret/rds back through the CALLRET channel and
+pushes success.  The callee executes as its OWN frame group in the
+same proof: the caller sends a CALLREQ tuple carrying (call id =
+caller fid + clk, gas_in, value, address, calldatasize, caller
+address, callee fid); the callee's CPU receives it built from its OWN
+publics, so LogUp equality forces the callee's environment to be
+exactly what the caller created.  Argument/returndata bytes move
+through MemSpanBridgeAir instances whose fixed words are the callee's
+public calldata/returndata, instanced in-circuit by BUS_BR tuples.
+The identity precompile (0x04) answers CALLREQ from a
+PrecompileCallAir.  Phase-1 coverage restrictions (reported uncovered,
+never mis-proven): zero value, 32-byte-aligned arg/ret ranges,
+retSize <= rds, no REVERT paths, one frame per address per tree.
 """
 
 from __future__ import annotations
@@ -182,6 +201,23 @@ SIMPLE_OPS = {
     "gas": (0x5A, 2, 0, 1),
     "jumpdest": (0x5B, 1, 0, 0),
     "push0": (0x5F, 2, 0, 1),
+    # CALL occupies TWO consecutive CPU rows (docs/EVM_COMPOSITION.md):
+    # the "call" row reads argsOff/addr/argsSize/gas and does the memory
+    # expansion + EIP-2929 base charge; the "callret" row reads
+    # value/retOff/retSize, runs the 63/64 forwarding gadget, exchanges
+    # the CALLREQ/CALLRET tuples and pushes success.  Both rows fetch
+    # the same 0xF1 instruction.
+    "call": (0xF1, 100, 0, 0),
+    "callret": (0xF1, 0, 0, 0),
+    # account-state family (round 4): values come from the PUBLIC
+    # account-context table (evm_call.AcctCtxAir) over BUS_AC; the
+    # EIP-2929 100/2600 address pricing rides the same address journal
+    # as CALL (base 100 static + 2500*cold dynamic)
+    "balance": (0x31, 100, 1, 1),
+    "extcodesize": (0x3B, 100, 1, 1),
+    "extcodehash": (0x3F, 100, 1, 1),
+    "blockhash": (0x40, 20, 1, 1),
+    "selfbalance": (0x47, 5, 0, 1),
 }
 
 # constant-push environment opcodes: name -> opbyte (gas 2, 0 pops, 1 push)
@@ -243,7 +279,7 @@ def _sp_delta(name: str) -> int:
         return -1
     if name in (
         "iszero", "not", "swap", "jumpdest", "stop", "calldataload", "mload",
-        "sload",
+        "sload", "call", "balance", "extcodesize", "extcodehash", "blockhash",
     ):
         return 0
     if name in ("pop", "jump"):
@@ -252,6 +288,8 @@ def _sp_delta(name: str) -> int:
         return -2
     if name in ("calldatacopy", "codecopy", "returndatacopy"):
         return -3
+    if name == "callret":
+        return -6  # CALL's net: 7 pops + 1 push, on the second row
     if name == "log":
         return 0  # real delta is -(fam_n + 1); added explicitly in eval
     return 1  # push/push0/dup/pc/gas/env
@@ -322,7 +360,31 @@ DMT0 = DMB0 + 32  # 256 t-byte bits
 SCOLD = DMT0 + 256
 SG1 = SCOLD + 1
 SG2 = SG1 + 1
-CPU_WIDTH = SG2 + 1
+# CALL-row raw (non-boolean) witnesses: the big-request inverse, the
+# [retSize != 0] inverse, and the two materialized expansion targets of
+# the max gadget (argneed/retneed); meaningful on call rows only
+CC_INVH = SG2 + 1
+CC_INVR = CC_INVH + 1
+CC_ARGNEED = CC_INVR + 1
+CC_RETNEED = CC_ARGNEED + 1
+CPU_WIDTH = CC_RETNEED + 1
+
+# CALL-row scratch overlay (the SCRATCH0 bit region is free on call /
+# callret rows: no mul carries, no shift one-hots)
+CW_BIGREQ = 0  # + SCRATCH0; [requested gas >= 2^28]
+CW_TR = 1  # [retSize != 0]
+CW_MM = 2  # max-gadget selector: argneed >= retneed
+CW_CFID0 = 3  # 16 bits: callee frame id
+CW_DMAX0 = 19  # 14 bits: |argneed - retneed|
+# CALLRET-row scratch overlay
+RW_Q0 = 0  # 22 bits: avail div 64
+RW_R0 = 22  # 6 bits: avail mod 64
+RW_M = 28  # min selector: cap < requested
+RW_D0 = 29  # 30 bits: |requested - cap|
+RW_GASIN0 = 59  # 28 bits: forwarded gas
+RW_GASRET0 = 87  # 28 bits: callee gas left (CALLRET-bound)
+RW_RDS0 = 115  # 13 bits: callee returndata size (CALLRET-bound)
+RW_RDIFF0 = 128  # 13 bits: rds - retSize when retSize != 0
 
 MAX_MEM_WORDS_LOG = 13  # coverage cap: 2^13 32-byte words (256 KiB)
 MAX_KECCAK_CALLS = 64  # per-frame cap on proven KECCAK256 calls
@@ -339,7 +401,17 @@ AUX_M2 = AUX_AR + 4  # 2nd RAM tuple (m8 write / unaligned 2nd-word read)
 AUX_M3 = AUX_M2 + 4  # 3rd RAM tuple (MSTORE word-1 write)
 AUX_M4 = AUX_M3 + 4  # 4th RAM tuple (unaligned MSTORE word-2 write)
 AUX_CP = AUX_M4 + 4  # calldata-copy call sends
-CPU_AUX_W = AUX_CP + 4
+# call composition (docs/EVM_COMPOSITION.md)
+AUX_CQ = AUX_CP + 4  # CALLREQ sends (call rows)
+AUX_CQI = AUX_CQ + 4  # CALLREQ receive inverse witness (callee, last row)
+AUX_CR = AUX_CQI + 4  # CALLRET receives (call rows)
+AUX_CRI = AUX_CR + 4  # CALLRET send inverse witness (callee, last row)
+AUX_BRA = AUX_CRI + 4  # args-bridge instancing sends
+AUX_BRW = AUX_BRA + 4  # ret-write-bridge instancing sends
+AUX_BRR = AUX_BRW + 4  # callee ret-read-bridge instancing sends
+AUX_ADR = AUX_BRR + 4  # address-journal sends
+AUX_AC = AUX_ADR + 4  # account-context sends
+CPU_AUX_W = AUX_AC + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
@@ -352,7 +424,14 @@ CHAL_K = 7  # hash-call tuples (CPU -> bridge)
 CHAL_ST = 8  # storage access tuples (CPU -> storage journal)
 CHAL_AR = 9  # signed-arithmetic call tuples (CPU -> arith table)
 CHAL_CP = 10  # calldata-copy call tuples (CPU -> copy bridge)
-NUM_CHALLENGES = 11
+# cross-frame channels (docs/EVM_COMPOSITION.md): tuples carry frame ids
+# INSIDE the tuple, so these gammas are NOT fid-shifted
+CHAL_CQ = 11  # CALLREQ: caller CALL row -> callee frame / precompile
+CHAL_CR = 12  # CALLRET: callee halt -> caller CALL row
+CHAL_BR = 13  # args/ret memory-span bridge instancing tuples
+CHAL_AD = 14  # address-access tuples (CPU -> address journal, EIP-2929)
+CHAL_AC = 15  # account-context tuples (CPU -> AcctCtxAir, per-frame)
+NUM_CHALLENGES = 16
 BUS_FETCH = 0
 BUS_STACK = 1
 BUS_CD = 2
@@ -363,17 +442,43 @@ BUS_KCALL = 6
 BUS_STOR = 7
 BUS_AR = 8  # SDIV/SMOD/EXP calls -> evm_arith.py
 BUS_CP = 9  # CALLDATACOPY calls -> evm_copy.py
-NUM_BUS = 10
+BUS_CQ = 10  # CALLREQ tuples (cross-frame)
+BUS_CR = 11  # CALLRET tuples (cross-frame)
+BUS_BR = 12  # bridge instancing tuples
+BUS_AD = 13  # address-access tuples
+BUS_AC = 14  # account-context tuples (balance/codesize/codehash/blockhash)
+NUM_BUS = 15
 ENV_IDX_CDSIZE = list(ENV_OPS).index("calldatasize")
+ENV_IDX_ADDRESS = list(ENV_OPS).index("address")
+ENV_IDX_CALLER = list(ENV_OPS).index("caller")
+ENV_IDX_CALLVALUE = list(ENV_OPS).index("callvalue")
 
 # publics layout
 PUB_GAS0 = 0  # lo, hi
 PUB_GASF = 2  # lo, hi
 PUB_SPF = 4
 PUB_ENV0 = 5  # 16 limbs per env op, ENV_OPS order
-NUM_PUBLICS = PUB_ENV0 + 16 * len(ENV_OPS)
+# frame-composition publics (docs/EVM_COMPOSITION.md): the frame id
+# instancing every per-frame channel, the callee linkage (is_callee +
+# the caller's (fid, clk) call id), and the returndata statement (rds +
+# whether a returndata bridge is attached)
+PUB_FID = PUB_ENV0 + 16 * len(ENV_OPS)
+PUB_IS_CALLEE = PUB_FID + 1
+PUB_CID_FID = PUB_FID + 2
+PUB_CID_CLK = PUB_FID + 3
+PUB_RDS = PUB_FID + 4
+PUB_HASRET = PUB_FID + 5
+NUM_PUBLICS = PUB_FID + 6
 
 MAX_STEPS_LOG = 20  # clk4 = 4*clk + slot < 2^22
+MAX_GAS_LOG = 28  # frame gas < 2^28: keeps every gas equation far from
+# the field modulus (p ~ 2^30.9), so a +-p wrap of the gas register is
+# never representable in the range-checked bits — out-of-gas and gas
+# inflation are unsatisfiable, not merely improbable
+# the fid-instancing chi power: one past the longest channel tuple
+# (the arith tuple ends at chi^96)
+FID_CHI_POW = 97
+MAX_FRAMES_PER_TREE = 64  # fid < 64; keccak msg ids stride by this
 
 # limb i of a 256-bit word = sum_b 2^b * bit[16i + b]  (16 x 256 linmap)
 _LIMB_MAT = [[0] * 256 for _ in range(16)]
@@ -419,6 +524,64 @@ def _slot_code_host(addr: int, clk4: int, iw: int, value: int, chi: tuple) -> tu
             acc = ef.h_add(acc, ef.h_mul(ef.h_from_base(byt), p))
         p = ef.h_mul(p, chi)
     return acc
+
+
+# --------------------------------------------------------------------------
+# frame-id channel instancing (docs/EVM_COMPOSITION.md)
+#
+# Every PER-FRAME channel tuple is instanced by folding the frame id at
+# chi^97 (one power past the longest tuple).  Implemented equivalently by
+# shifting the channel's gamma: gamma_eff = gamma - fid * chi^97, so no
+# tuple-code construction changes — sender and receiver of the same frame
+# use the same shifted gamma, and tuples of different frames can only
+# collide at a chi root (negligible).
+# --------------------------------------------------------------------------
+
+# challenge indices whose gammas are fid-shifted (per-frame channels).
+# CHAL_B / CHAL_D (bridge <-> sponge) are NOT shifted: those tuples are
+# instanced by striding the message ids with fid * MAX_FRAMES_PER_TREE
+# instead, so the shared KeccakSpongeV2Air needs no fid notion.
+_FID_CHALS = (
+    CHAL_F, CHAL_S, CHAL_C, CHAL_M, CHAL_K, CHAL_ST, CHAL_AR, CHAL_CP,
+    CHAL_AD, CHAL_AC,
+)
+
+
+def _h_chi97(chi: tuple) -> tuple:
+    c = chi
+    for _ in range(5):  # chi^2, 4, 8, 16, 32
+        c = ef.h_mul(c, c)
+    c64 = ef.h_mul(c, c)
+    return ef.h_mul(ef.h_mul(c64, c), chi)  # chi^(64+32+1)
+
+
+def fid_challenges(challenges: list, fid: int) -> list:
+    """Host-side: the challenge list with per-frame gammas shifted by
+    -fid*chi^97.  Identity when fid == 0."""
+    if not fid:
+        return list(challenges)
+    chi = challenges[CHAL_CHI]
+    shift = ef.h_mul(ef.h_from_base(fid % bb.P), _h_chi97(chi))
+    out = list(challenges)
+    for idx in _FID_CHALS:
+        if idx < len(out):
+            out[idx] = ef.h_sub(out[idx], shift)
+    return out
+
+
+def _eval_chi97(b: ConstraintBuilder, chi4: list) -> list:
+    c = chi4
+    for _ in range(5):
+        c = b.ef_mul4(c, c)
+    c64 = b.ef_mul4(c, c)
+    return b.ef_mul4(b.ef_mul4(c64, c), chi4)
+
+
+def fid_gamma(b: ConstraintBuilder, chi4: list, gamma4: list, fid_expr) -> list:
+    """Constraint-side gamma shift: gamma - fid * chi^97 (degree of
+    fid_expr is 0 — it is a public)."""
+    c97 = _eval_chi97(b, chi4)
+    return b.ef_sub4(gamma4, [b.mul(fid_expr, c97[c]) for c in range(4)])
 
 
 # --------------------------------------------------------------------------
@@ -497,6 +660,7 @@ class _Step:
     mem_access3: tuple | None = None  # (word_addr, iw, value) at slot 2
     mem_access4: tuple | None = None  # (word_addr, iw, value) at slot 3
     accesses: list = field(default_factory=list)  # (slot, addr, iw, value)
+    callw: dict | None = None  # call/callret row witnesses (CW_*/RW_* keys)
 
 
 @dataclass
@@ -524,6 +688,28 @@ class FrameTrace:
     # CALLDATACOPY calls: (clk, destw, offset, sw, words) — (destw,
     # offset, sw) become public bridge structure (evm_copy.py)
     copy_calls: list = field(default_factory=list)
+    # frame-composition statement (docs/EVM_COMPOSITION.md): returndata
+    # size claimed by the halt (0 for STOP, the RETURN size otherwise)
+    rds: int = 0
+    # the RETURN row's (clk, word offset, words incl. padded tail) — the
+    # callee-side returndata bridge structure; None when rds == 0
+    ret_span: tuple | None = None
+    # child call sites: dicts recorded by the executor per covered
+    # CALL/STATICCALL (clk of the CALL row, callee trace or precompile
+    # record, gas accounting, memory spans)
+    call_sites: list = field(default_factory=list)
+    # address-access journal (EIP-2929, call rows): accesses
+    # (addr, clk4, cold) and PUBLIC groups [(addr, count, prewarm)]
+    addr_accesses: list = field(default_factory=list)
+    addr_groups: list = field(default_factory=list)
+    # account-context records (kind, key, value, count) — PUBLIC rows of
+    # evm_call.AcctCtxAir (balance/codesize/codehash/blockhash)
+    acct_groups: list = field(default_factory=list)
+    # proving-time composition role (assigned by the call-tree prover)
+    fid: int = 0
+    is_callee: int = 0
+    cid: tuple = (0, 0)  # (caller fid, caller CALL-row clk)
+    hasret: int = 0  # callee-side returndata bridge attached
 
     @property
     def accesses(self):
@@ -560,6 +746,22 @@ class FrameTrace:
                 out.append((destw + sw - 1, 4 * clk + 1, 0, tail_old))
             for i, wv in enumerate(words):
                 out.append((destw + i, 4 * clk + 2, 1, wv))
+        # call-composition bridge accesses: args words read at the CALL
+        # row's sub-clock +1, returndata words written at the callret
+        # row's sub-clock +1 (both sent by MemSpanBridgeAir instances)
+        for site in self.call_sites:
+            for j, wv in enumerate(site["args_words"]):
+                out.append((site["args_offw"] + j, 4 * site["clk"] + 1, 0, wv))
+            for j, wv in enumerate(site["ret_words"]):
+                out.append(
+                    (site["ret_offw"] + j, 4 * (site["clk"] + 1) + 1, 1, wv)
+                )
+        # callee-side returndata binding: the RETURN range read back at
+        # the RETURN row's sub-clock +1 when a parent consumes it
+        if self.hasret and self.ret_span:
+            rclk, roffw, rwords = self.ret_span
+            for j, wv in enumerate(rwords):
+                out.append((roffw + j, 4 * rclk + 1, 0, wv))
         return out
 
 
@@ -647,6 +849,11 @@ def execute_frame(
     calldata: bytes | None = None,
     storage: dict | None = None,
     warm_slots: set | None = None,
+    world: dict | None = None,
+    warm_addresses: set | None = None,
+    depth: int = 0,
+    _tree_addrs: set | None = None,
+    acct_ctx: dict | None = None,
 ) -> FrameTrace:
     """Run the covered-subset stack machine, recording the full witness.
 
@@ -656,7 +863,7 @@ def execute_frame(
     (interpreter loop exit, interpreter.py:244/706).  ``calldata``
     defaults to env.calldatasize zero bytes; when given it must match
     env.calldatasize (the public CALLDATASIZE word binds the table)."""
-    assert 0 <= gas < 1 << 32, "frame gas must fit the 32-bit gas register"
+    assert 0 <= gas < 1 << MAX_GAS_LOG, "frame gas must stay below 2^28"
     env = env if env.codesize else FrameEnv(**{**env.__dict__, "codesize": len(code)})
     if calldata is None:
         calldata = bytes(env.calldatasize)
@@ -685,6 +892,27 @@ def execute_frame(
     keccak_calls: list = []
     arith_calls: list = []
     copy_calls: list = []
+    ret_rds = 0
+    ret_span = None
+    call_sites: list = []
+    # EIP-2929 address access set, shared down the call tree; precompiles
+    # and the tree-visited addresses
+    warm_addr = warm_addresses if warm_addresses is not None else set()
+    prewarm_addr = set(warm_addr)
+    tree_addrs = _tree_addrs if _tree_addrs is not None else {env.address}
+    addr_accesses: list = []  # (addr, clk4, cold)
+    addr_counts: dict[int, int] = {}
+    # account-context records: (kind, key, value) -> multiplicity
+    # (kind 1 balance, 2 codesize, 3 codehash, 4 blockhash)
+    acct_counts: dict[tuple, int] = {}
+
+    def acct_lookup(kind: int, key_i: int):
+        v = (acct_ctx or {}).get((kind, key_i))
+        if v is None:
+            raise UncoveredFrame("account context outside captured set")
+        rec = (kind, key_i, int(v))
+        acct_counts[rec] = acct_counts.get(rec, 0) + 1
+        return int(v)
     # storage journal: originals are the coverage boundary — slots not in
     # the provided pre-image map make the frame uncovered
     storage_orig = dict(storage or {})
@@ -1074,6 +1302,228 @@ def execute_frame(
             st.a, st.b, st.w = dest, 0, 0
             st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness([0] * 16)
             use(3)
+        elif op in (0x31, 0x3B, 0x3F):
+            st.name = {0x31: "balance", 0x3B: "extcodesize", 0x3F: "extcodehash"}[op]
+            a = pop1()
+            st.a = a
+            addr = a & ((1 << 160) - 1)
+            cold = 0 if (addr in warm_addr or 1 <= addr <= 0x0A) else 1
+            warm_addr.add(addr)
+            st.scold = cold
+            addr_accesses.append((addr, 4 * (len(steps) - 1), cold))
+            addr_counts[addr] = addr_counts.get(addr, 0) + 1
+            use(100 + 2500 * cold)
+            kind = {0x31: 1, 0x3B: 2, 0x3F: 3}[op]
+            push(acct_lookup(kind, addr), sp - 1)
+        elif op == 0x40:
+            st.name = "blockhash"
+            n_arg = pop1()
+            st.a = n_arg
+            use(20)
+            if n_arg >= (1 << 160):
+                raise UncoveredFrame("BLOCKHASH number beyond 160 bits")
+            push(acct_lookup(4, n_arg), sp - 1)
+        elif op == 0x47:
+            st.name = "selfbalance"
+            use(5)
+            push(acct_lookup(1, env.address), sp)
+        elif op == 0xF1:
+            # CALL (docs/EVM_COMPOSITION.md): two rows, the callee as its
+            # own frame bound through CALLREQ/CALLRET; phase-1 coverage:
+            # zero value, 32-byte-aligned arg/ret ranges, retSize <= rds,
+            # leaf-or-nested callees at addresses not yet in the tree
+            st.name = "call"
+            if sp < 7:
+                raise UncoveredFrame("stack underflow")
+            if world is None:
+                raise UncoveredFrame("no world state for CALL")
+            if depth >= 8:
+                raise UncoveredFrame("call depth beyond coverage")
+            g_req = stack.pop()
+            addr_w = stack.pop()
+            value = stack.pop()
+            args_off = stack.pop()
+            args_size = stack.pop()
+            ret_off = stack.pop()
+            ret_size = stack.pop()
+            if value != 0:
+                raise UncoveredFrame("value-bearing CALL not covered")
+            if any(v % 32 for v in (args_off, args_size, ret_off, ret_size)):
+                raise UncoveredFrame("unaligned CALL memory range")
+            if args_off >= (1 << 18) or ret_off >= (1 << 18):
+                raise UncoveredFrame("far CALL memory range")
+            if args_size >= (1 << 13) or ret_size >= (1 << 13):
+                raise UncoveredFrame("CALL range beyond coverage")
+            addr = addr_w & ((1 << 160) - 1)
+            st.a, st.b, st.c, st.w = args_off, addr_w, args_size, g_req
+            st.accesses = [
+                (0, sp - 4, 0, args_off),
+                (1, sp - 2, 0, addr_w),
+                (2, sp - 5, 0, args_size),
+                (3, sp - 1, 0, g_req),
+            ]
+            # [argsSize != 0] through the row's nonzero gadget (popcount
+            # of C's low 15 bits, like the f_kr sizes)
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(args_size & 0x7FFF).bit_count()] + [0] * 15
+            )
+            asw = (args_size + 31) // 32
+            rsw = (ret_size + 31) // 32
+            st.ksw, st.ksl = asw, 0
+            cold = 0 if (addr in warm_addr or 1 <= addr <= 0x0A) else 1
+            warm_addr.add(addr)
+            st.scold = cold
+            clk_call = len(steps) - 1
+            addr_accesses.append((addr, 4 * clk_call, cold))
+            addr_counts[addr] = addr_counts.get(addr, 0) + 1
+            use(100 + 2500 * cold)
+            argneed = (args_off // 32 + asw) if args_size else 0
+            retneed = (ret_off // 32 + rsw) if ret_size else 0
+            use(mem_expand(st, max(argneed, retneed)))
+            # call-row witnesses: the max gadget + requested-gas flags
+            h_pop = bin(g_req >> MAX_GAS_LOG).count("1")
+            bigreq = 1 if h_pop else 0
+            r_pop = (ret_size & 0x7FFF).bit_count()
+            st.callw = {
+                "bigreq": bigreq,
+                "invh": pow(h_pop, bb.P - 2, bb.P) if h_pop else 0,
+                "tr": 1 if ret_size else 0,
+                "invr": pow(r_pop, bb.P - 2, bb.P) if r_pop else 0,
+                "mm": 1 if argneed >= retneed else 0,
+                "dmax": abs(argneed - retneed),
+                "argneed": argneed,
+                "retneed": retneed,
+                "cfid": 0,  # assigned at prove time (fid of the callee)
+            }
+            # 63/64 forwarding (EIP-150): avail is the gas after the base
+            # + expansion charges — exactly this row's post-charge gas
+            avail = gas_left
+            q64, r64 = avail // 64, avail % 64
+            cap = 63 * q64 + r64
+            reqlo = g_req & ((1 << MAX_GAS_LOG) - 1)
+            m_sel = 1 if (bigreq or g_req > cap) else 0
+            gas_in = cap if m_sel else g_req
+            dmin = (reqlo + (bigreq << MAX_GAS_LOG) - cap) if m_sel else (cap - reqlo)
+            # args bytes from caller memory (fresh reads are zero)
+            args_words = [
+                mem_words.get(args_off // 32 + j, 0) for j in range(asw)
+            ]
+            args_data = b"".join(
+                wv.to_bytes(32, "big") for wv in args_words
+            )[:args_size]
+            # the callret row
+            st2 = _Step(
+                pc=pc, op=op, name="callret", fam_n=0,
+                gas_before=gas_left, sp_before=sp, m_before=m_words,
+            )
+            steps.append(st2)
+            visit[pc] = visit.get(pc, 0) + 1
+            st2.a, st2.b, st2.c = value, ret_off, ret_size
+            st2.ksw, st2.ksl = rsw, 0
+            st2.accesses = [
+                (0, sp - 3, 0, value),
+                (1, sp - 6, 0, ret_off),
+                (2, sp - 7, 0, ret_size),
+            ]
+            # execute the callee
+            site = {
+                "clk": clk_call,
+                "addr": addr,
+                "cold": cold,
+                "gas_in": gas_in,
+                "args_offw": args_off // 32,
+                "args_sw": asw,
+                "args_words": args_words if args_size else [],
+                "ret_offw": ret_off // 32,
+                "ret_sw": rsw if ret_size else 0,
+                "precompile": None,
+                "callee": None,
+            }
+            if 1 <= addr <= 0x0A:
+                if addr != 0x04:
+                    raise UncoveredFrame("precompile not covered")
+                pcost = 15 + 3 * asw
+                if gas_in < pcost:
+                    raise UncoveredFrame("precompile out of gas")
+                gas_ret = gas_in - pcost
+                rds_child = args_size
+                out_words = list(args_words)
+                site["precompile"] = "identity"
+            else:
+                info = world.get(addr)
+                if not info or not info.get("code"):
+                    raise UncoveredFrame("callee without code not covered")
+                if addr in tree_addrs:
+                    raise UncoveredFrame("address revisited in call tree")
+                tree_addrs.add(addr)
+                ccode = bytes(info["code"])
+                cenv = FrameEnv(
+                    address=addr,
+                    origin=env.origin,
+                    caller=env.address,
+                    callvalue=0,
+                    calldatasize=args_size,
+                    codesize=len(ccode),
+                    gasprice=env.gasprice,
+                    returndatasize=0,
+                    coinbase=env.coinbase,
+                    timestamp=env.timestamp,
+                    number=env.number,
+                    prevrandao=env.prevrandao,
+                    gaslimit=env.gaslimit,
+                    chainid=env.chainid,
+                    basefee=env.basefee,
+                    blobbasefee=env.blobbasefee,
+                )
+                child = execute_frame(
+                    ccode,
+                    cenv,
+                    gas_in,
+                    max_steps,
+                    calldata=args_data,
+                    storage=info.get("storage"),
+                    warm_slots=info.get("warm_slots"),
+                    world=world,
+                    warm_addresses=warm_addr,
+                    depth=depth + 1,
+                    _tree_addrs=tree_addrs,
+                    acct_ctx=acct_ctx,
+                )
+                gas_ret = child.gas_f
+                rds_child = child.rds
+                out_words = list(child.ret_span[2]) if child.ret_span else []
+                site["callee"] = child
+            if ret_size:
+                if rds_child < ret_size:
+                    raise UncoveredFrame(
+                        "returndata shorter than retSize not covered"
+                    )
+                for j in range(rsw):
+                    mem_words[ret_off // 32 + j] = out_words[j]
+                site["ret_words"] = out_words[:rsw]
+            else:
+                site["ret_words"] = []
+            use(gas_in - gas_ret)
+            st2.callw = {
+                "q": q64,
+                "r": r64,
+                "m": m_sel,
+                "d": dmin,
+                "gasin": gas_in,
+                "gasret": gas_ret,
+                "rds": rds_child,
+                "rdiff": (rds_child - ret_size) if ret_size else 0,
+            }
+            site["gas_ret"] = gas_ret
+            site["rds"] = rds_child
+            call_sites.append(site)
+            # push success (always 1: reverting/failing paths are
+            # uncovered, never mis-proven)
+            if len(stack) >= 1024:
+                raise UncoveredFrame("stack overflow")
+            stack.append(1)
+            st2.w = 1
+            st2.accesses.append((3, sp - 7, 1, 1))
         elif op == 0x50:
             st.name = "pop"
             a = pop1()
@@ -1215,6 +1665,13 @@ def execute_frame(
             sw = (size + 31) // 32
             st.ksw, st.ksl = sw, 32 * sw - size
             use(mem_expand(st, (a // 32 + sw) if size else 0))
+            ret_rds = size
+            if size:
+                ret_span = (
+                    len(steps) - 1,
+                    a // 32,
+                    [mem_words.get(a // 32 + i, 0) for i in range(sw)],
+                )
             break
         elif 0xA0 <= op <= 0xA4:
             st.name = "log"
@@ -1340,6 +1797,17 @@ def execute_frame(
             )
             for slot, cnt in slot_counts.items()
         ),
+        rds=ret_rds,
+        ret_span=ret_span,
+        call_sites=call_sites,
+        addr_accesses=addr_accesses,
+        addr_groups=sorted(
+            (a, cnt, 1 if (a in prewarm_addr or 1 <= a <= 0x0A) else 0)
+            for a, cnt in addr_counts.items()
+        ),
+        acct_groups=sorted(
+            (k, key, v, cnt) for (k, key, v), cnt in acct_counts.items()
+        ),
     )
 
 
@@ -1427,6 +1895,34 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
         for i in range(5):
             row[KSL0 + i] = (st.ksl >> i) & 1
         row[KNEED] = st.kneed
+        if st.callw is not None:
+            cw = st.callw
+            if st.name == "call":
+                row[SCRATCH0 + CW_BIGREQ] = cw["bigreq"]
+                row[SCRATCH0 + CW_TR] = cw["tr"]
+                row[SCRATCH0 + CW_MM] = cw["mm"]
+                for i in range(16):
+                    row[SCRATCH0 + CW_CFID0 + i] = (cw["cfid"] >> i) & 1
+                for i in range(14):
+                    row[SCRATCH0 + CW_DMAX0 + i] = (cw["dmax"] >> i) & 1
+                row[CC_INVH] = cw["invh"]
+                row[CC_INVR] = cw["invr"]
+                row[CC_ARGNEED] = cw["argneed"]
+                row[CC_RETNEED] = cw["retneed"]
+            else:  # callret
+                for i in range(22):
+                    row[SCRATCH0 + RW_Q0 + i] = (cw["q"] >> i) & 1
+                for i in range(6):
+                    row[SCRATCH0 + RW_R0 + i] = (cw["r"] >> i) & 1
+                row[SCRATCH0 + RW_M] = cw["m"]
+                for i in range(30):
+                    row[SCRATCH0 + RW_D0 + i] = (cw["d"] >> i) & 1
+                for i in range(28):
+                    row[SCRATCH0 + RW_GASIN0 + i] = (cw["gasin"] >> i) & 1
+                    row[SCRATCH0 + RW_GASRET0 + i] = (cw["gasret"] >> i) & 1
+                for i in range(13):
+                    row[SCRATCH0 + RW_RDS0 + i] = (cw["rds"] >> i) & 1
+                    row[SCRATCH0 + RW_RDIFF0 + i] = (cw["rdiff"] >> i) & 1
         row[A0 : A0 + 256] = _word_bits(st.a)
         row[B0 : B0 + 256] = _word_bits(st.b)
         row[C0 : C0 + 256] = _word_bits(st.c)
@@ -1448,15 +1944,17 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
             row[GASB0 + i] = (ft.gas_f >> i) & 1
         for i in range(14):
             row[MEMB0 + i] = (ft.m_final >> i) & 1
-    publics = [
-        ft.gas0 & 0xFFFF,
-        ft.gas0 >> 16,
-        ft.gas_f & 0xFFFF,
-        ft.gas_f >> 16,
+    publics = frame_publics(
+        ft.env,
+        ft.gas0,
+        ft.gas_f,
         ft.sp_f,
-    ]
-    for w in ft.env.words():
-        publics.extend((w >> (16 * i)) & 0xFFFF for i in range(16))
+        fid=ft.fid,
+        is_callee=ft.is_callee,
+        cid=ft.cid,
+        rds=ft.rds,
+        hasret=ft.hasret,
+    )
     return tr, publics
 
 
@@ -1498,6 +1996,10 @@ class EvmCpuAir(Air):
     quotient_chunks = 2
     eager_quotient = True  # see prover._quotient_stage_for
 
+    def __init__(self, fid: int = 0):
+        self.fid = int(fid)
+        self._publics: list | None = None  # set by frame_tables (host aux)
+
     # ---------------- host-side channel terms (aux / bus) ----------------
     def _cols(self, trace: np.ndarray):
         t = trace.astype(np.uint64)
@@ -1510,6 +2012,7 @@ class EvmCpuAir(Air):
         return t, flags, fam_n, sp
 
     def _channel_terms(self, trace: np.ndarray, challenges):
+        challenges = fid_challenges(challenges, self.fid)
         chi, gamma_f, gamma_s, gamma_c, gamma_m = challenges[:5]
         gamma_k = challenges[CHAL_K]
         pows = _np_chi_pows(chi, 97)
@@ -1698,9 +2201,16 @@ class EvmCpuAir(Air):
             flags["calldatacopy"] + flags["codecopy"]
             + flags["returndatacopy"]
         )
+        fcl, fcr = flags["call"], flags["callret"]
+        anycall = fcl + fcr
+        acp = (
+            flags["balance"] + flags["extcodesize"] + flags["extcodehash"]
+            + flags["blockhash"]
+        )
+        fsb = flags["selfbalance"]
         pops_w0 = (
             2 * p21 + flags["iszero"] + flags["not"] + flags["swap"]
-            + cdl + mld + sl + 3 * cdc_f
+            + cdl + mld + sl + 3 * cdc_f + 5 * fcl + 7 * fcr + acp
         )
         env_sum = sum(flags[nm] for nm in ENV_OPS)
         ret = flags["return"]
@@ -1709,31 +2219,36 @@ class EvmCpuAir(Air):
             + flags["iszero"] + flags["not"] + flags["pop"]
             + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
             + cdl + mld + mst + sl + ss + ret + flags["log"]
-            + flags["mstore8"] + cdc_f,
+            + flags["mstore8"] + cdc_f + anycall + acp,
             p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret
-            + flags["log"] + flags["mstore8"] + cdc_f,
+            + flags["log"] + flags["mstore8"] + cdc_f + anycall,
             p21
             + flags["iszero"] + flags["not"] + flags["push0"] + flags["push"]
             + flags["dup"] + flags["swap"] + flags["pc"] + flags["gas"]
-            + env_sum + cdl + mld + msz + sl + cdc_f,
-            flags["swap"],
+            + env_sum + cdl + mld + msz + sl + cdc_f + anycall + acp + fsb,
+            flags["swap"] + anycall,
         ]
         addr = [
-            (sp + _PU - 1 - flags["dup"] * (fam_n - 1)) % _PU,
-            (sp + 2 * _PU - 2 - flags["swap"] * (fam_n - 1)) % _PU,
+            (sp + _PU - 1 - flags["dup"] * (fam_n - 1) - 3 * fcl - 2 * fcr)
+            % _PU,
+            (sp + 2 * _PU - 2 - flags["swap"] * (fam_n - 1) - 4 * fcr) % _PU,
             (sp + _PU * 2 - pops_w0) % _PU,
-            (sp + _PU - 1 - flags["swap"] * fam_n) % _PU,
+            (sp + 2 * _PU - 1 - flags["swap"] * fam_n - 6 * fcr) % _PU,
         ]
         w0_bytes = np.where(
             (flags["swap"] + cdc_f)[:, None] == 1, bytesB, bytesC
         )
         slot1 = np.where(cdc_f[:, None] == 1, bytesW, bytesB)
-        vbytes = [bytesA, slot1, w0_bytes, bytesA]
+        slot3 = np.where(anycall[:, None] == 1, bytesW, bytesA)
+        vbytes = [bytesA, slot1, w0_bytes, slot3]
         slot_terms = []
         for s in range(4):
             iw_s = np.full(n, s >= 2, dtype=np.uint64)
             if s == 2:
-                iw_s = iw_s - cdc_f  # CALLDATACOPY's third pop is a READ
+                # READS: copies' third pop, call argsSize, callret retSize
+                iw_s = iw_s - cdc_f - anycall
+            if s == 3:
+                iw_s = iw_s - fcl  # call row's gas pop is a READ
             code = _np_tuple_code(
                 addr[s],
                 [(4 * clk + s, 1), (iw_s % _PU, 2)]
@@ -1760,6 +2275,198 @@ class EvmCpuAir(Air):
     def _excl_prefix(terms: np.ndarray) -> np.ndarray:
         c = np.cumsum(terms, axis=0) % _PU
         return ef.npef_sub(c, terms)  # plain uint64 subtract would wrap
+
+    def _call_channel_terms(self, trace: np.ndarray, challenges):
+        """Host-side composition-channel terms (sparse python loops over
+        the call rows; self._publics is set by frame_tables)."""
+        n = trace.shape[0]
+        chi = challenges[CHAL_CHI]
+        g_cq = challenges[CHAL_CQ]
+        g_cr = challenges[CHAL_CR]
+        g_br = challenges[CHAL_BR]
+        shifted = fid_challenges(challenges, self.fid)
+        g_ad = shifted[CHAL_AD]
+        g_ac = shifted[CHAL_AC]
+        pubs = self._publics or [0] * NUM_PUBLICS
+        pows = [ef.H_ONE]
+        for _ in range(42):
+            pows.append(ef.h_mul(pows[-1], chi))
+
+        def hcode(base, terms):
+            acc = ef.h_from_base(base % bb.P)
+            for v, e in terms:
+                v = int(v) % bb.P
+                if v:
+                    acc = ef.h_add(acc, ef.h_mul(ef.h_from_base(v), pows[e]))
+            return acc
+
+        def word(r, base):
+            return sum(int(trace[r, base + i]) << i for i in range(256))
+
+        def sbits(r, base, nb):
+            return sum(
+                int(trace[r, SCRATCH0 + base + i]) << i for i in range(nb)
+            )
+
+        out = {
+            k: np.zeros((n, 4), dtype=np.uint64)
+            for k in ("cq", "cr", "bra", "brw", "brr", "adr", "ac")
+        }
+        denoms = []
+        meta = []  # (key, row, sign)
+        caller_l = [
+            pubs[PUB_ENV0 + 16 * ENV_IDX_ADDRESS + i] for i in range(10)
+        ]
+        idx_call = FLAG0 + FLAG_IDX["call"]
+        for r in np.nonzero(trace[:, idx_call])[0]:
+            r = int(r)
+            Bw = word(r, B0)
+            Awn = word(r + 1, A0)
+            Cw = word(r, C0)
+            Cwn = word(r + 1, C0)
+            Bwn = word(r + 1, B0)
+            gasin = sbits(r + 1, RW_GASIN0, 28)
+            gasret = sbits(r + 1, RW_GASRET0, 28)
+            rds = sbits(r + 1, RW_RDS0, 13)
+            cfid = sbits(r, CW_CFID0, 16)
+            addr_l = [(Bw >> (16 * i)) & 0xFFFF for i in range(10)]
+            val_l = [(Awn >> (16 * i)) & 0xFFFF for i in range(16)]
+            code_cq = hcode(
+                self.fid,
+                [(r, 1), (gasin & 0xFFFF, 2), (gasin >> 16, 3)]
+                + [(addr_l[i], 4 + i) for i in range(10)]
+                + [(val_l[i], 14 + i) for i in range(16)]
+                + [(Cw & 0x7FFF, 30)]
+                + [(caller_l[i], 31 + i) for i in range(10)]
+                + [(cfid, 41)],
+            )
+            denoms.append(ef.h_sub(g_cq, code_cq))
+            meta.append(("cq", r, +1))
+            code_cr = hcode(
+                self.fid,
+                [(r, 1), (gasret & 0xFFFF, 2), (gasret >> 16, 3), (1, 4), (rds, 5)],
+            )
+            denoms.append(ef.h_sub(g_cr, code_cr))
+            meta.append(("cr", r, -1))
+            asw = sum(int(trace[r, KSW0 + i]) << i for i in range(10))
+            rsw = sum(int(trace[r + 1, KSW0 + i]) << i for i in range(10))
+            if Cw:
+                code = hcode(
+                    self.fid,
+                    [(4 * r + 1, 1), (word(r, A0) // 32, 3), (asw, 4), (cfid, 5)],
+                )
+                denoms.append(ef.h_sub(g_br, code))
+                meta.append(("bra", r, +1))
+            if Cwn:
+                code = hcode(
+                    self.fid,
+                    [(4 * r + 5, 1), (1, 2), (Bwn // 32, 3), (rsw, 4), (cfid, 5)],
+                )
+                denoms.append(ef.h_sub(g_br, code))
+                meta.append(("brw", r, +1))
+            code_ad = hcode(
+                4 * r,
+                [(int(trace[r, SCOLD]), 1)]
+                + [(addr_l[i], 2 + i) for i in range(10)],
+            )
+            denoms.append(ef.h_sub(g_ad, code_ad))
+            meta.append(("adr", r, +1))
+        # account-state rows: the context tuples + (for the three
+        # address-priced ops) journal entries keyed by the A word
+        for name, kind in (
+            ("balance", 1),
+            ("extcodesize", 2),
+            ("extcodehash", 3),
+            ("blockhash", 4),
+            ("selfbalance", 1),
+        ):
+            for r in np.nonzero(trace[:, FLAG0 + FLAG_IDX[name]])[0]:
+                r = int(r)
+                Aw = word(r, A0)
+                Cw = word(r, C0)
+                if name == "selfbalance":
+                    key_l = [
+                        pubs[PUB_ENV0 + 16 * ENV_IDX_ADDRESS + i]
+                        for i in range(10)
+                    ]
+                else:
+                    key_l = [(Aw >> (16 * i)) & 0xFFFF for i in range(10)]
+                code = hcode(
+                    kind,
+                    [(key_l[i], 1 + i) for i in range(10)]
+                    + [((Cw >> (8 * j)) & 0xFF, 11 + j) for j in range(32)],
+                )
+                denoms.append(ef.h_sub(g_ac, code))
+                meta.append(("ac", r, +1))
+                if name in ("balance", "extcodesize", "extcodehash"):
+                    code_ad = hcode(
+                        4 * r,
+                        [(int(trace[r, SCOLD]), 1)]
+                        + [(key_l[i], 2 + i) for i in range(10)],
+                    )
+                    denoms.append(ef.h_sub(g_ad, code_ad))
+                    meta.append(("adr", r, +1))
+        if pubs[PUB_HASRET]:
+            idx_ret = FLAG0 + FLAG_IDX["return"]
+            for r in np.nonzero(trace[:, idx_ret])[0]:
+                r = int(r)
+                ksw = sum(int(trace[r, KSW0 + i]) << i for i in range(10))
+                code = hcode(
+                    self.fid,
+                    [(4 * r + 1, 1), (2, 2), (word(r, A0) // 32, 3), (ksw, 4)],
+                )
+                denoms.append(ef.h_sub(g_br, code))
+                meta.append(("brr", r, +1))
+        # callee endpoints (publics-only codes)
+        invQ = ef.H_ZERO
+        invR = ef.H_ZERO
+        if pubs[PUB_IS_CALLEE]:
+            code_recv = hcode(
+                pubs[PUB_CID_FID],
+                [
+                    (pubs[PUB_CID_CLK], 1),
+                    (pubs[PUB_GAS0], 2),
+                    (pubs[PUB_GAS0 + 1], 3),
+                ]
+                + [
+                    (pubs[PUB_ENV0 + 16 * ENV_IDX_ADDRESS + i], 4 + i)
+                    for i in range(10)
+                ]
+                + [
+                    (pubs[PUB_ENV0 + 16 * ENV_IDX_CALLVALUE + i], 14 + i)
+                    for i in range(16)
+                ]
+                + [(pubs[PUB_ENV0 + 16 * ENV_IDX_CDSIZE], 30)]
+                + [
+                    (pubs[PUB_ENV0 + 16 * ENV_IDX_CALLER + i], 31 + i)
+                    for i in range(10)
+                ]
+                + [(pubs[PUB_FID], 41)],
+            )
+            code_send = hcode(
+                pubs[PUB_CID_FID],
+                [
+                    (pubs[PUB_CID_CLK], 1),
+                    (pubs[PUB_GASF], 2),
+                    (pubs[PUB_GASF + 1], 3),
+                    (1, 4),
+                    (pubs[PUB_RDS], 5),
+                ],
+            )
+            denoms.append(ef.h_sub(g_cq, code_recv))
+            meta.append(("invq", -1, -1))
+            denoms.append(ef.h_sub(g_cr, code_send))
+            meta.append(("invr", -1, +1))
+        invs = ef.h_batch_inv(denoms) if denoms else []
+        for (key, r, sign), iv in zip(meta, invs):
+            term = iv if sign > 0 else ef.h_neg(iv)
+            if key == "invq":
+                invQ = term
+            elif key == "invr":
+                invR = term
+            else:
+                out[key][r] = term
+        return out, invQ, invR
 
     def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
         (
@@ -1790,6 +2497,16 @@ class EvmCpuAir(Air):
         aux[:, AUX_M3 : AUX_M3 + 4] = self._excl_prefix(mem3_terms)
         aux[:, AUX_M4 : AUX_M4 + 4] = self._excl_prefix(mem4_terms)
         aux[:, AUX_CP : AUX_CP + 4] = self._excl_prefix(cp_terms)
+        ct, invQ, invR = self._call_channel_terms(trace, challenges)
+        aux[:, AUX_AC : AUX_AC + 4] = self._excl_prefix(ct["ac"])
+        aux[:, AUX_CQ : AUX_CQ + 4] = self._excl_prefix(ct["cq"])
+        aux[:, AUX_CQI : AUX_CQI + 4] = np.array(invQ, dtype=np.uint64)[None, :]
+        aux[:, AUX_CR : AUX_CR + 4] = self._excl_prefix(ct["cr"])
+        aux[:, AUX_CRI : AUX_CRI + 4] = np.array(invR, dtype=np.uint64)[None, :]
+        aux[:, AUX_BRA : AUX_BRA + 4] = self._excl_prefix(ct["bra"])
+        aux[:, AUX_BRW : AUX_BRW + 4] = self._excl_prefix(ct["brw"])
+        aux[:, AUX_BRR : AUX_BRR + 4] = self._excl_prefix(ct["brr"])
+        aux[:, AUX_ADR : AUX_ADR + 4] = self._excl_prefix(ct["adr"])
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
@@ -1826,8 +2543,19 @@ class EvmCpuAir(Air):
         stor = tuple(int(v) for v in stor_terms.sum(axis=0) % _PU)
         ar = tuple(int(v) for v in ar_terms.sum(axis=0) % _PU)
         cp = tuple(int(v) for v in cp_terms.sum(axis=0) % _PU)
+        ct, invQ, invR = self._call_channel_terms(trace, challenges)
+
+        def _tot(key):
+            return tuple(int(v) for v in ct[key].sum(axis=0) % _PU)
+
+        bus_cq = ef.h_add(_tot("cq"), invQ)
+        bus_cr = ef.h_add(_tot("cr"), invR)
+        bus_br = ef.h_add(ef.h_add(_tot("bra"), _tot("brw")), _tot("brr"))
+        bus_ad = _tot("adr")
+        bus_ac = _tot("ac")
         return [
             fetch, stack, cdl, mem, ef.H_ZERO, ef.H_ZERO, kcall, stor, ar, cp,
+            bus_cq, bus_cr, bus_br, bus_ad, bus_ac,
         ]
 
     # ------------------------------- constraints -------------------------
@@ -1835,12 +2563,15 @@ class EvmCpuAir(Air):
         one = b.constant(1)
         chi = b.challenge_ef(CHAL_CHI)
         chi2 = b.ef_mul4(chi, chi)
-        g_f = b.challenge_ef(CHAL_F)
-        g_s = b.challenge_ef(CHAL_S)
-        g_c = b.challenge_ef(CHAL_C)
-        g_m = b.challenge_ef(CHAL_M)
-        g_k = b.challenge_ef(CHAL_K)
-        g_st = b.challenge_ef(CHAL_ST)
+        fid_pub = b.public(PUB_FID)
+        _c97 = _eval_chi97(b, chi)
+        fid_shift = [b.mul(fid_pub, _c97[c]) for c in range(4)]
+        g_f = b.ef_sub4(b.challenge_ef(CHAL_F), fid_shift)
+        g_s = b.ef_sub4(b.challenge_ef(CHAL_S), fid_shift)
+        g_c = b.ef_sub4(b.challenge_ef(CHAL_C), fid_shift)
+        g_m = b.ef_sub4(b.challenge_ef(CHAL_M), fid_shift)
+        g_k = b.ef_sub4(b.challenge_ef(CHAL_K), fid_shift)
+        g_st = b.ef_sub4(b.challenge_ef(CHAL_ST), fid_shift)
 
         pc = b.local(PC)
         pc_n = b.next(PC)
@@ -1909,7 +2640,7 @@ class EvmCpuAir(Air):
             + [NZ0 + i for i in range(16)]
             + list(range(A0, A0 + 1024))
             + list(range(SCRATCH0, KNEED))  # KNEED itself is a raw column
-            + list(range(DMB0, CPU_WIDTH))
+            + list(range(DMB0, CC_INVH))  # CC_INVH..CC_RETNEED are raw
         )
         bits = b.local_block(bit_cols)
         b.all_rows_block(b.mul(bits, b.sub(bits, one)), len(bit_cols))
@@ -1957,12 +2688,16 @@ class EvmCpuAir(Air):
         # 6. program counter
         b.first_row(pc)
         dest = lA[0]
+        # a call row does not advance pc (its callret row, in seq, does)
         seq = b.sub(
             b.sub(
-                b.sub(b.sub(b.sub(one, halted), f["stop"]), f["jump"]),
-                f["jumpi"],
+                b.sub(
+                    b.sub(b.sub(b.sub(one, halted), f["stop"]), f["jump"]),
+                    f["jumpi"],
+                ),
+                f["return"],
             ),
-            f["return"],
+            f["call"],
         )
         adv = b.add(seq, b.mul(f["push"], fam_n))
         jmp = b.mul(f["jump"], b.sub(dest, pc))
@@ -2020,7 +2755,10 @@ class EvmCpuAir(Air):
             b.add(f["calldatacopy"], f["codecopy"]),
         )
         # expansion/dq group (MSTORE8 expands too, at ANY byte offset)
-        f_mx = b.add(b.add(b.add(f["mload"], f["mstore"]), f_kr), f_m8)
+        f_mx = b.add(
+            b.add(b.add(b.add(f["mload"], f["mstore"]), f_kr), f_m8),
+            f["call"],
+        )
 
         def reg_val(base: int, nbits: int, nx: bool):
             g = b.next if nx else b.local
@@ -2079,7 +2817,40 @@ class EvmCpuAir(Air):
         cost = b.add(cost, b.scale(2000, b.mul(f_sl, scold)))
         cost = b.add(cost, b.scale(2100, b.mul(f_ss, scold)))
         cost = b.add(cost, b.add(b.scale(2800, sg1), b.scale(19900, sg2)))
+        # CALL / BALANCE / EXTCODESIZE / EXTCODEHASH: +2500 on a cold
+        # address (base 100 is the flag's static cost); the callret row
+        # pays gas_in and gets gas_ret back
+        f_acctaddr = b.add(
+            b.add(f["balance"], f["extcodesize"]), f["extcodehash"]
+        )
+        cost = b.add(
+            cost,
+            b.scale(2500, b.mul(b.add(f["call"], f_acctaddr), scold)),
+        )
+
+        def scratch_val(base: int, nbits: int, nx: bool = False):
+            g = b.next if nx else b.local
+            acc = None
+            for i in range(nbits):
+                t = b.scale(1 << i, g(SCRATCH0 + base + i))
+                acc = t if acc is None else b.add(acc, t)
+            return acc
+
+        gasin_l = scratch_val(RW_GASIN0, 28)
+        gasret_l = scratch_val(RW_GASRET0, 28)
+        cost = b.add(cost, b.mul(f["callret"], b.sub(gasin_l, gasret_l)))
         b.transition(b.sub(G_n, b.sub(G, cost)))
+        # gas register capped below 2^28 (MAX_GAS_LOG): bits 28..31 are
+        # zero on every row, so no gas equation can wrap mod p — the
+        # property the old "32-bit register wraps mod p" note only
+        # conjectured is now structural
+        gas_top = b.local_block(range(GASB0 + MAX_GAS_LOG, GASB0 + 32))
+        b.all_rows_block(gas_top, 32 - MAX_GAS_LOG)
+        # returndata-size public: the halting step binds PUB_RDS (the
+        # RETURN size's low limb — its high bits are zero via the f_kr
+        # group's 15-bit size check; 0 for STOP)
+        b.all_rows(b.mul(f["return"], b.sub(lB[0], b.public(PUB_RDS))))
+        b.all_rows(b.mul(f["stop"], b.public(PUB_RDS)))
         # EXP byte-length suffix check (bbytes defined in section 14a;
         # emitted there to reuse the byte linmaps)
 
@@ -2147,6 +2918,7 @@ class EvmCpuAir(Air):
         for bit in range(5):
             t = b.scale(1 << bit, b.local(A0 + bit))
             o_low5 = t if o_low5 is None else b.add(o_low5, t)
+        c_pop15 = b.linmap([[1] * 15], b.local_block(range(C0, C0 + 15)))[0]
         extra0 = b.add(
             b.add(b.mul(f_sh3, a_hi8), b.mul(b.add(f_byte, f_se), a_hi5)),
             b.add(
@@ -2163,7 +2935,11 @@ class EvmCpuAir(Air):
                     ),
                     b.mul(f["sstore"], g_hi20),
                 ),
-                b.mul(b.add(f["mload"], f["mstore"]), o_low5),
+                b.add(
+                    b.mul(b.add(f["mload"], f["mstore"]), o_low5),
+                    # call row: taken = [argsSize != 0] (C's popcount)
+                    b.mul(f["call"], c_pop15),
+                ),
             ),
         )
         inp_blk = b.add(
@@ -2746,7 +3522,23 @@ class EvmCpuAir(Air):
         # witnesses whose truth the storage table enforces through the
         # tuple code.
         f_stor = b.add(f_sl, f_ss)
-        b.all_rows(b.mul(scold, b.sub(one, f_stor)))
+        # SCOLD doubles as the address cold flag on CALL / BALANCE /
+        # EXTCODESIZE / EXTCODEHASH rows (EIP-2929)
+        b.all_rows(
+            b.mul(
+                scold,
+                b.sub(
+                    one,
+                    b.add(
+                        b.add(f_stor, f["call"]),
+                        b.add(
+                            b.add(f["balance"], f["extcodesize"]),
+                            f["extcodehash"],
+                        ),
+                    ),
+                ),
+            ),
+        )
         b.all_rows(b.mul(sg1, b.sub(one, f_ss)))
         b.all_rows(b.mul(sg2, b.sub(one, f_ss)))
         b.all_rows(b.mul(sg1, sg2))
@@ -2790,7 +3582,7 @@ class EvmCpuAir(Air):
         # 14h. signed-arithmetic channel: SDIV/SMOD send
         #   kind + sum_j a_j chi^{1+j} + b_j chi^{33+j} + c_j chi^{65+j}
         # to ArithAir (evm_arith.py), which proves the signed semantics.
-        g_ar = b.challenge_ef(CHAL_AR)
+        g_ar = b.ef_sub4(b.challenge_ef(CHAL_AR), fid_shift)
         f_sdv, f_smd = f["sdiv"], f["smod"]
         kind_expr = b.add(
             b.add(f_sdv, b.scale(2, f_smd)), b.scale(3, f_exp)
@@ -2825,7 +3617,7 @@ class EvmCpuAir(Air):
         b.all_rows_block(b.mul(f_cdcc, w_hi15), 241)
         b.all_rows_block(b.mul(f["returndatacopy"], Bblk), 256)
         b.all_rows_block(b.mul(f["returndatacopy"], Wblk), 256)
-        g_cp = b.challenge_ef(CHAL_CP)
+        g_cp = b.ef_sub4(b.challenge_ef(CHAL_CP), fid_shift)
         offv = None
         for bit in range(15):
             t = b.scale(1 << bit, b.local(W0 + bit))
@@ -2883,6 +3675,15 @@ class EvmCpuAir(Air):
         f_cdc = b.add(
             f["calldatacopy"], b.add(f["codecopy"], f["returndatacopy"])
         )
+        f_cl = f["call"]
+        f_cr = f["callret"]
+        f_anycall = b.add(f_cl, f_cr)
+        # account-state family: pop-1-push-1 (selfbalance pushes only)
+        f_acp = b.add(
+            b.add(f["balance"], f["extcodesize"]),
+            b.add(f["extcodehash"], f["blockhash"]),
+        )
+        f_sb = f["selfbalance"]
         pops_w0 = b.add(
             b.add(
                 b.scale(2, p21),
@@ -2891,7 +3692,14 @@ class EvmCpuAir(Air):
                     b.add(f["swap"], b.add(f_cdl, b.add(f_mld, f_sl))),
                 ),
             ),
-            b.scale(3, f_cdc),
+            b.add(
+                b.add(
+                    b.scale(3, f_cdc),
+                    # call row reads argsSize @sp-5; callret retSize @sp-7
+                    b.add(b.scale(5, f_cl), b.scale(7, f_cr)),
+                ),
+                f_acp,
+            ),
         )
         actives = [
             b.add(
@@ -2905,7 +3713,10 @@ class EvmCpuAir(Air):
                                 b.add(f_mld, f_mst),
                                 b.add(f["mstore8"], b.add(f_sl, f_ss)),
                             ),
-                            b.add(b.add(f_ret, f_log), f_cdc),
+                            b.add(
+                                b.add(b.add(f_ret, f_log), f_cdc),
+                                b.add(f_anycall, f_acp),
+                            ),
                         ),
                     ),
                 ),
@@ -2916,7 +3727,9 @@ class EvmCpuAir(Air):
                     b.add(f["jumpi"], b.add(f["swap"], f["mstore8"])),
                     b.add(
                         b.add(f_mst, f_ss),
-                        b.add(b.add(f_ret, f_log), f_cdc),
+                        b.add(
+                            b.add(b.add(f_ret, f_log), f_cdc), f_anycall
+                        ),
                     ),
                 ),
             ),
@@ -2929,34 +3742,56 @@ class EvmCpuAir(Air):
                         b.add(
                             b.add(f["pc"], f["gas"]),
                             b.add(
-                                b.add(env_f, f_cdc),
+                                b.add(
+                                    env_f,
+                                    b.add(
+                                        f_cdc,
+                                        b.add(f_anycall, b.add(f_acp, f_sb)),
+                                    ),
+                                ),
                                 b.add(f_cdl, b.add(b.add(f_mld, f_msz), f_sl)),
                             ),
                         ),
                     ),
                 ),
             ),
-            f["swap"],
+            b.add(f["swap"], f_anycall),
         ]
         fam_m1 = b.sub(fam_n, one)
         addrs = [
-            b.sub(b.sub(sp, one), b.mul(f["dup"], fam_m1)),
-            b.sub(b.sub(sp, b.constant(2)), b.mul(f["swap"], fam_m1)),
+            # call row: argsOff at sp-4; callret row: value at sp-3
+            b.sub(
+                b.sub(b.sub(sp, one), b.mul(f["dup"], fam_m1)),
+                b.add(b.scale(3, f_cl), b.scale(2, f_cr)),
+            ),
+            # call row: addr at sp-2 (default); callret: retOff at sp-6
+            b.sub(
+                b.sub(b.sub(sp, b.constant(2)), b.mul(f["swap"], fam_m1)),
+                b.scale(4, f_cr),
+            ),
             b.sub(sp, pops_w0),
-            b.sub(b.sub(sp, one), b.mul(f["swap"], fam_n)),
+            # call row: gas at sp-1 (default); callret: success at sp-7
+            b.sub(
+                b.sub(b.sub(sp, one), b.mul(f["swap"], fam_n)),
+                b.scale(6, f_cr),
+            ),
         ]
         w0_bits = b.add(
             Cblk,
             b.mul(b.add(f["swap"], f_cdc), b.sub(Bblk, Cblk)),
         )
         slot1_bits = b.add(Bblk, b.mul(f_cdc, b.sub(Wblk, Bblk)))
-        vblks = [Ablk, slot1_bits, w0_bits, Ablk]
+        slot3_bits = b.add(Ablk, b.mul(f_anycall, b.sub(Wblk, Ablk)))
+        vblks = [Ablk, slot1_bits, w0_bits, slot3_bits]
         acc_sum = None
         for s in range(4):
             vcode = b.bit_block_code(vblks[s], chi, b.constant(0), 32)
             iw_s = b.constant(1 if s >= 2 else 0)
             if s == 2:
-                iw_s = b.sub(iw_s, f_cdc)  # third-pop READ
+                # third-pop READS: copies, call argsSize, callret retSize
+                iw_s = b.sub(iw_s, b.add(f_cdc, f_anycall))
+            if s == 3:
+                iw_s = b.sub(iw_s, f_cl)  # call row's gas pop is a READ
             inner = b.ef_add4(b.ef_from_base4(iw_s), vcode)
             clk4 = b.add(b.scale(4, clk), b.constant(s))
             code = b.ef_add4(
@@ -2984,6 +3819,377 @@ class EvmCpuAir(Air):
             b.transition(b.sub(prodC[c], act_cd[c]))
             b.first_row(accC[c])
 
+        # 16b. call composition (docs/EVM_COMPOSITION.md): the two-row
+        # CALL shape, the 63/64 forwarding gadget, and the cross-frame
+        # CALLREQ/CALLRET/bridge/address channels
+        g_cq = b.challenge_ef(CHAL_CQ)
+        g_cr = b.challenge_ef(CHAL_CR)
+        g_br = b.challenge_ef(CHAL_BR)
+        g_ad = b.ef_sub4(b.challenge_ef(CHAL_AD), fid_shift)
+        # chi power ladder chi^0..chi^41 for the wide CALLREQ tuple
+        chip = [b.ef_from_base4(one), list(chi)]
+        for _ in range(40):
+            chip.append(b.ef_mul4(chip[-1], chi))
+
+        def lincode(base_expr, terms):
+            acc4 = b.ef_from_base4(base_expr)
+            for ex, e in terms:
+                acc4 = b.ef_add4(acc4, [b.mul(ex, chip[e][c]) for c in range(4)])
+            return acc4
+
+        f_cr_n = b.next(FLAG0 + FLAG_IDX["callret"])
+        # pairing: a row is followed by a callret row iff it is a call row
+        b.transition(b.sub(f_cr_n, f_cl))
+        b.first_row(f["callret"])
+        # --- call-row ranges: argsSize aligned, < 2^15, word count bound
+        c_hi = b.local_block(range(C0 + 15, C0 + 256))
+        b.all_rows_block(b.mul(f_cl, c_hi), 241)
+        c_lo5 = b.local_block(range(C0, C0 + 5))
+        b.all_rows_block(b.mul(f_cl, c_lo5), 5)
+        c_val15 = None
+        for i in range(15):
+            tv = b.scale(1 << i, b.local(C0 + i))
+            c_val15 = tv if c_val15 is None else b.add(c_val15, tv)
+        b.all_rows(b.mul(f_cl, b.sub(b.scale(32, swval), c_val15)))
+        b.all_rows(b.mul(f_cl, slval))
+        # --- callret-row ranges (via call-row transitions): retSize and
+        # retOff aligned and bounded, the value word pinned to zero, the
+        # success push pinned to one
+        cn_hi = b.next_block(range(C0 + 15, C0 + 256))
+        b.transition_block(b.mul(f_cl, cn_hi), 241)
+        cn_lo5 = b.next_block(range(C0, C0 + 5))
+        b.transition_block(b.mul(f_cl, cn_lo5), 5)
+        bn_hi = b.next_block(range(B0 + 18, B0 + 256))
+        b.transition_block(b.mul(f_cl, bn_hi), 238)
+        bn_lo5 = b.next_block(range(B0, B0 + 5))
+        b.transition_block(b.mul(f_cl, bn_lo5), 5)
+        an_blk = b.next_block(range(A0, A0 + 256))
+        b.transition_block(b.mul(f_cl, an_blk), 256)
+        wn_rest = b.next_block(range(W0 + 1, W0 + 256))
+        b.transition_block(b.mul(f_cl, wn_rest), 255)
+        b.transition(b.mul(f_cl, b.sub(b.next(W0), one)))
+        cn_val15 = None
+        for i in range(15):
+            tv = b.scale(1 << i, b.next(C0 + i))
+            cn_val15 = tv if cn_val15 is None else b.add(cn_val15, tv)
+        swval_n = None
+        for i in range(10):
+            tv = b.scale(1 << i, b.next(KSW0 + i))
+            swval_n = tv if swval_n is None else b.add(swval_n, tv)
+        slval_n = None
+        for i in range(5):
+            tv = b.scale(1 << i, b.next(KSL0 + i))
+            slval_n = tv if slval_n is None else b.add(slval_n, tv)
+        b.transition(b.mul(f_cl, b.sub(b.scale(32, swval_n), cn_val15)))
+        b.transition(b.mul(f_cl, slval_n))
+        # --- [retSize != 0] witness and the expansion max gadget
+        tr_w = b.local(SCRATCH0 + CW_TR)
+        invr_w = b.local(CC_INVR)
+        cn_pop = None
+        for i in range(15):
+            tv = b.next(C0 + i)
+            cn_pop = tv if cn_pop is None else b.add(cn_pop, tv)
+        b.transition(b.mul(f_cl, b.sub(tr_w, b.mul(cn_pop, invr_w))))
+        b.transition(b.mul(b.mul(f_cl, cn_pop), b.sub(one, tr_w)))
+        waddr_bn = None
+        for bit in range(5, 18):
+            tv = b.scale(1 << (bit - 5), b.next(B0 + bit))
+            waddr_bn = tv if waddr_bn is None else b.add(waddr_bn, tv)
+        argneed_w = b.local(CC_ARGNEED)
+        retneed_w = b.local(CC_RETNEED)
+        b.all_rows(
+            b.mul(f_cl, b.sub(argneed_w, b.mul(taken, b.add(waddr, swval))))
+        )
+        b.transition(
+            b.mul(
+                f_cl,
+                b.sub(retneed_w, b.mul(tr_w, b.add(waddr_bn, swval_n))),
+            )
+        )
+        mm_w = b.local(SCRATCH0 + CW_MM)
+        dmax_w = scratch_val(CW_DMAX0, 14)
+        b.all_rows(
+            b.mul(
+                b.mul(f_cl, mm_w), b.sub(b.sub(argneed_w, retneed_w), dmax_w)
+            )
+        )
+        b.all_rows(
+            b.mul(
+                b.mul(f_cl, b.sub(one, mm_w)),
+                b.sub(b.sub(retneed_w, argneed_w), dmax_w),
+            )
+        )
+        b.all_rows(
+            b.mul(
+                f_cl,
+                b.sub(
+                    b.sub(kneed, retneed_w),
+                    b.mul(mm_w, b.sub(argneed_w, retneed_w)),
+                ),
+            )
+        )
+        # --- 63/64 forwarding (EIP-150): avail = the callret row's gas
+        bigreq_w = b.local(SCRATCH0 + CW_BIGREQ)
+        invh_w = b.local(CC_INVH)
+        h_req = b.linmap(
+            [[1] * (256 - MAX_GAS_LOG)],
+            b.local_block(range(W0 + MAX_GAS_LOG, W0 + 256)),
+        )[0]
+        b.all_rows(b.mul(f_cl, b.sub(bigreq_w, b.mul(h_req, invh_w))))
+        b.all_rows(b.mul(b.mul(f_cl, h_req), b.sub(one, bigreq_w)))
+        reqlo = None
+        for i in range(MAX_GAS_LOG):
+            tv = b.scale(1 << i, b.local(W0 + i))
+            reqlo = tv if reqlo is None else b.add(reqlo, tv)
+        q_n = scratch_val(RW_Q0, 22, True)
+        r_n = scratch_val(RW_R0, 6, True)
+        m_n = b.next(SCRATCH0 + RW_M)
+        d_n = scratch_val(RW_D0, 30, True)
+        gasin_n = scratch_val(RW_GASIN0, 28, True)
+        gasret_n = scratch_val(RW_GASRET0, 28, True)
+        rds_n = scratch_val(RW_RDS0, 13, True)
+        rdiff_n = scratch_val(RW_RDIFF0, 13, True)
+        cap = b.add(b.scale(63, q_n), r_n)
+        b.transition(
+            b.mul(f_cl, b.sub(G_n, b.add(b.scale(64, q_n), r_n)))
+        )
+        # r < 64 is structural (6 bits); big requests force the cap
+        b.transition(b.mul(b.mul(f_cl, bigreq_w), b.sub(one, m_n)))
+        b.transition(
+            b.mul(
+                b.mul(f_cl, m_n),
+                b.sub(
+                    b.add(reqlo, b.scale(1 << MAX_GAS_LOG, bigreq_w)),
+                    b.add(cap, d_n),
+                ),
+            )
+        )
+        b.transition(
+            b.mul(
+                b.mul(f_cl, b.sub(one, m_n)),
+                b.sub(cap, b.add(reqlo, d_n)),
+            )
+        )
+        b.transition(
+            b.mul(
+                f_cl,
+                b.sub(
+                    b.sub(gasin_n, reqlo),
+                    b.mul(m_n, b.sub(cap, reqlo)),
+                ),
+            )
+        )
+        # retSize <= rds when data is copied back
+        b.transition(
+            b.mul(
+                b.mul(f_cl, tr_w),
+                b.sub(rds_n, b.add(cn_val15, rdiff_n)),
+            )
+        )
+        # --- CALLREQ sends (+1 per call row; tuple mixes call-row values
+        # with the callret row's forwarding witnesses)
+        lA_n = b.linmap(_LIMB_MAT, b.next_block(range(A0, A0 + 256)))
+        gasin_lo_n = scratch_val(RW_GASIN0, 16, True)
+        gasin_hi_n = None
+        for i in range(16, 28):
+            tv = b.scale(1 << (i - 16), b.next(SCRATCH0 + RW_GASIN0 + i))
+            gasin_hi_n = tv if gasin_hi_n is None else b.add(gasin_hi_n, tv)
+        gasret_lo_n = scratch_val(RW_GASRET0, 16, True)
+        gasret_hi_n = None
+        for i in range(16, 28):
+            tv = b.scale(1 << (i - 16), b.next(SCRATCH0 + RW_GASRET0 + i))
+            gasret_hi_n = tv if gasret_hi_n is None else b.add(gasret_hi_n, tv)
+        cfid_w = scratch_val(CW_CFID0, 16)
+        caller_pub = [
+            b.public(PUB_ENV0 + 16 * ENV_IDX_ADDRESS + i) for i in range(10)
+        ]
+        code_cq = lincode(
+            fid_pub,
+            [(clk, 1), (gasin_lo_n, 2), (gasin_hi_n, 3)]
+            + [(lB[i], 4 + i) for i in range(10)]
+            + [(lA_n[i], 14 + i) for i in range(16)]
+            + [(c_val15, 30)]
+            + [(caller_pub[i], 31 + i) for i in range(10)]
+            + [(cfid_w, 41)],
+        )
+        accCQ = [b.aux(AUX_CQ + c) for c in range(4)]
+        accCQ_n = [b.aux_next(AUX_CQ + c) for c in range(4)]
+        prodCQ = b.ef_mul4(b.ef_sub4(accCQ_n, accCQ), b.ef_sub4(g_cq, code_cq))
+        fcl4 = b.ef_from_base4(f_cl)
+        for c in range(4):
+            b.transition(b.sub(prodCQ[c], fcl4[c]))
+            b.first_row(accCQ[c])
+        # --- CALLRET receives (-1 per call row)
+        code_cr = lincode(
+            fid_pub,
+            [
+                (clk, 1),
+                (gasret_lo_n, 2),
+                (gasret_hi_n, 3),
+                (one, 4),
+                (rds_n, 5),
+            ],
+        )
+        accCR = [b.aux(AUX_CR + c) for c in range(4)]
+        accCR_n = [b.aux_next(AUX_CR + c) for c in range(4)]
+        prodCR = b.ef_mul4(b.ef_sub4(accCR_n, accCR), b.ef_sub4(g_cr, code_cr))
+        for c in range(4):
+            b.transition(b.add(prodCR[c], fcl4[c]))
+            b.first_row(accCR[c])
+        # --- bridge instancing sends: args (kind 0), ret-write (kind 1)
+        # on call rows; the callee's ret-read (kind 2) on its RETURN row
+        code_bra = lincode(
+            fid_pub,
+            [
+                (b.add(b.scale(4, clk), one), 1),
+                (waddr, 3),
+                (swval, 4),
+                (cfid_w, 5),
+            ],
+        )
+        accBRA = [b.aux(AUX_BRA + c) for c in range(4)]
+        accBRA_n = [b.aux_next(AUX_BRA + c) for c in range(4)]
+        prodBRA = b.ef_mul4(
+            b.ef_sub4(accBRA_n, accBRA), b.ef_sub4(g_br, code_bra)
+        )
+        act_bra = b.ef_from_base4(b.mul(f_cl, taken))
+        for c in range(4):
+            b.transition(b.sub(prodBRA[c], act_bra[c]))
+            b.first_row(accBRA[c])
+        code_brw = lincode(
+            fid_pub,
+            [
+                (b.add(b.scale(4, clk), b.constant(5)), 1),
+                (one, 2),
+                (waddr_bn, 3),
+                (swval_n, 4),
+                (cfid_w, 5),
+            ],
+        )
+        accBRW = [b.aux(AUX_BRW + c) for c in range(4)]
+        accBRW_n = [b.aux_next(AUX_BRW + c) for c in range(4)]
+        prodBRW = b.ef_mul4(
+            b.ef_sub4(accBRW_n, accBRW), b.ef_sub4(g_br, code_brw)
+        )
+        act_brw = b.ef_from_base4(b.mul(f_cl, tr_w))
+        for c in range(4):
+            b.transition(b.sub(prodBRW[c], act_brw[c]))
+            b.first_row(accBRW[c])
+        code_brr = lincode(
+            fid_pub,
+            [
+                (b.add(b.scale(4, clk), one), 1),
+                (b.constant(2), 2),
+                (waddr, 3),
+                (swval, 4),
+            ],
+        )
+        accBRR = [b.aux(AUX_BRR + c) for c in range(4)]
+        accBRR_n = [b.aux_next(AUX_BRR + c) for c in range(4)]
+        prodBRR = b.ef_mul4(
+            b.ef_sub4(accBRR_n, accBRR), b.ef_sub4(g_br, code_brr)
+        )
+        act_brr = b.ef_from_base4(
+            b.mul(f["return"], b.public(PUB_HASRET))
+        )
+        for c in range(4):
+            b.transition(b.sub(prodBRR[c], act_brr[c]))
+            b.first_row(accBRR[c])
+        # --- address-journal sends (per-frame channel, fid-shifted):
+        # CALL rows key by the B word, account-state rows by the A word
+        adr_limbs = [
+            b.add(lB[i], b.mul(f_acctaddr, b.sub(lA[i], lB[i])))
+            for i in range(10)
+        ]
+        code_ad = lincode(
+            b.scale(4, clk),
+            [(scold, 1)] + [(adr_limbs[i], 2 + i) for i in range(10)],
+        )
+        accAD = [b.aux(AUX_ADR + c) for c in range(4)]
+        accAD_n = [b.aux_next(AUX_ADR + c) for c in range(4)]
+        prodAD = b.ef_mul4(b.ef_sub4(accAD_n, accAD), b.ef_sub4(g_ad, code_ad))
+        actAD = b.ef_from_base4(b.add(f_cl, f_acctaddr))
+        for c in range(4):
+            b.transition(b.sub(prodAD[c], actAD[c]))
+            b.first_row(accAD[c])
+        # --- account-context sends (balance/codesize/codehash/blockhash
+        # + SELFBALANCE keying its OWN address publics); values are the
+        # pushed C word, bound against the PUBLIC AcctCtxAir rows
+        g_ac = b.ef_sub4(b.challenge_ef(CHAL_AC), fid_shift)
+        kind_ac = b.add(
+            b.add(f["balance"], b.scale(2, f["extcodesize"])),
+            b.add(
+                b.add(b.scale(3, f["extcodehash"]), b.scale(4, f["blockhash"])),
+                f_sb,
+            ),
+        )
+        self_pub = [
+            b.public(PUB_ENV0 + 16 * ENV_IDX_ADDRESS + i) for i in range(10)
+        ]
+        ac_keys = [
+            b.add(lA[i], b.mul(f_sb, b.sub(self_pub[i], lA[i])))
+            for i in range(10)
+        ]
+        vcode_ac = b.bit_block_code(Cblk, chi, b.constant(0), 32)
+        code_ac = lincode(
+            kind_ac, [(ac_keys[i], 1 + i) for i in range(10)]
+        )
+        code_ac = b.ef_add4(code_ac, b.ef_mul4(chip[10], vcode_ac))
+        # BLOCKHASH keys must stay below 2^160
+        a_hi160 = b.local_block(range(A0 + 160, A0 + 256))
+        b.all_rows_block(b.mul(f["blockhash"], a_hi160), 96)
+        accAC = [b.aux(AUX_AC + c) for c in range(4)]
+        accAC_n = [b.aux_next(AUX_AC + c) for c in range(4)]
+        prodAC = b.ef_mul4(b.ef_sub4(accAC_n, accAC), b.ef_sub4(g_ac, code_ac))
+        actAC = b.ef_from_base4(b.add(f_acp, f_sb))
+        for c in range(4):
+            b.transition(b.sub(prodAC[c], actAC[c]))
+            b.first_row(accAC[c])
+        # --- callee-side channel endpoints: one CALLREQ receive and one
+        # CALLRET send, built purely from publics, bound through inverse
+        # witnesses at the (always halted) last row
+        is_callee4 = b.ef_from_base4(b.public(PUB_IS_CALLEE))
+        cvalue_pub = [
+            b.public(PUB_ENV0 + 16 * ENV_IDX_CALLVALUE + i) for i in range(16)
+        ]
+        caddr_pub = [
+            b.public(PUB_ENV0 + 16 * ENV_IDX_ADDRESS + i) for i in range(10)
+        ]
+        ccaller_pub = [
+            b.public(PUB_ENV0 + 16 * ENV_IDX_CALLER + i) for i in range(10)
+        ]
+        code_cq_recv = lincode(
+            b.public(PUB_CID_FID),
+            [
+                (b.public(PUB_CID_CLK), 1),
+                (b.public(PUB_GAS0), 2),
+                (b.public(PUB_GAS0 + 1), 3),
+            ]
+            + [(caddr_pub[i], 4 + i) for i in range(10)]
+            + [(cvalue_pub[i], 14 + i) for i in range(16)]
+            + [(b.public(PUB_ENV0 + 16 * ENV_IDX_CDSIZE), 30)]
+            + [(ccaller_pub[i], 31 + i) for i in range(10)]
+            + [(fid_pub, 41)],
+        )
+        invQ = [b.aux(AUX_CQI + c) for c in range(4)]
+        prodQ = b.ef_mul4(invQ, b.ef_sub4(g_cq, code_cq_recv))
+        for c in range(4):
+            b.last_row(b.add(prodQ[c], is_callee4[c]))
+        code_cr_send = lincode(
+            b.public(PUB_CID_FID),
+            [
+                (b.public(PUB_CID_CLK), 1),
+                (b.public(PUB_GASF), 2),
+                (b.public(PUB_GASF + 1), 3),
+                (one, 4),
+                (b.public(PUB_RDS), 5),
+            ],
+        )
+        invR = [b.aux(AUX_CRI + c) for c in range(4)]
+        prodR = b.ef_mul4(invR, b.ef_sub4(g_cr, code_cr_send))
+        for c in range(4):
+            b.last_row(b.sub(prodR[c], is_callee4[c]))
+
         # 17. bus bindings (last row is always halted padding)
         for c in range(4):
             b.last_row(b.sub(accF[c], b.bus_coord(4 * BUS_FETCH + c)))
@@ -3001,6 +4207,20 @@ class EvmCpuAir(Air):
             b.last_row(b.sub(accST[c], b.bus_coord(4 * BUS_STOR + c)))
             b.last_row(b.sub(accAR[c], b.bus_coord(4 * BUS_AR + c)))
             b.last_row(b.sub(accCP[c], b.bus_coord(4 * BUS_CP + c)))
+            b.last_row(
+                b.sub(b.add(accCQ[c], invQ[c]), b.bus_coord(4 * BUS_CQ + c))
+            )
+            b.last_row(
+                b.sub(b.add(accCR[c], invR[c]), b.bus_coord(4 * BUS_CR + c))
+            )
+            b.last_row(
+                b.sub(
+                    b.add(b.add(accBRA[c], accBRW[c]), accBRR[c]),
+                    b.bus_coord(4 * BUS_BR + c),
+                )
+            )
+            b.last_row(b.sub(accAD[c], b.bus_coord(4 * BUS_AD + c)))
+            b.last_row(b.sub(accAC[c], b.bus_coord(4 * BUS_AC + c)))
 
 
 # --------------------------------------------------------------------------
@@ -3047,10 +4267,15 @@ class EvmProgramAir(Air):
     num_bus_values = 2
     quotient_chunks = 2
     commit_fixed = True
+    # host-numpy constraint eval: the jitted quotient stage for this
+    # shape measured a >25-minute, multi-GB XLA:CPU compile (the root
+    # cause of the round-3 "2.3 CPU-hours per e2e test" finding)
+    eager_quotient = True
 
-    def __init__(self, code: bytes):
+    def __init__(self, code: bytes, fid: int = 0):
         assert len(code) < (1 << 15), "program counter is 15-bit"
         self.code = bytes(code)
+        self.fid = int(fid)
         self.instructions = program_instructions(self.code)
         self.n = _pow2_atleast(len(self.instructions) + 1)
 
@@ -3075,6 +4300,7 @@ class EvmProgramAir(Air):
         return tr
 
     def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        challenges = fid_challenges(challenges, self.fid)
         chi, gamma_f = challenges[0], challenges[1]
         pows = _np_chi_pows(chi, 36)
         n = trace.shape[0]
@@ -3106,7 +4332,7 @@ class EvmProgramAir(Air):
 
     def eval(self, b: ConstraintBuilder) -> None:
         chi = b.challenge_ef(CHAL_CHI)
-        g_f = b.challenge_ef(CHAL_F)
+        g_f = fid_gamma(b, chi, b.challenge_ef(CHAL_F), b.public(0))
         active = b.fixed(RF_ACTIVE)
         pc = b.fixed(RF_PC)
         op = b.fixed(RF_OP)
@@ -3164,8 +4390,9 @@ class EvmStackAir(Air):
     commit_fixed = True
     eager_quotient = True
 
-    def __init__(self, num_accesses: int):
+    def __init__(self, num_accesses: int, fid: int = 0):
         self.T = int(num_accesses)
+        self.fid = int(fid)
         self.n = _pow2_atleast(self.T + 1)
 
     def fixed_columns(self, n: int):
@@ -3206,6 +4433,7 @@ class EvmStackAir(Air):
         return tr
 
     def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        challenges = fid_challenges(challenges, self.fid)
         chi, gamma_s = challenges[0], challenges[2]
         pows = _np_chi_pows(chi, 36)
         t = trace.astype(np.uint64)
@@ -3236,7 +4464,7 @@ class EvmStackAir(Air):
     def eval(self, b: ConstraintBuilder) -> None:
         one = b.constant(1)
         chi = b.challenge_ef(CHAL_CHI)
-        g_s = b.challenge_ef(CHAL_S)
+        g_s = fid_gamma(b, chi, b.challenge_ef(CHAL_S), b.public(0))
         active = b.fixed(SF_ACTIVE)
 
         def val(nx: bool, base: int, nbits: int):
@@ -3338,8 +4566,9 @@ class MemRamAir(Air):
     commit_fixed = True
     eager_quotient = True
 
-    def __init__(self, num_accesses: int):
+    def __init__(self, num_accesses: int, fid: int = 0):
         self.T = int(num_accesses)
+        self.fid = int(fid)
         self.n = _pow2_atleast(self.T + 1)
 
     def fixed_columns(self, n: int):
@@ -3382,6 +4611,7 @@ class MemRamAir(Air):
         return tr
 
     def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        challenges = fid_challenges(challenges, self.fid)
         chi, gamma_m = challenges[CHAL_CHI], challenges[CHAL_M]
         pows = _np_chi_pows(chi, 36)
         t = trace.astype(np.uint64)
@@ -3417,7 +4647,7 @@ class MemRamAir(Air):
     def eval(self, b: ConstraintBuilder) -> None:
         one = b.constant(1)
         chi = b.challenge_ef(CHAL_CHI)
-        g_m = b.challenge_ef(CHAL_M)
+        g_m = fid_gamma(b, chi, b.challenge_ef(CHAL_M), b.public(0))
         active = b.fixed(MF_ACTIVE)
 
         def val(nx: bool, base: int, nbits: int):
@@ -3516,9 +4746,10 @@ class EvmCalldataAir(Air):
     commit_fixed = True
     eager_quotient = True
 
-    def __init__(self, calldata: bytes):
+    def __init__(self, calldata: bytes, fid: int = 0):
         assert len(calldata) < (1 << 15), "calldata offsets are 15-bit"
         self.calldata = bytes(calldata)
+        self.fid = int(fid)
         self.n = _pow2_atleast(len(self.calldata) + 1)
 
     def structure_key(self) -> tuple:
@@ -3543,6 +4774,7 @@ class EvmCalldataAir(Air):
         return tr
 
     def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        challenges = fid_challenges(challenges, self.fid)
         chi, gamma_c = challenges[CHAL_CHI], challenges[CHAL_C]
         pows = _np_chi_pows(chi, 36)
         n = trace.shape[0]
@@ -3567,7 +4799,7 @@ class EvmCalldataAir(Air):
 
     def eval(self, b: ConstraintBuilder) -> None:
         chi = b.challenge_ef(CHAL_CHI)
-        g_c = b.challenge_ef(CHAL_C)
+        g_c = fid_gamma(b, chi, b.challenge_ef(CHAL_C), b.public(0))
         active = b.fixed(CF_ACTIVE)
         off = b.fixed(CF_OFF)
         mult = b.local(CD_MULT)
@@ -3598,30 +4830,33 @@ class EvmCalldataAir(Air):
 
 
 def frame_tables(ft: FrameTrace):
-    """[(air, trace, publics)] for prover.prove_tables."""
-    cpu = EvmCpuAir()
+    """[(air, trace, publics)] for prover.prove_tables.  Every per-frame
+    table is instanced by ft.fid (publics[0] of each non-CPU table)."""
+    fid = int(ft.fid)
+    cpu = EvmCpuAir(fid)
     cpu_trace, publics = build_cpu_trace(ft)
-    rom = EvmProgramAir(ft.code)
-    stk = EvmStackAir(len(ft.accesses))
-    cdt = EvmCalldataAir(ft.calldata)
-    ram = MemRamAir(len(ft.mem_accesses))
+    cpu._publics = publics  # host-side composition-channel codes
+    rom = EvmProgramAir(ft.code, fid)
+    stk = EvmStackAir(len(ft.accesses), fid)
+    cdt = EvmCalldataAir(ft.calldata, fid)
+    ram = MemRamAir(len(ft.mem_accesses), fid)
     tables = [
         (cpu, cpu_trace, publics),
-        (rom, rom.trace(ft.visit_counts), []),
-        (stk, stk.trace(ft.accesses), []),
-        (cdt, cdt.trace(ft.cd_loads), []),
-        (ram, ram.trace(ft.mem_accesses), []),
+        (rom, rom.trace(ft.visit_counts), [fid]),
+        (stk, stk.trace(ft.accesses), [fid]),
+        (cdt, cdt.trace(ft.cd_loads), [fid]),
+        (ram, ram.trace(ft.mem_accesses), [fid]),
     ]
     if ft.storage_groups:
         from .evm_storage import EvmStorageAir
 
-        stor = EvmStorageAir(ft.storage_groups)
-        tables.append((stor, stor.trace(ft.storage_accesses), []))
+        stor = EvmStorageAir(ft.storage_groups, fid)
+        tables.append((stor, stor.trace(ft.storage_accesses), [fid]))
     if ft.keccak_calls:
         from .evm_keccak import EvmKeccakCallAir, EvmSpongeAir
 
         bridge = EvmKeccakCallAir(
-            [(offw, size) for _, offw, size, _, _ in ft.keccak_calls]
+            [(offw, size) for _, offw, size, _, _ in ft.keccak_calls], fid
         )
         witness = [
             (clk, words, digest)
@@ -3631,14 +4866,16 @@ def frame_tables(ft: FrameTrace):
             b"".join(w.to_bytes(32, "big") for w in words)[:size]
             for _, _, size, words, _ in ft.keccak_calls
         ]
-        sponge = EvmSpongeAir.from_messages(messages)
-        tables.append((bridge, bridge.trace(witness), []))
+        sponge = EvmSpongeAir.from_messages(
+            messages, msg_id_offset=fid * MAX_KECCAK_CALLS
+        )
+        tables.append((bridge, bridge.trace(witness), [fid]))
         tables.append((sponge, sponge.trace(), []))
     if ft.arith_calls:
         from .evm_arith import ArithAir
 
-        ar = ArithAir([k for k, *_ in ft.arith_calls])
-        tables.append((ar, ar.trace(ft.arith_calls), []))
+        ar = ArithAir([k for k, *_ in ft.arith_calls], fid)
+        tables.append((ar, ar.trace(ft.arith_calls), [fid]))
     cd_copies = [c for c in ft.copy_calls if c[0] == "calldata"]
     code_copies = [c for c in ft.copy_calls if c[0] == "code"]
     if cd_copies:
@@ -3647,6 +4884,7 @@ def frame_tables(ft: FrameTrace):
         cp = EvmCopyAir(
             [(d, o, w, sl) for _, _, d, o, w, sl, _, _, _ in cd_copies],
             ft.env.calldatasize,
+            fid,
         )
         tables.append(
             (
@@ -3657,7 +4895,7 @@ def frame_tables(ft: FrameTrace):
                         for _, clk, _, _, _, _, _, srcs, told in cd_copies
                     ]
                 ),
-                [],
+                [fid],
             )
         )
     if code_copies:
@@ -3666,6 +4904,7 @@ def frame_tables(ft: FrameTrace):
         cc = CodeCopyAir(
             [(d, o, w, sl) for _, _, d, o, w, sl, _, _, _ in code_copies],
             ft.code,
+            fid,
         )
         tables.append(
             (
@@ -3676,16 +4915,29 @@ def frame_tables(ft: FrameTrace):
                         for _, clk, _, _, _, _, _, _, told in code_copies
                     ]
                 ),
-                [],
+                [fid],
             )
         )
     return tables
 
 
-def frame_publics(env: FrameEnv, gas0: int, gas_f: int, sp_f: int) -> list[int]:
+def frame_publics(
+    env: FrameEnv,
+    gas0: int,
+    gas_f: int,
+    sp_f: int,
+    fid: int = 0,
+    is_callee: int = 0,
+    cid: tuple = (0, 0),
+    rds: int = 0,
+    hasret: int = 0,
+) -> list[int]:
     publics = [gas0 & 0xFFFF, gas0 >> 16, gas_f & 0xFFFF, gas_f >> 16, sp_f]
     for w in env.words():
         publics.extend((w >> (16 * i)) & 0xFFFF for i in range(16))
+    publics.extend(
+        [int(fid), int(is_callee), int(cid[0]), int(cid[1]), int(rds), int(hasret)]
+    )
     return publics
 
 
@@ -3697,19 +4949,86 @@ def prove_frame(
     return prove_frame_trace(execute_frame(code, env, gas, calldata=calldata))
 
 
-def prove_frame_trace(ft: FrameTrace) -> dict:
-    from .. import prover as sp
-    from ..serde import proof_to_dict
+def flatten_call_tree(root: FrameTrace) -> list[FrameTrace]:
+    """Assign frame ids/roles through the tree (DFS, root first) and
+    return the ordered frame list.  Precompile call sites consume a fid
+    too (their PrecompileCallAir instance carries it in the tuples)."""
+    frames: list[FrameTrace] = []
+    next_fid = [0]
 
-    proofs = sp.prove_tables(frame_tables(ft))
-    return {
-        "kind": "evm-frame-v1",
+    def visit(ft: FrameTrace, is_callee: int, cid: tuple, hasret: int):
+        ft.fid = next_fid[0]
+        next_fid[0] += 1
+        ft.is_callee = is_callee
+        ft.cid = cid
+        ft.hasret = hasret
+        frames.append(ft)
+        for site in ft.call_sites:
+            cfid = next_fid[0]
+            site["cfid"] = cfid
+            # bind the callee fid into the call row's witness
+            ft.steps[site["clk"]].callw["cfid"] = cfid
+            if site["precompile"] is not None:
+                next_fid[0] += 1
+            else:
+                visit(
+                    site["callee"],
+                    1,
+                    (ft.fid, site["clk"]),
+                    1 if site["ret_sw"] else 0,
+                )
+    visit(root, 0, (0, 0), 0)
+    if len(frames) > MAX_FRAMES_PER_TREE or next_fid[0] > MAX_FRAMES_PER_TREE:
+        raise UncoveredFrame("call tree beyond the frame budget")
+    return frames
+
+
+def frame_record(ft: FrameTrace) -> dict:
+    """The PUBLIC statement of one frame in the call-tree payload."""
+    rec = {
+        "calls": [
+            {
+                "clk": site["clk"],
+                "cfid": site["cfid"],
+                "precompile": site["precompile"],
+                "args_offw": site["args_offw"],
+                "args_sw": site["args_sw"] if site["args_words"] else 0,
+                "ret_offw": site["ret_offw"],
+                "ret_sw": site["ret_sw"],
+                **(
+                    {
+                        "gas_in": site["gas_in"],
+                        "args_words": [hex(w) for w in site["args_words"]],
+                    }
+                    if site["precompile"] is not None
+                    else {}
+                ),
+            }
+            for site in ft.call_sites
+        ],
+        "addr_groups": [
+            [hex(a), c, w] for a, c, w in ft.addr_groups
+        ],
+        "acct_ctx": [
+            [k, hex(key), hex(v)] for k, key, v, _ in ft.acct_groups
+        ],
+    }
+    if ft.hasret and ft.ret_span:
+        rec["ret_clk"] = ft.ret_span[0]
+        rec["ret_offw"] = ft.ret_span[1]
+        rec["returndata_words"] = [hex(w) for w in ft.ret_span[2]]
+    rec2 = {
         "code": ft.code.hex(),
         "calldata": ft.calldata.hex(),
         "env": {k: hex(v) for k, v in ft.env.__dict__.items()},
         "gas0": ft.gas0,
         "gas_f": ft.gas_f,
         "sp_f": ft.sp_f,
+        "fid": ft.fid,
+        "is_callee": ft.is_callee,
+        "cid": [int(ft.cid[0]), int(ft.cid[1])],
+        "rds": ft.rds,
+        "hasret": ft.hasret,
         "accesses": len(ft.accesses),
         "mem_accesses": len(ft.mem_accesses),
         "keccak_calls": [
@@ -3731,114 +5050,343 @@ def prove_frame_trace(ft: FrameTrace) -> dict:
             for slot, orig, count, prewarm, final in ft.storage_groups
         ],
         "steps": len(ft.steps),
+    }
+    rec2.update(rec)
+    return rec2
+
+
+def _frame_extra_tables(ft: FrameTrace) -> list:
+    """Prover-side composition tables of ONE frame: the address journal,
+    the per-site bridges/precompiles, and the callee ret-read bridge."""
+    from .evm_call import (
+        KIND_ARGS,
+        KIND_RETREAD,
+        KIND_RETWRITE,
+        PRECOMPILE_ADDR,
+        EvmAddrAir,
+        MemSpanBridgeAir,
+        PrecompileCallAir,
+        precompile_gas,
+    )
+
+    from .evm_call import AcctCtxAir
+
+    tables = []
+    fid = ft.fid
+    if ft.addr_groups:
+        adj = EvmAddrAir(ft.addr_groups, fid)
+        tables.append((adj, adj.trace(ft.addr_accesses), [fid]))
+    if ft.acct_groups:
+        rows = [(k, key, v) for k, key, v, _ in ft.acct_groups]
+        counts = [c for _, _, _, c in ft.acct_groups]
+        act = AcctCtxAir(rows, fid)
+        tables.append((act, act.trace(counts), [fid]))
+    for site in ft.call_sites:
+        if site["args_words"]:
+            br = MemSpanBridgeAir(
+                fid, 4 * site["clk"] + 1, KIND_ARGS, site["args_offw"],
+                site["args_words"], 0, site["cfid"],
+            )
+            tables.append((br, br.trace(), br.publics()))
+        if site["ret_sw"]:
+            br = MemSpanBridgeAir(
+                fid, 4 * site["clk"] + 5, KIND_RETWRITE, site["ret_offw"],
+                site["ret_words"], 1, site["cfid"],
+            )
+            tables.append((br, br.trace(), br.publics()))
+        if site["precompile"] is not None:
+            kind = site["precompile"]
+            cds = 32 * site["args_sw"]
+            pc = PrecompileCallAir(
+                site["cfid"], fid, site["clk"], site["gas_in"],
+                site["gas_in"] - precompile_gas(kind, cds), cds,
+                PRECOMPILE_ADDR[kind], ft.env.address,
+            )
+            tables.append((pc, pc.trace(), pc.publics()))
+    if ft.hasret and ft.ret_span:
+        rclk, roffw, rwords = ft.ret_span
+        br = MemSpanBridgeAir(
+            fid, 4 * rclk + 1, KIND_RETREAD, roffw, rwords, 0, 0
+        )
+        tables.append((br, br.trace(), br.publics()))
+    return tables
+
+
+def prove_call_tree(root: FrameTrace) -> dict:
+    """Prove a call tree (root + every callee frame + composition
+    tables) in ONE multi-table proof with a shared bus."""
+    from .. import prover as sp
+    from ..serde import proof_to_dict
+
+    fts = flatten_call_tree(root)
+    tables = []
+    frames = []
+    for ft in fts:
+        frames.append(frame_record(ft))
+        tables.extend(frame_tables(ft))
+        tables.extend(_frame_extra_tables(ft))
+    proofs = sp.prove_tables(tables)
+    return {
+        "kind": "evm-call-tree-v1",
+        "frames": frames,
         "starks": [proof_to_dict(p) for p in proofs],
     }
 
 
+def prove_frame_trace(ft: FrameTrace) -> dict:
+    return prove_call_tree(ft)
+
+
+def _frame_extra_airs_from_record(rec: dict, by_fid: dict):
+    """Composition tables of one frame, rebuilt from PUBLIC records (the
+    bridge word values come from the counterpart frame's public calldata
+    / returndata, so channel balance proves the memory movement)."""
+    from .evm_call import (
+        KIND_ARGS,
+        KIND_RETREAD,
+        KIND_RETWRITE,
+        PRECOMPILE_ADDR,
+        EvmAddrAir,
+        MemSpanBridgeAir,
+        PrecompileCallAir,
+        precompile_gas,
+    )
+
+    fid = int(rec.get("fid", 0))
+    env_addr = int(rec["env"]["address"], 16)
+    airs = []
+    pubs = []
+    from .evm_call import AcctCtxAir
+
+    groups = [
+        (int(a, 16), int(c), int(w)) for a, c, w in rec.get("addr_groups", [])
+    ]
+    if groups:
+        airs.append(EvmAddrAir(groups, fid))
+        pubs.append([fid])
+    acct_rows = [
+        (int(k), int(key, 16), int(v, 16))
+        for k, key, v in rec.get("acct_ctx", [])
+    ]
+    if acct_rows:
+        airs.append(AcctCtxAir(acct_rows, fid))
+        pubs.append([fid])
+    for site in rec.get("calls", []):
+        clk = int(site["clk"])
+        cfid = int(site["cfid"])
+        kind = site.get("precompile")
+        args_sw = int(site.get("args_sw", 0))
+        ret_sw = int(site.get("ret_sw", 0))
+        if kind is not None:
+            if kind not in PRECOMPILE_ADDR:
+                raise ValueError("unknown precompile")
+            if cfid in by_fid:
+                raise ValueError("precompile fid collides with a frame")
+            words = [int(w, 16) for w in site.get("args_words", [])]
+            if len(words) != args_sw:
+                raise ValueError("precompile args length mismatch")
+            ret_words = words[:ret_sw]
+            if ret_sw > args_sw:
+                raise ValueError("precompile retSize beyond returndata")
+        else:
+            callee = by_fid.get(cfid)
+            if callee is None:
+                raise ValueError("call site without callee frame")
+            ccd = bytes.fromhex(callee.get("calldata", ""))
+            if len(ccd) != 32 * args_sw:
+                raise ValueError("callee calldata length mismatch")
+            words = [
+                int.from_bytes(ccd[32 * j : 32 * j + 32], "big")
+                for j in range(args_sw)
+            ]
+            rw = [int(w, 16) for w in callee.get("returndata_words", [])]
+            if ret_sw > len(rw):
+                raise ValueError("retSize beyond callee returndata")
+            ret_words = rw[:ret_sw]
+        if args_sw:
+            br = MemSpanBridgeAir(
+                fid, 4 * clk + 1, KIND_ARGS, int(site["args_offw"]),
+                words, 0, cfid,
+            )
+            airs.append(br)
+            pubs.append(br.publics())
+        if ret_sw:
+            br = MemSpanBridgeAir(
+                fid, 4 * clk + 5, KIND_RETWRITE, int(site["ret_offw"]),
+                ret_words, 1, cfid,
+            )
+            airs.append(br)
+            pubs.append(br.publics())
+        if kind is not None:
+            gas_in = int(site["gas_in"])
+            cds = 32 * args_sw
+            cost = precompile_gas(kind, cds)
+            if not (0 <= cost <= gas_in < 1 << MAX_GAS_LOG):
+                raise ValueError("precompile gas out of range")
+            pc = PrecompileCallAir(
+                cfid, fid, clk, gas_in, gas_in - cost, cds,
+                PRECOMPILE_ADDR[kind], env_addr,
+            )
+            airs.append(pc)
+            pubs.append(pc.publics())
+    if int(rec.get("hasret", 0)):
+        rwords = [int(w, 16) for w in rec.get("returndata_words", [])]
+        rds = int(rec.get("rds", 0))
+        if len(rwords) != (rds + 31) // 32 or not rwords:
+            raise ValueError("returndata words/rds mismatch")
+        br = MemSpanBridgeAir(
+            fid, 4 * int(rec["ret_clk"]) + 1, KIND_RETREAD,
+            int(rec["ret_offw"]), rwords, 0, 0,
+        )
+        airs.append(br)
+        pubs.append(br.publics())
+    return airs, pubs
+
+
+def _frame_airs_from_record(rec: dict):
+    """-> (airs, expected_publics_per_table) rebuilt from the PUBLIC
+    frame record; raises on malformed records."""
+    code = bytes.fromhex(rec["code"])
+    calldata = bytes.fromhex(rec.get("calldata", ""))
+    env = FrameEnv(**{k: int(v, 16) for k, v in rec["env"].items()})
+    gas0, gas_f, sp_f = int(rec["gas0"]), int(rec["gas_f"]), int(rec["sp_f"])
+    fid = int(rec.get("fid", 0))
+    is_callee = int(rec.get("is_callee", 0))
+    cid = tuple(int(x) for x in rec.get("cid", (0, 0)))
+    rds = int(rec.get("rds", 0))
+    hasret = int(rec.get("hasret", 0))
+    n_acc = int(rec["accesses"])
+    n_mem = int(rec.get("mem_accesses", 0))
+    kcalls = [(int(o), int(s)) for o, s in rec.get("keccak_calls", [])]
+    sgroups = [
+        (int(s, 16), int(o, 16), int(c), int(w), int(f, 16))
+        for s, o, c, w, f in rec.get("storage", [])
+    ]
+    ar_kinds = rec.get("arith_calls", [])
+    if isinstance(ar_kinds, int):
+        ar_kinds = [1] * ar_kinds
+    ar_kinds = [int(k) for k in ar_kinds]
+    cp_calls = [
+        (int(d), int(o), int(w), int(sl))
+        for d, o, w, sl in rec.get("copy_calls", [])
+    ]
+    cc_calls = [
+        (int(d), int(o), int(w), int(sl))
+        for d, o, w, sl in rec.get("codecopy_calls", [])
+    ]
+    if not (0 <= gas_f <= gas0 < 1 << MAX_GAS_LOG and 0 <= sp_f <= 1024):
+        raise ValueError("gas/sp out of range")
+    if env.calldatasize != len(calldata) or len(calldata) >= (1 << 15):
+        raise ValueError("calldata size mismatch")
+    if env.address >= 1 << 160 or env.caller >= 1 << 160:
+        raise ValueError("address publics exceed 160 bits")
+    if len(kcalls) > MAX_KECCAK_CALLS:
+        raise ValueError("too many keccak calls")
+    if not (0 <= fid < MAX_FRAMES_PER_TREE) or is_callee not in (0, 1):
+        raise ValueError("bad frame role")
+    if not (0 <= rds < (1 << 13)) or hasret not in (0, 1):
+        raise ValueError("bad returndata statement")
+    if hasret and (is_callee == 0 or rds == 0):
+        raise ValueError("returndata bridge without a callee returndata")
+    cpu_pub = frame_publics(
+        env, gas0, gas_f, sp_f, fid=fid, is_callee=is_callee, cid=cid,
+        rds=rds, hasret=hasret,
+    )
+    airs = [
+        EvmCpuAir(fid),
+        EvmProgramAir(code, fid),
+        EvmStackAir(n_acc, fid),
+        EvmCalldataAir(calldata, fid),
+        MemRamAir(n_mem, fid),
+    ]
+    pubs = [cpu_pub, [fid], [fid], [fid], [fid]]
+    if sgroups:
+        from .evm_storage import EvmStorageAir
+
+        airs.append(EvmStorageAir(sgroups, fid))
+        pubs.append([fid])
+    if kcalls:
+        from .evm_keccak import EvmKeccakCallAir, EvmSpongeAir
+
+        bridge = EvmKeccakCallAir(kcalls, fid)
+        airs.append(bridge)
+        pubs.append([fid])
+        airs.append(
+            EvmSpongeAir(
+                bridge.block_counts(),
+                msg_id_offset=fid * MAX_KECCAK_CALLS,
+            )
+        )
+        pubs.append([])
+    if ar_kinds:
+        from .evm_arith import ArithAir
+
+        airs.append(ArithAir(ar_kinds, fid))
+        pubs.append([fid])
+    if cp_calls:
+        from .evm_copy import EvmCopyAir
+
+        airs.append(EvmCopyAir(cp_calls, env.calldatasize, fid))
+        pubs.append([fid])
+    if cc_calls:
+        from .evm_copy import CodeCopyAir
+
+        airs.append(CodeCopyAir(cc_calls, code, fid))
+        pubs.append([fid])
+    return airs, pubs
+
+
 def verify_frame_payload(payload: dict) -> bool:
-    """Rebuild the AIR instances from the PUBLIC statement (code,
-    calldata, env, gas/stack claims, table sizes) and verify the
-    multi-table STARK."""
+    """Rebuild every frame's AIR instances from the PUBLIC call-tree
+    statement and verify the single multi-table STARK.  Cross-frame
+    consistency (CALLREQ/CALLRET linkage) is enforced by the global bus
+    balance, not by host-side equality checks."""
     from .. import verifier as sv
     from ..serde import proof_from_dict
 
-    if payload.get("kind") != "evm-frame-v1":
+    if payload.get("kind") != "evm-call-tree-v1":
         return False
     try:
-        code = bytes.fromhex(payload["code"])
-        calldata = bytes.fromhex(payload.get("calldata", ""))
-        env = FrameEnv(**{k: int(v, 16) for k, v in payload["env"].items()})
-        gas0, gas_f, sp_f = (
-            int(payload["gas0"]),
-            int(payload["gas_f"]),
-            int(payload["sp_f"]),
-        )
-        n_acc = int(payload["accesses"])
-        n_mem = int(payload.get("mem_accesses", 0))
-        kcalls = [
-            (int(o), int(s)) for o, s in payload.get("keccak_calls", [])
-        ]
-        sgroups = [
-            (int(s, 16), int(o, 16), int(c), int(w), int(f, 16))
-            for s, o, c, w, f in payload.get("storage", [])
-        ]
-        ar_kinds = payload.get("arith_calls", [])
-        if isinstance(ar_kinds, int):  # round-3 early form: count only
-            ar_kinds = [1] * ar_kinds
-        ar_kinds = [int(k) for k in ar_kinds]
-        n_ar = len(ar_kinds)
-        cp_calls = [
-            (int(d), int(o), int(w), int(sl))
-            for d, o, w, sl in payload.get("copy_calls", [])
-        ]
-        cc_calls = [
-            (int(d), int(o), int(w), int(sl))
-            for d, o, w, sl in payload.get("codecopy_calls", [])
-        ]
+        frames = payload["frames"]
+        if not frames or len(frames) > MAX_FRAMES_PER_TREE:
+            return False
+        fids = [int(rec.get("fid", 0)) for rec in frames]
+        if len(set(fids)) != len(fids):
+            return False
+        # the root frame is not a callee; every other frame must be one
+        # (floating frames rejected; the CALLREQ/CALLRET bus balance then
+        # enforces the tree linkage — callee publics equal what the
+        # caller's CALL row sent, gas returns match, data bridges anchor)
+        if int(frames[0].get("is_callee", 0)) != 0:
+            return False
+        if any(int(rec.get("is_callee", 0)) != 1 for rec in frames[1:]):
+            return False
+        by_fid = {int(rec.get("fid", 0)): rec for rec in frames}
+        airs = []
+        pubs = []
+        for rec in frames:
+            a, p = _frame_airs_from_record(rec)
+            airs.extend(a)
+            pubs.extend(p)
+            a2, p2 = _frame_extra_airs_from_record(rec, by_fid)
+            airs.extend(a2)
+            pubs.extend(p2)
         starks = payload["starks"]
-        if not (0 <= gas_f <= gas0 < 1 << 32 and 0 <= sp_f <= 1024):
-            return False
-        # the public CALLDATASIZE word must describe the public calldata
-        if env.calldatasize != len(calldata) or len(calldata) >= (1 << 15):
-            return False
-        if len(kcalls) > MAX_KECCAK_CALLS:
-            return False
-        expect = (
-            5
-            + (1 if sgroups else 0)
-            + (2 if kcalls else 0)
-            + (1 if n_ar else 0)
-            + (1 if cp_calls else 0)
-            + (1 if cc_calls else 0)
-        )
-        if len(starks) != expect:
+        if len(starks) != len(airs):
             return False
         proofs = [proof_from_dict(d) for d in starks]
-    except (KeyError, ValueError, TypeError):
+    except (KeyError, ValueError, TypeError, AssertionError):
         return False
-    try:
-        airs = [
-            EvmCpuAir(),
-            EvmProgramAir(code),
-            EvmStackAir(n_acc),
-            EvmCalldataAir(calldata),
-            MemRamAir(n_mem),
-        ]
-        if sgroups:
-            from .evm_storage import EvmStorageAir
-
-            airs.append(EvmStorageAir(sgroups))
-        if kcalls:
-            from .evm_keccak import EvmKeccakCallAir, EvmSpongeAir
-
-            bridge = EvmKeccakCallAir(kcalls)
-            airs.append(bridge)
-            airs.append(EvmSpongeAir(bridge.block_counts()))
-        if n_ar:
-            from .evm_arith import ArithAir
-
-            airs.append(ArithAir(ar_kinds))
-        if cp_calls:
-            from .evm_copy import EvmCopyAir
-
-            airs.append(EvmCopyAir(cp_calls, env.calldatasize))
-        if cc_calls:
-            from .evm_copy import CodeCopyAir
-
-            airs.append(CodeCopyAir(cc_calls, code))
-    except AssertionError:
-        return False
-    if proofs[0].publics != frame_publics(env, gas0, gas_f, sp_f):
-        return False
-    if any(p.publics for p in proofs[1:]):
-        return False
-    for i in range(1, len(airs)):
-        air = airs[i]
+    for proof, expect_pub in zip(proofs, pubs):
+        if proof.publics != expect_pub:
+            return False
+    for air, proof in zip(airs, proofs):
         if hasattr(air, "num_perms"):  # the sponge sizes by permutations
             from .keccak_air import ROWS
 
-            if (1 << proofs[i].log_n) != ROWS * air.num_perms:
+            if (1 << proof.log_n) != ROWS * air.num_perms:
                 return False
-        elif (1 << proofs[i].log_n) != air.n:
-            return False
+        elif hasattr(air, "n"):
+            if (1 << proof.log_n) != air.n:
+                return False
     return sv.verify_tables(airs, proofs)

@@ -149,9 +149,10 @@ class ArithAir(Air):
     quotient_chunks = 2
     eager_quotient = True
 
-    def __init__(self, kinds):
+    def __init__(self, kinds, fid: int = 0):
         """kinds: per-call kind sequence (1 = SDIV, 2 = SMOD, 3 = EXP);
         a plain int keeps the round-3 call-count form (all divmod)."""
+        self.fid = int(fid)
         if isinstance(kinds, int):
             kinds = [1] * kinds
         kinds = [int(k) for k in kinds]
@@ -302,6 +303,9 @@ class ArithAir(Air):
 
     # ---------------- host-side channel terms ----------------
     def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        from .evm_air import fid_challenges
+
+        challenges = fid_challenges(challenges, self.fid)
         chi = challenges[CHAL_CHI]
         gar = np.array(
             [x % bb.P for x in challenges[CHAL_AR]], dtype=np.uint64
@@ -347,7 +351,11 @@ class ArithAir(Air):
     def eval(self, b: ConstraintBuilder) -> None:  # noqa: C901
         one = b.constant(1)
         chi = b.challenge_ef(CHAL_CHI)
-        g_ar = b.challenge_ef(CHAL_AR)
+        from .evm_air import fid_gamma
+
+        g_ar = fid_gamma(
+            b, b.challenge_ef(CHAL_CHI), b.challenge_ef(CHAL_AR), b.public(0)
+        )
         active = b.fixed(ARF_ACTIVE)
         xf_start = b.fixed(XF_START)
         xf_end = b.fixed(XF_END)

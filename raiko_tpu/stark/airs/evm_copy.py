@@ -96,9 +96,10 @@ class EvmCopyAir(Air):
     quotient_chunks = 2
     eager_quotient = True
 
-    def __init__(self, calls, calldatasize: int):
+    def __init__(self, calls, calldatasize: int, fid: int = 0):
         """calls: PUBLIC (destw, offset, sw[, slack]) per CALLDATACOPY;
         calldatasize: the frame's public CALLDATASIZE."""
+        self.fid = int(fid)
         norm = []
         for c in calls:
             d, o, w = c[0], c[1], c[2]
@@ -166,6 +167,9 @@ class EvmCopyAir(Air):
 
     # ---------------- host-side channel terms ----------------
     def _terms(self, trace: np.ndarray, challenges):
+        from .evm_air import fid_challenges
+
+        challenges = fid_challenges(challenges, self.fid)
         chi = challenges[CHAL_CHI]
         pows = _np_chi_pows(chi, 40)
         n = trace.shape[0]
@@ -256,9 +260,13 @@ class EvmCopyAir(Air):
     def eval(self, b: ConstraintBuilder) -> None:
         one = b.constant(1)
         chi = b.challenge_ef(CHAL_CHI)
-        g_cp = b.challenge_ef(CHAL_CP)
-        g_c = b.challenge_ef(CHAL_C)
-        g_m = b.challenge_ef(CHAL_M)
+        from .evm_air import _eval_chi97
+
+        _c97 = _eval_chi97(b, chi)
+        _fs = [b.mul(b.public(0), _c97[c]) for c in range(4)]
+        g_cp = b.ef_sub4(b.challenge_ef(CHAL_CP), _fs)
+        g_c = b.ef_sub4(b.challenge_ef(CHAL_C), _fs)
+        g_m = b.ef_sub4(b.challenge_ef(CHAL_M), _fs)
         active = b.fixed(CPF_ACTIVE)
         start = b.fixed(CPF_START)
         cont = b.fixed(CPF_CONT_N)
@@ -420,7 +428,8 @@ class CodeCopyAir(Air):
     quotient_chunks = 2
     eager_quotient = True
 
-    def __init__(self, calls, code: bytes):
+    def __init__(self, calls, code: bytes, fid: int = 0):
+        self.fid = int(fid)
         norm = []
         for c in calls:
             d, o, w = c[0], c[1], c[2]
@@ -491,6 +500,9 @@ class CodeCopyAir(Air):
         return tr
 
     def _terms(self, trace: np.ndarray, challenges):
+        from .evm_air import fid_challenges
+
+        challenges = fid_challenges(challenges, self.fid)
         chi = challenges[CHAL_CHI]
         pows = _np_chi_pows(chi, 40)
         n = trace.shape[0]
@@ -565,8 +577,12 @@ class CodeCopyAir(Air):
     def eval(self, b: ConstraintBuilder) -> None:
         one = b.constant(1)
         chi = b.challenge_ef(CHAL_CHI)
-        g_cp = b.challenge_ef(CHAL_CP)
-        g_m = b.challenge_ef(CHAL_M)
+        from .evm_air import _eval_chi97
+
+        _c97 = _eval_chi97(b, chi)
+        _fs = [b.mul(b.public(0), _c97[c]) for c in range(4)]
+        g_cp = b.ef_sub4(b.challenge_ef(CHAL_CP), _fs)
+        g_m = b.ef_sub4(b.challenge_ef(CHAL_M), _fs)
         active = b.fixed(CCF_ACTIVE)
         start = b.fixed(CCF_START)
         cont = b.fixed(CCF_CONT_N)

@@ -152,11 +152,21 @@ class EvmKeccakCallAir(Air):
     commit_fixed = True
     eager_quotient = True
 
-    def __init__(self, calls: list[tuple[int, int]]):
-        """calls: PUBLIC (word_offset, size) per KECCAK256, call order."""
+    def __init__(self, calls: list[tuple[int, int]], fid: int = 0):
+        """calls: PUBLIC (word_offset, size) per KECCAK256, call order.
+
+        ``fid`` instances the per-frame channels (RAM reads, hash-call
+        receives) by the gamma shift, and strides the sponge message ids
+        by fid * MAX_KECCAK_CALLS so block/digest tuples of different
+        frames never alias (docs/EVM_COMPOSITION.md instancing)."""
         assert calls, "bridge table requires at least one call"
+        from .evm_air import MAX_KECCAK_CALLS
+
+        assert len(calls) <= MAX_KECCAK_CALLS
         for offw, size in calls:
             assert 0 <= offw < (1 << 13) and 0 <= size < (1 << 13)
+        self.fid = int(fid)
+        self.msg_base = self.fid * MAX_KECCAK_CALLS
         self.calls = [(int(o), int(s)) for o, s in calls]
         self.total_rows = sum(call_rows(s) for _, s in self.calls)
         self.n = _pow2_atleast(self.total_rows + 1)
@@ -229,13 +239,16 @@ class EvmKeccakCallAir(Air):
                 cols[KF_HASH, r] = 1
                 cols[KF_HSTART, r] = row["hpos"] % RATE_BYTES == 0
                 cols[KF_HEND, r] = row["hpos"] % RATE_BYTES == RATE_BYTES - 1
-                cols[KF_BKEY, r] = m * MAX_BLOCKS + row["hpos"] // RATE_BYTES
+                cols[KF_BKEY, r] = (
+                    (self.msg_base + m) * MAX_BLOCKS
+                    + row["hpos"] // RATE_BYTES
+                )
             if row["pad"]:
                 cols[KF_PAD, r] = 1
                 cols[KF_PADV, r] = row["padv"]
             if row["cend"]:
                 cols[KF_CEND, r] = 1
-                cols[KF_MSGID, r] = m
+                cols[KF_MSGID, r] = self.msg_base + m
                 cols[KF_SIZEF, r] = self.calls[m][1]
                 cols[KF_OFFC, r] = self.calls[m][0]
         for r, row in enumerate(layout):
@@ -288,6 +301,9 @@ class EvmKeccakCallAir(Air):
 
     # ---------------- host-side channel terms / aux ----------------
     def _aux_and_bus(self, trace: np.ndarray, challenges):
+        from .evm_air import fid_challenges
+
+        challenges = fid_challenges(challenges, self.fid)
         chi = challenges[CHAL_CHI]
         g_m = challenges[CHAL_M]
         g_b = challenges[CHAL_B]
@@ -322,7 +338,8 @@ class EvmKeccakCallAir(Air):
                 if row["hpos"] % RATE_BYTES == 0:
                     bpow = chi
                     bcode = ef.h_add(
-                        ef.h_from_base(m * MAX_BLOCKS + blk), scale(byt, bpow)
+                        ef.h_from_base((self.msg_base + m) * MAX_BLOCKS + blk),
+                        scale(byt, bpow),
                     )
                 else:
                     bpow = ef.h_mul(bpow, chi)
@@ -355,7 +372,9 @@ class EvmKeccakCallAir(Air):
                 )
                 from .containment import digest_code
 
-                denoms.append(ef.h_sub(g_d, digest_code(m, digest, chi)))
+                denoms.append(
+                    ef.h_sub(g_d, digest_code(self.msg_base + m, digest, chi))
+                )
                 meta.append((r, KA_BUS_D, -1))
                 offw, size = self.calls[m]
                 # clk + chi*offw + chi^2*size + sum_j d[31-j]*chi^{j+3}
@@ -411,12 +430,16 @@ class EvmKeccakCallAir(Air):
 
     # ---------------- constraints ----------------
     def eval(self, b: ConstraintBuilder) -> None:  # noqa: C901
+        from .evm_air import _eval_chi97
+
         one = b.constant(1)
         chi = b.challenge_ef(CHAL_CHI)
-        g_m = b.challenge_ef(CHAL_M)
+        _c97 = _eval_chi97(b, chi)
+        _fs = [b.mul(b.public(0), _c97[c]) for c in range(4)]
+        g_m = b.ef_sub4(b.challenge_ef(CHAL_M), _fs)
         g_b = b.challenge_ef(CHAL_B)
         g_d = b.challenge_ef(CHAL_D)
-        g_k = b.challenge_ef(CHAL_K)
+        g_k = b.ef_sub4(b.challenge_ef(CHAL_K), _fs)
 
         byte = b.local(KC_BYTE)
         byte_n = b.next(KC_BYTE)

@@ -121,9 +121,12 @@ class EvmStorageAir(Air):
     commit_fixed = True
     eager_quotient = True
 
-    def __init__(self, groups: list[tuple[int, int, int, int, int]]):
+    def __init__(
+        self, groups: list[tuple[int, int, int, int, int]], fid: int = 0
+    ):
         """groups: PUBLIC (slot, original, count, prewarm, final),
         slot-sorted."""
+        self.fid = int(fid)
         assert groups
         prev = -1
         total = 0
@@ -221,6 +224,9 @@ class EvmStorageAir(Air):
 
     # ---------------- host-side channel terms ----------------
     def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        from .evm_air import fid_challenges
+
+        challenges = fid_challenges(challenges, self.fid)
         chi = challenges[CHAL_CHI]
         gamma_st = challenges[CHAL_ST]
         pows = _np_chi_pows(chi, 68)
@@ -265,9 +271,11 @@ class EvmStorageAir(Air):
 
     # ---------------- constraints ----------------
     def eval(self, b: ConstraintBuilder) -> None:  # noqa: C901
+        from .evm_air import fid_gamma
+
         one = b.constant(1)
         chi = b.challenge_ef(CHAL_CHI)
-        g_st = b.challenge_ef(CHAL_ST)
+        g_st = fid_gamma(b, chi, b.challenge_ef(CHAL_ST), b.public(0))
         active = b.fixed(SF_ACTIVE)
         first = b.fixed(SF_FIRST)
         sa_n = b.fixed(SF_SA_N)

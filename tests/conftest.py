@@ -69,9 +69,9 @@ def _cpu_cache_dir() -> str:
 # process therefore compiles in-memory only; the expensive graphs are
 # wrapped in subprocess_isolated (below) so they still hit the cache.
 if os.environ.get("RAIKO_ISOLATED_TEST"):
-    jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from raiko_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
 import pytest  # noqa: E402
 

@@ -4,6 +4,8 @@ offline)."""
 
 import pytest
 
+from conftest import subprocess_isolated
+
 from chainsim import ChainSim, TaikoSim
 from raiko_tpu.chain import SupportedChainSpecs
 from raiko_tpu.core.interfaces import (
@@ -285,6 +287,7 @@ def storage_world():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_tpu_stark_full_coverage_with_storage_frames(storage_world):
     """Round-3 closure criterion (VERDICT #1/#2 'Done'): on a simulated
     block whose txs execute a storage contract, the TPU_STARK payload
@@ -301,11 +304,13 @@ def test_tpu_stark_full_coverage_with_storage_frames(storage_world):
     # full trie coverage
     for slot in ("mpt", "tx_mpt", "receipts_mpt"):
         assert payload[slot]["covered"] == payload[slot]["total"], slot
-    # every frame proven: two storage txs -> two covered frames
+    # every frame proven: two storage txs -> two covered frames (each a
+    # single-frame call-tree group since the contract makes no calls)
     evm = payload["evm"]
     assert evm["covered"] == evm["total"] == 2
     # chained originals: frame 0 starts at the pre-state 5, frame 1 at 6
-    f0, f1 = evm["frames"]
+    f0 = evm["frames"][0]["frames"][0]
+    f1 = evm["frames"][1]["frames"][0]
     assert int(f0["storage"][0][1], 16) == 5
     assert int(f0["storage"][0][4], 16) == 6
     assert int(f1["storage"][0][1], 16) == 6
@@ -317,11 +322,12 @@ def test_tpu_stark_full_coverage_with_storage_frames(storage_world):
     # originals must move together to keep the chain, and then the first
     # original no longer matches the proven pre-state)
     bad = _json.loads(proof.proof)
-    bad["evm"]["frames"][0]["storage"][0][1] = hex(7)
+    bad["evm"]["frames"][0]["frames"][0]["storage"][0][1] = hex(7)
     assert not verify_payload(bad)
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_tpu_shard_block_statement(world):
     """TPU_SHARD now shards the REAL block statement (VERDICT r2 #3):
     transcript + trie containment + chain shards proven concurrently,

@@ -6,6 +6,8 @@ prove/verify roundtrip with payload tampering."""
 import numpy as np
 import pytest
 
+from conftest import subprocess_isolated
+
 from raiko_tpu.fields import babybear as bb
 from raiko_tpu.fields import babybear_ext as ef
 from raiko_tpu.stark.airs import evm_air as ea
@@ -340,6 +342,33 @@ def challenges():
 def test_executor_covers_everything(frame, ret_frame):
     names = {st.name for st in frame.steps}
     names |= {st.name for st in ret_frame.steps}
+    # the composition + account-state families (round 4) live in their
+    # own fixtures (tests/test_evm_call.py); cover them here too so this
+    # assertion stays the executor's completeness oracle
+    call_code = bytes([
+        0x47, 0x50,                                      # SELFBALANCE POP
+        0x60, 0xEE, 0x31, 0x50,                          # BALANCE POP
+        0x60, 0xEE, 0x3B, 0x50,                          # EXTCODESIZE POP
+        0x60, 0xEE, 0x3F, 0x50,                          # EXTCODEHASH POP
+        0x60, 0x05, 0x40, 0x50,                          # BLOCKHASH POP
+        0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00,
+        0x60, 0x00, 0x60, 0xEE, 0x61, 0xFF, 0xFF, 0xF1,  # CALL
+        0x00,
+    ])
+    callee = bytes([0x00])
+    ft = ea.execute_frame(
+        call_code,
+        ea.FrameEnv(address=0xA0, caller=0x99, origin=0x99, number=10),
+        100_000,
+        world={0xEE: {"code": callee}},
+        warm_addresses=set(),
+        acct_ctx={
+            (1, 0xEE): 1, (2, 0xEE): 1, (3, 0xEE): 2, (1, 0xA0): 3,
+            (4, 5): 0x55,
+        },
+    )
+    names |= {st.name for st in ft.steps}
+    names |= {st.name for st in ft.call_sites[0]["callee"].steps}
     assert names == set(ea.FLAG_NAMES), set(ea.FLAG_NAMES) - names
     assert len(frame.arith_calls) == 7
     # interpreter cross-check on an arithmetic sub-program: the covered
@@ -654,6 +683,15 @@ def test_storage_constraints_and_tampering(frame, challenges):
     assert totals[ea.BUS_STOR] != ef.H_ZERO
 
 
+def _tamper(payload, **kw):
+    """Deep-copy the call-tree payload and update fields of frame 0."""
+    import copy
+
+    out = copy.deepcopy(payload)
+    out["frames"][0].update(kw)
+    return out
+
+
 @pytest.mark.slow
 def test_storage_roundtrip():
     """SLOAD/SSTORE frame through the real prover; tampering with the
@@ -669,10 +707,10 @@ def test_storage_roundtrip():
     )
     payload = ea.prove_frame_trace(ft)
     assert ea.verify_frame_payload(payload)
-    bad_groups = [list(g) for g in payload["storage"]]
+    bad_groups = [list(g) for g in payload["frames"][0]["storage"]]
     bad_groups[0][1] = hex(6)  # different original
-    assert not ea.verify_frame_payload(dict(payload, storage=bad_groups))
-    assert not ea.verify_frame_payload(dict(payload, storage=[]))
+    assert not ea.verify_frame_payload(_tamper(payload, storage=bad_groups))
+    assert not ea.verify_frame_payload(_tamper(payload, storage=[]))
 
 
 def test_wrong_calldata_word_unbalances_bus(frame, challenges):
@@ -704,24 +742,25 @@ def test_prove_verify_roundtrip():
     payload = ea.prove_frame(code, ENV, 50_000, calldata=CALLDATA)
     assert ea.verify_frame_payload(payload)
 
-    bad = dict(payload, gas_f=payload["gas_f"] - 1)
-    assert not ea.verify_frame_payload(bad)
+    rec = payload["frames"][0]
+    assert not ea.verify_frame_payload(_tamper(payload, gas_f=rec["gas_f"] - 1))
 
     other = bytearray(code)
     other[1] ^= 1  # different push immediate
-    bad = dict(payload, code=bytes(other).hex())
-    assert not ea.verify_frame_payload(bad)
+    assert not ea.verify_frame_payload(_tamper(payload, code=bytes(other).hex()))
 
-    bad_env = dict(payload["env"], caller=hex(ENV.caller + 1))
-    assert not ea.verify_frame_payload(dict(payload, env=bad_env))
+    bad_env = dict(rec["env"], caller=hex(ENV.caller + 1))
+    assert not ea.verify_frame_payload(_tamper(payload, env=bad_env))
 
-    bad = dict(payload, accesses=payload["accesses"] + 1)
-    assert not ea.verify_frame_payload(bad)
+    assert not ea.verify_frame_payload(
+        _tamper(payload, accesses=rec["accesses"] + 1)
+    )
 
     other_cd = bytearray(CALLDATA)
     other_cd[0] ^= 1  # the loaded word changes -> fixed root mismatch
-    bad = dict(payload, calldata=bytes(other_cd).hex())
-    assert not ea.verify_frame_payload(bad)
+    assert not ea.verify_frame_payload(
+        _tamper(payload, calldata=bytes(other_cd).hex())
+    )
 
 
 @pytest.mark.slow
@@ -739,13 +778,12 @@ def test_keccak_roundtrip():
     )
     payload = ea.prove_frame(code, ENV, 50_000, calldata=CALLDATA)
     assert ea.verify_frame_payload(payload)
-    bad = dict(payload, keccak_calls=[[0, 31]])
-    assert not ea.verify_frame_payload(bad)
-    bad = dict(payload, keccak_calls=[])
-    assert not ea.verify_frame_payload(bad)
+    assert not ea.verify_frame_payload(_tamper(payload, keccak_calls=[[0, 31]]))
+    assert not ea.verify_frame_payload(_tamper(payload, keccak_calls=[]))
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_block_frame_statement():
     """A simulated block whose tx calls a covered contract: the TPU_STARK
     payload gains an `evm` slot proving the frame's execution."""
@@ -799,9 +837,11 @@ def test_block_frame_statement():
         assert payload["evm"]["covered"] == 1
         assert ts.verify_payload(payload)
         # tampering with the frame's gas claim must be rejected
-        bad_frame = dict(payload["evm"]["frames"][0])
-        bad_frame["gas_f"] -= 1
-        bad = dict(payload, evm=dict(payload["evm"], frames=[bad_frame]))
+        bad_group = _tamper(
+            payload["evm"]["frames"][0],
+            gas_f=payload["evm"]["frames"][0]["frames"][0]["gas_f"] - 1,
+        )
+        bad = dict(payload, evm=dict(payload["evm"], frames=[bad_group]))
         assert not ts.verify_payload(bad)
     finally:
         _SIM_REGISTRY.clear()

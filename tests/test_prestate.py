@@ -82,10 +82,16 @@ def _payload(ps, header, frames_storage):
     return {
         "chain": {"state_root": keccak256(header.encode()).hex()},
         "evm": {
+            # evm["frames"] entries are call-tree GROUPS (round 4): each
+            # fake frame rides in its own single-frame group
             "frames": [
                 {
-                    "env": {"address": "0x" + ADDR.hex()},
-                    "storage": groups,
+                    "frames": [
+                        {
+                            "env": {"address": "0x" + ADDR.hex()},
+                            "storage": groups,
+                        }
+                    ]
                 }
                 for groups in frames_storage
             ]
@@ -177,7 +183,11 @@ def test_no_storage_frames_need_no_prestate(monkeypatch):
     _stub_keccak(monkeypatch)
     payload = {
         "chain": {"state_root": "00" * 32},
-        "evm": {"frames": [{"env": {"address": "0x0"}, "storage": []}]},
+        "evm": {
+            "frames": [
+                {"frames": [{"env": {"address": "0x0"}, "storage": []}]}
+            ]
+        },
     }
     assert prestate.verify_prestate_binding(payload)
 
@@ -195,13 +205,19 @@ def test_absent_account_binds_zero(monkeypatch):
         "evm": {
             "frames": [
                 {
-                    "env": {"address": "0x" + missing.hex()},
-                    "storage": [[hex(3), hex(0), 1, 0, hex(2)]],
+                    "frames": [
+                        {
+                            "env": {"address": "0x" + missing.hex()},
+                            "storage": [[hex(3), hex(0), 1, 0, hex(2)]],
+                        }
+                    ]
                 }
             ]
         },
         "prestate": ps,
     }
     assert prestate.verify_prestate_binding(payload)
-    payload["evm"]["frames"][0]["storage"] = [[hex(3), hex(4), 1, 0, hex(2)]]
+    payload["evm"]["frames"][0]["frames"][0]["storage"] = [
+        [hex(3), hex(4), 1, 0, hex(2)]
+    ]
     assert not prestate.verify_prestate_binding(payload)

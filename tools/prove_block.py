@@ -15,7 +15,14 @@ import time
 import requests
 
 
+def _cache():
+    from raiko_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
 def main(argv=None) -> int:
+    _cache()
     p = argparse.ArgumentParser("prove-block")
     p.add_argument("network")
     p.add_argument("proof_type")
