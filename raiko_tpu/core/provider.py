@@ -50,6 +50,11 @@ class BlockDataProvider:
         """-> Transaction | None (ref preflight.rs:455-459)."""
         raise NotImplementedError
 
+    def call_contract(self, to: bytes, data: bytes) -> bytes:
+        """eth_call: the transport for the on-chain registration +
+        verifier analogs (provers/onchain.py)."""
+        raise NotImplementedError
+
 
 def get_task_data(network: str, block_number: int, chain_specs) -> tuple[int, bytes]:
     """(chain_id, blockhash) task key (reference provider/mod.rs:33-51)."""
@@ -113,6 +118,9 @@ class SimBlockDataProvider(BlockDataProvider):
 
     def get_transaction_by_hash(self, tx_hash):
         return self.sim.get_transaction_by_hash(tx_hash)
+
+    def call_contract(self, to, data):
+        return self.sim.eth_call(to, data)
 
 
 class RpcBlockDataProvider(BlockDataProvider):
@@ -268,6 +276,20 @@ class RpcBlockDataProvider(BlockDataProvider):
             [("eth_getTransactionByHash", ["0x" + tx_hash.hex()])]
         )[0]
         return _parse_tx(res) if res else None
+
+    def call_contract(self, to, data):
+        res = self._batch(
+            [
+                (
+                    "eth_call",
+                    [
+                        {"to": "0x" + to.hex(), "data": "0x" + data.hex()},
+                        "latest",
+                    ],
+                )
+            ]
+        )[0]
+        return bytes.fromhex(res[2:]) if res and res != "0x" else b""
 
 
 def _parse_block(b: dict) -> tuple:

@@ -57,6 +57,19 @@ class TeeProver(Prover):
         body = b"RAIKO-TPU-MOCK-QUOTE" + addr
         return body + hashlib.sha256(body).digest()
 
+    def register_instance(self, provider, verifier_addr: bytes) -> int:
+        """Self-register the bootstrapped instance with the chain's SGX
+        verifier contract and return the assigned instance id — the
+        reference's one-command docker bootstrap flow
+        (provers/sgx/setup/src/setup_bootstrap.rs +
+        sgx_register_utils.rs:263 register_sgx_instance)."""
+        from .onchain import register_sgx_instance
+
+        secret = self._load_key()
+        addr = secp256k1.pubkey_to_address(secp256k1.pubkey(secret))
+        quote = self._mock_quote(addr)
+        return register_sgx_instance(provider, verifier_addr, quote, addr)
+
     # -- proving ----------------------------------------------------------
     def run(self, guest_input, output, config: dict, ctx=None) -> Proof:
         params = (config or {}).get("tee", (config or {}).get("sgx", {})) or {}

@@ -213,6 +213,12 @@ class RpcFacade:
         if method == "eth_getTransactionByHash":
             tx = sim.get_transaction_by_hash(bytes.fromhex(params[0][2:]))
             return _tx_json(tx) if tx is not None else None
+        if method == "eth_call":
+            out = sim.eth_call(
+                bytes.fromhex(params[0]["to"][2:]),
+                bytes.fromhex(params[0]["data"][2:]),
+            )
+            return "0x" + out.hex()
         raise ValueError(f"unsupported method {method}")
 
 
