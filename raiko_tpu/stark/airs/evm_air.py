@@ -87,6 +87,13 @@ returndata form: offset = size = 0 pinned; larger arguments
 exceptionally halt under EIP-211 since covered frames make no calls),
 PUSH0-32, DUP1-16, SWAP1-16, LOG0-4 (32-byte-aligned range), JUMP/JUMPI/PC/GAS/JUMPDEST, and the
 constant-push environment opcodes (ADDRESS..BLOBBASEFEE below).
+LOGn (round 4) spans TWO rows like CALL: the log row reads offset/size
+and meters 375*n + 8*size + expansion; the logext row reads the topic
+values through the stack channel (slot activity gated by the mirrored
+family bits) and the record (clk, fam_n, data span, topics) goes to the
+PUBLIC EvmLogAir over BUS_LG, with the logged memory words read by a
+kind-3 MemSpanBridgeAir — published topics and data are execution-bound,
+closing the round-3 "topics feed only the receipt log" gap.
 SDIV/SMOD/EXP are proven in the dedicated arithmetic table
 (stark/airs/evm_arith.py) over the BUS_AR channel (channel 8); EXP gas
 charges 10 + 50*L with L bound EXACTLY by a 33-wide one-hot: suffix-zero
@@ -251,6 +258,11 @@ FAMILIES = {
     "dup": (0x7F, 16, 3),
     "swap": (0x8F, 16, 3),
     "log": (0x9F, 5, 0),
+    # round 4: every LOGn occupies TWO rows — the "log" row reads
+    # offset/size and meters gas; the "logext" row reads the topic
+    # values through the stack channel and sends the log record on
+    # BUS_LG (the execution<->receipt binding's in-circuit half)
+    "logext": (0x9F, 5, 0),
 }
 
 FLAG_NAMES = list(SIMPLE_OPS) + list(ENV_OPS) + list(FAMILIES)
@@ -291,7 +303,9 @@ def _sp_delta(name: str) -> int:
     if name == "callret":
         return -6  # CALL's net: 7 pops + 1 push, on the second row
     if name == "log":
-        return 0  # real delta is -(fam_n + 1); added explicitly in eval
+        return -2  # offset + size; topics pop on the logext row
+    if name == "logext":
+        return 0  # real delta is -(fam_n - 1); added explicitly in eval
     return 1  # push/push0/dup/pc/gas/env
 
 
@@ -411,7 +425,8 @@ AUX_BRW = AUX_BRA + 4  # ret-write-bridge instancing sends
 AUX_BRR = AUX_BRW + 4  # callee ret-read-bridge instancing sends
 AUX_ADR = AUX_BRR + 4  # address-journal sends
 AUX_AC = AUX_ADR + 4  # account-context sends
-CPU_AUX_W = AUX_AC + 4
+AUX_LG = AUX_AC + 4  # log-record sends
+CPU_AUX_W = AUX_LG + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
@@ -431,7 +446,8 @@ CHAL_CR = 12  # CALLRET: callee halt -> caller CALL row
 CHAL_BR = 13  # args/ret memory-span bridge instancing tuples
 CHAL_AD = 14  # address-access tuples (CPU -> address journal, EIP-2929)
 CHAL_AC = 15  # account-context tuples (CPU -> AcctCtxAir, per-frame)
-NUM_CHALLENGES = 16
+CHAL_LG = 16  # log-record tuples (CPU -> EvmLogAir, per-frame)
+NUM_CHALLENGES = 17
 BUS_FETCH = 0
 BUS_STACK = 1
 BUS_CD = 2
@@ -447,7 +463,8 @@ BUS_CR = 11  # CALLRET tuples (cross-frame)
 BUS_BR = 12  # bridge instancing tuples
 BUS_AD = 13  # address-access tuples
 BUS_AC = 14  # account-context tuples (balance/codesize/codehash/blockhash)
-NUM_BUS = 15
+BUS_LG = 15  # log-record tuples (LOGn topics + data span)
+NUM_BUS = 16
 ENV_IDX_CDSIZE = list(ENV_OPS).index("calldatasize")
 ENV_IDX_ADDRESS = list(ENV_OPS).index("address")
 ENV_IDX_CALLER = list(ENV_OPS).index("caller")
@@ -543,7 +560,7 @@ def _slot_code_host(addr: int, clk4: int, iw: int, value: int, chi: tuple) -> tu
 # instead, so the shared KeccakSpongeV2Air needs no fid notion.
 _FID_CHALS = (
     CHAL_F, CHAL_S, CHAL_C, CHAL_M, CHAL_K, CHAL_ST, CHAL_AR, CHAL_CP,
-    CHAL_AD, CHAL_AC,
+    CHAL_AD, CHAL_AC, CHAL_LG,
 )
 
 
@@ -705,6 +722,9 @@ class FrameTrace:
     # account-context records (kind, key, value, count) — PUBLIC rows of
     # evm_call.AcctCtxAir (balance/codesize/codehash/blockhash)
     acct_groups: list = field(default_factory=list)
+    # LOGn records: per-log PUBLIC (fam_n, offw, size, topics, data
+    # words) — the execution-bound receipt-log statement (EvmLogAir)
+    log_records: list = field(default_factory=list)
     # proving-time composition role (assigned by the call-tree prover)
     fid: int = 0
     is_callee: int = 0
@@ -756,6 +776,11 @@ class FrameTrace:
                 out.append(
                     (site["ret_offw"] + j, 4 * (site["clk"] + 1) + 1, 1, wv)
                 )
+        # log-data bridge accesses: the logged range read at the LOG
+        # row's sub-clock +1 (MemSpanBridgeAir kind 3)
+        for lr in self.log_records:
+            for j, wv in enumerate(lr["data_words"]):
+                out.append((lr["offw"] + j, 4 * lr["clk"] + 1, 0, wv))
         # callee-side returndata binding: the RETURN range read back at
         # the RETURN row's sub-clock +1 when a parent consumes it
         if self.hasret and self.ret_span:
@@ -905,6 +930,8 @@ def execute_frame(
     # account-context records: (kind, key, value) -> multiplicity
     # (kind 1 balance, 2 codesize, 3 codehash, 4 blockhash)
     acct_counts: dict[tuple, int] = {}
+    # LOGn records (clk, fam_n, offw, size, topics, data words)
+    log_records: list = []
 
     def acct_lookup(kind: int, key_i: int):
         v = (acct_ctx or {}).get((kind, key_i))
@@ -1680,11 +1707,6 @@ def execute_frame(
             if sp < 2 + topics:
                 raise UncoveredFrame("stack underflow")
             a, size = pop2()  # offset, size (stack-channel reads)
-            # topic values are popped WITHOUT stack-channel reads: they
-            # only feed the receipt log (outside the frame statement) and
-            # popped cells are always re-written before any further read
-            for _ in range(topics):
-                stack.pop()
             if a % 32 or a >= (1 << 18):
                 raise UncoveredFrame("unaligned or far LOG range")
             if size >= (1 << 13):
@@ -1697,6 +1719,35 @@ def execute_frame(
             st.ksw, st.ksl = sw, 32 * sw - size
             dyn = mem_expand(st, (a // 32 + sw) if size else 0)
             use(375 * (topics + 1) + 8 * size + dyn)
+            # the logext row: topic values are REAL stack reads, and the
+            # (topics, data span) record feeds BUS_LG + a data bridge —
+            # the execution side of the receipt binding
+            clk_log = len(steps) - 1
+            st2 = _Step(
+                pc=pc, op=op, name="logext", fam_n=st.fam_n,
+                gas_before=gas_left, sp_before=sp - 2, m_before=m_words,
+            )
+            steps.append(st2)
+            visit[pc] = visit.get(pc, 0) + 1
+            tvals = [0, 0, 0, 0]
+            for t_i in range(topics):
+                tv = stack.pop()
+                tvals[t_i] = tv
+                st2.accesses.append((t_i, sp - 3 - t_i, 0, tv))
+            st2.a, st2.b, st2.c, st2.w = tvals
+            data_words = [
+                mem_words.get(a // 32 + i, 0) for i in range(sw)
+            ]
+            log_records.append(
+                {
+                    "clk": clk_log,
+                    "fam_n": st.fam_n,
+                    "offw": a // 32,
+                    "size": size,
+                    "topics": tvals,
+                    "data_words": data_words if size else [],
+                }
+            )
         elif op == 0x56:
             st.name = "jump"
             use(8)
@@ -1808,6 +1859,7 @@ def execute_frame(
         acct_groups=sorted(
             (k, key, v, cnt) for (k, key, v), cnt in acct_counts.items()
         ),
+        log_records=log_records,
     )
 
 
@@ -2208,9 +2260,20 @@ class EvmCpuAir(Air):
             + flags["blockhash"]
         )
         fsb = flags["selfbalance"]
+        flgx = flags["logext"]
+        fb0 = t[:, FAMB0]
+        fb1 = t[:, FAMB0 + 1]
+        fb2 = t[:, FAMB0 + 2]
+        lg_ind = [
+            (fb0 + fb1 + fb2 - fb0 * fb1) % _PU,
+            fb1 + fb2,
+            fb0 * fb1 + fb2,
+            fb2,
+        ]
         pops_w0 = (
             2 * p21 + flags["iszero"] + flags["not"] + flags["swap"]
             + cdl + mld + sl + 3 * cdc_f + 5 * fcl + 7 * fcr + acp
+            + 3 * flgx
         )
         env_sum = sum(flags[nm] for nm in ENV_OPS)
         ret = flags["return"]
@@ -2219,36 +2282,42 @@ class EvmCpuAir(Air):
             + flags["iszero"] + flags["not"] + flags["pop"]
             + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
             + cdl + mld + mst + sl + ss + ret + flags["log"]
-            + flags["mstore8"] + cdc_f + anycall + acp,
+            + flags["mstore8"] + cdc_f + anycall + acp + flgx * lg_ind[0],
             p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret
-            + flags["log"] + flags["mstore8"] + cdc_f + anycall,
+            + flags["log"] + flags["mstore8"] + cdc_f + anycall
+            + flgx * lg_ind[1],
             p21
             + flags["iszero"] + flags["not"] + flags["push0"] + flags["push"]
             + flags["dup"] + flags["swap"] + flags["pc"] + flags["gas"]
-            + env_sum + cdl + mld + msz + sl + cdc_f + anycall + acp + fsb,
-            flags["swap"] + anycall,
+            + env_sum + cdl + mld + msz + sl + cdc_f + anycall + acp + fsb
+            + flgx * lg_ind[2],
+            flags["swap"] + anycall + flgx * lg_ind[3],
         ]
         addr = [
             (sp + _PU - 1 - flags["dup"] * (fam_n - 1) - 3 * fcl - 2 * fcr)
             % _PU,
             (sp + 2 * _PU - 2 - flags["swap"] * (fam_n - 1) - 4 * fcr) % _PU,
             (sp + _PU * 2 - pops_w0) % _PU,
-            (sp + 2 * _PU - 1 - flags["swap"] * fam_n - 6 * fcr) % _PU,
+            (
+                sp + 2 * _PU - 1 - flags["swap"] * fam_n - 6 * fcr
+                - 3 * flgx
+            )
+            % _PU,
         ]
         w0_bytes = np.where(
             (flags["swap"] + cdc_f)[:, None] == 1, bytesB, bytesC
         )
         slot1 = np.where(cdc_f[:, None] == 1, bytesW, bytesB)
-        slot3 = np.where(anycall[:, None] == 1, bytesW, bytesA)
+        slot3 = np.where((anycall + flgx)[:, None] == 1, bytesW, bytesA)
         vbytes = [bytesA, slot1, w0_bytes, slot3]
         slot_terms = []
         for s in range(4):
             iw_s = np.full(n, s >= 2, dtype=np.uint64)
             if s == 2:
-                # READS: copies' third pop, call argsSize, callret retSize
-                iw_s = iw_s - cdc_f - anycall
+                # READS: copies' third pop, call/ret sizes, topic 3
+                iw_s = iw_s - cdc_f - anycall - flgx
             if s == 3:
-                iw_s = iw_s - fcl  # call row's gas pop is a READ
+                iw_s = iw_s - fcl - flgx  # gas pop / topic 4 are READS
             code = _np_tuple_code(
                 addr[s],
                 [(4 * clk + s, 1), (iw_s % _PU, 2)]
@@ -2287,9 +2356,10 @@ class EvmCpuAir(Air):
         shifted = fid_challenges(challenges, self.fid)
         g_ad = shifted[CHAL_AD]
         g_ac = shifted[CHAL_AC]
+        g_lg = shifted[CHAL_LG]
         pubs = self._publics or [0] * NUM_PUBLICS
         pows = [ef.H_ONE]
-        for _ in range(42):
+        for _ in range(68):
             pows.append(ef.h_mul(pows[-1], chi))
 
         def hcode(base, terms):
@@ -2310,7 +2380,7 @@ class EvmCpuAir(Air):
 
         out = {
             k: np.zeros((n, 4), dtype=np.uint64)
-            for k in ("cq", "cr", "bra", "brw", "brr", "adr", "ac")
+            for k in ("cq", "cr", "bra", "brw", "brr", "adr", "ac", "lg")
         }
         denoms = []
         meta = []  # (key, row, sign)
@@ -2371,6 +2441,36 @@ class EvmCpuAir(Air):
             )
             denoms.append(ef.h_sub(g_ad, code_ad))
             meta.append(("adr", r, +1))
+        # log rows: the record tuple (topics from the NEXT row) + the
+        # data-bridge instancing tuple (kind 3) when size != 0
+        idx_log = FLAG0 + FLAG_IDX["log"]
+        for r in np.nonzero(trace[:, idx_log])[0]:
+            r = int(r)
+            fam = 1 + sum(
+                int(trace[r, FAMB0 + i]) << i for i in range(5)
+            )
+            Aw = word(r, A0)
+            Bw = word(r, B0)
+            topics = [word(r + 1, base) for base in (A0, B0, C0, W0)]
+            terms = [(fam, 1), (Aw // 32, 2), (Bw & 0xFFFF, 3)]
+            for ti, tv in enumerate(topics):
+                terms += [
+                    ((tv >> (16 * i)) & 0xFFFF, 4 + 16 * ti + i)
+                    for i in range(16)
+                ]
+            code = hcode(r, terms)
+            denoms.append(ef.h_sub(g_lg, code))
+            meta.append(("lg", r, +1))
+            if Bw:  # size != 0: the data bridge exists
+                sw_log = sum(
+                    int(trace[r, KSW0 + i]) << i for i in range(10)
+                )
+                code = hcode(
+                    self.fid,
+                    [(4 * r + 1, 1), (3, 2), (Aw // 32, 3), (sw_log, 4)],
+                )
+                denoms.append(ef.h_sub(g_br, code))
+                meta.append(("bra", r, +1))
         # account-state rows: the context tuples + (for the three
         # address-priced ops) journal entries keyed by the A word
         for name, kind in (
@@ -2499,6 +2599,7 @@ class EvmCpuAir(Air):
         aux[:, AUX_CP : AUX_CP + 4] = self._excl_prefix(cp_terms)
         ct, invQ, invR = self._call_channel_terms(trace, challenges)
         aux[:, AUX_AC : AUX_AC + 4] = self._excl_prefix(ct["ac"])
+        aux[:, AUX_LG : AUX_LG + 4] = self._excl_prefix(ct["lg"])
         aux[:, AUX_CQ : AUX_CQ + 4] = self._excl_prefix(ct["cq"])
         aux[:, AUX_CQI : AUX_CQI + 4] = np.array(invQ, dtype=np.uint64)[None, :]
         aux[:, AUX_CR : AUX_CR + 4] = self._excl_prefix(ct["cr"])
@@ -2553,9 +2654,10 @@ class EvmCpuAir(Air):
         bus_br = ef.h_add(ef.h_add(_tot("bra"), _tot("brw")), _tot("brr"))
         bus_ad = _tot("adr")
         bus_ac = _tot("ac")
+        bus_lg = _tot("lg")
         return [
             fetch, stack, cdl, mem, ef.H_ZERO, ef.H_ZERO, kcall, stor, ar, cp,
-            bus_cq, bus_cr, bus_br, bus_ad, bus_ac,
+            bus_cq, bus_cr, bus_br, bus_ad, bus_ac, bus_lg,
         ]
 
     # ------------------------------- constraints -------------------------
@@ -2664,12 +2766,13 @@ class EvmCpuAir(Air):
         # dup/swap n <= 16
         b.all_rows(b.mul(b.add(f["dup"], f["swap"]), b.local(FAMB0 + 4)))
         # log n <= 5: n-1 in 0..4 — bits 3/4 clear, and bit 2 excludes 5..7
+        logf2 = b.add(f["log"], f["logext"])
         b.all_rows(
-            b.mul(f["log"], b.add(b.local(FAMB0 + 3), b.local(FAMB0 + 4)))
+            b.mul(logf2, b.add(b.local(FAMB0 + 3), b.local(FAMB0 + 4)))
         )
         b.all_rows(
             b.mul(
-                b.mul(f["log"], b.local(FAMB0 + 2)),
+                b.mul(logf2, b.local(FAMB0 + 2)),
                 b.add(b.local(FAMB0), b.local(FAMB0 + 1)),
             )
         )
@@ -2688,16 +2791,19 @@ class EvmCpuAir(Air):
         # 6. program counter
         b.first_row(pc)
         dest = lA[0]
-        # a call row does not advance pc (its callret row, in seq, does)
+        # call and log rows do not advance pc (their second rows do)
         seq = b.sub(
             b.sub(
                 b.sub(
-                    b.sub(b.sub(b.sub(one, halted), f["stop"]), f["jump"]),
-                    f["jumpi"],
+                    b.sub(
+                        b.sub(b.sub(b.sub(one, halted), f["stop"]), f["jump"]),
+                        f["jumpi"],
+                    ),
+                    f["return"],
                 ),
-                f["return"],
+                f["call"],
             ),
-            f["call"],
+            f["log"],
         )
         adv = b.add(seq, b.mul(f["push"], fam_n))
         jmp = b.mul(f["jump"], b.sub(dest, pc))
@@ -2724,8 +2830,8 @@ class EvmCpuAir(Air):
                 continue
             term = b.scale(d % bb.P, f[nm])
             delta = term if delta is None else b.add(delta, term)
-        # LOGn pops 2 + topics = fam_n + 1
-        delta = b.sub(delta, b.mul(f["log"], b.add(fam_n, one)))
+        # the logext row pops the fam_n - 1 topic values
+        delta = b.sub(delta, b.mul(f["logext"], b.sub(fam_n, one)))
         b.transition(b.sub(sp_n, b.add(sp, delta)))
         b.last_row(b.sub(sp, b.public(PUB_SPF)))
 
@@ -3684,6 +3790,17 @@ class EvmCpuAir(Air):
             b.add(f["extcodehash"], f["blockhash"]),
         )
         f_sb = f["selfbalance"]
+        # logext: slot s reads topic s+1 iff fam_n - 1 > s (fam bits)
+        fb0 = b.local(FAMB0)
+        fb1 = b.local(FAMB0 + 1)
+        fb2 = b.local(FAMB0 + 2)
+        lg_ind = [
+            b.sub(b.add(b.add(fb0, fb1), fb2), b.mul(fb0, fb1)),
+            b.add(fb1, fb2),
+            b.add(b.mul(fb0, fb1), fb2),
+            fb2,
+        ]
+        f_lgx = f["logext"]
         pops_w0 = b.add(
             b.add(
                 b.scale(2, p21),
@@ -3694,11 +3811,14 @@ class EvmCpuAir(Air):
             ),
             b.add(
                 b.add(
-                    b.scale(3, f_cdc),
-                    # call row reads argsSize @sp-5; callret retSize @sp-7
-                    b.add(b.scale(5, f_cl), b.scale(7, f_cr)),
+                    b.add(
+                        b.scale(3, f_cdc),
+                        # call reads argsSize @sp-5; callret retSize @sp-7
+                        b.add(b.scale(5, f_cl), b.scale(7, f_cr)),
+                    ),
+                    f_acp,
                 ),
-                f_acp,
+                b.scale(3, f_lgx),  # logext slot2 reads topic 3 at sp-3
             ),
         )
         actives = [
@@ -3715,7 +3835,10 @@ class EvmCpuAir(Air):
                             ),
                             b.add(
                                 b.add(b.add(f_ret, f_log), f_cdc),
-                                b.add(f_anycall, f_acp),
+                                b.add(
+                                    f_anycall,
+                                    b.add(f_acp, b.mul(f_lgx, lg_ind[0])),
+                                ),
                             ),
                         ),
                     ),
@@ -3728,7 +3851,8 @@ class EvmCpuAir(Air):
                     b.add(
                         b.add(f_mst, f_ss),
                         b.add(
-                            b.add(b.add(f_ret, f_log), f_cdc), f_anycall
+                            b.add(b.add(f_ret, f_log), f_cdc),
+                            b.add(f_anycall, b.mul(f_lgx, lg_ind[1])),
                         ),
                     ),
                 ),
@@ -3749,13 +3873,21 @@ class EvmCpuAir(Air):
                                         b.add(f_anycall, b.add(f_acp, f_sb)),
                                     ),
                                 ),
-                                b.add(f_cdl, b.add(b.add(f_mld, f_msz), f_sl)),
+                                b.add(
+                                    b.add(
+                                        f_cdl,
+                                        b.add(b.add(f_mld, f_msz), f_sl),
+                                    ),
+                                    b.mul(f_lgx, lg_ind[2]),
+                                ),
                             ),
                         ),
                     ),
                 ),
             ),
-            b.add(f["swap"], f_anycall),
+            b.add(
+                b.add(f["swap"], f_anycall), b.mul(f_lgx, lg_ind[3])
+            ),
         ]
         fam_m1 = b.sub(fam_n, one)
         addrs = [
@@ -3770,10 +3902,11 @@ class EvmCpuAir(Air):
                 b.scale(4, f_cr),
             ),
             b.sub(sp, pops_w0),
-            # call row: gas at sp-1 (default); callret: success at sp-7
+            # call row: gas at sp-1 (default); callret: success at sp-7;
+            # logext: topic 4 at sp-4
             b.sub(
                 b.sub(b.sub(sp, one), b.mul(f["swap"], fam_n)),
-                b.scale(6, f_cr),
+                b.add(b.scale(6, f_cr), b.scale(3, f_lgx)),
             ),
         ]
         w0_bits = b.add(
@@ -3781,17 +3914,20 @@ class EvmCpuAir(Air):
             b.mul(b.add(f["swap"], f_cdc), b.sub(Bblk, Cblk)),
         )
         slot1_bits = b.add(Bblk, b.mul(f_cdc, b.sub(Wblk, Bblk)))
-        slot3_bits = b.add(Ablk, b.mul(f_anycall, b.sub(Wblk, Ablk)))
+        slot3_bits = b.add(
+            Ablk, b.mul(b.add(f_anycall, f_lgx), b.sub(Wblk, Ablk))
+        )
         vblks = [Ablk, slot1_bits, w0_bits, slot3_bits]
         acc_sum = None
         for s in range(4):
             vcode = b.bit_block_code(vblks[s], chi, b.constant(0), 32)
             iw_s = b.constant(1 if s >= 2 else 0)
             if s == 2:
-                # third-pop READS: copies, call argsSize, callret retSize
-                iw_s = b.sub(iw_s, b.add(f_cdc, f_anycall))
+                # third-pop READS: copies, call/callret sizes, topic 3
+                iw_s = b.sub(iw_s, b.add(b.add(f_cdc, f_anycall), f_lgx))
             if s == 3:
-                iw_s = b.sub(iw_s, f_cl)  # call row's gas pop is a READ
+                # call row's gas pop and logext's topic 4 are READS
+                iw_s = b.sub(iw_s, b.add(f_cl, f_lgx))
             inner = b.ef_add4(b.ef_from_base4(iw_s), vcode)
             clk4 = b.add(b.scale(4, clk), b.constant(s))
             code = b.ef_add4(
@@ -3826,9 +3962,10 @@ class EvmCpuAir(Air):
         g_cr = b.challenge_ef(CHAL_CR)
         g_br = b.challenge_ef(CHAL_BR)
         g_ad = b.ef_sub4(b.challenge_ef(CHAL_AD), fid_shift)
-        # chi power ladder chi^0..chi^41 for the wide CALLREQ tuple
+        # chi power ladder chi^0..chi^67 (CALLREQ ends at 41, the log
+        # record's topic limbs at 67)
         chip = [b.ef_from_base4(one), list(chi)]
-        for _ in range(40):
+        for _ in range(66):
             chip.append(b.ef_mul4(chip[-1], chi))
 
         def lincode(base_expr, terms):
@@ -3841,6 +3978,17 @@ class EvmCpuAir(Air):
         # pairing: a row is followed by a callret row iff it is a call row
         b.transition(b.sub(f_cr_n, f_cl))
         b.first_row(f["callret"])
+        # ... and by a logext row iff it is a log row, with the family
+        # bits mirrored so the topic count carries over
+        f_lg = f["log"]
+        f_le = f["logext"]
+        f_le_n = b.next(FLAG0 + FLAG_IDX["logext"])
+        b.transition(b.sub(f_le_n, f_lg))
+        b.first_row(f_le)
+        for fb in range(5):
+            b.transition(
+                b.mul(f_lg, b.sub(b.next(FAMB0 + fb), b.local(FAMB0 + fb)))
+            )
         # --- call-row ranges: argsSize aligned, < 2^15, word count bound
         c_hi = b.local_block(range(C0 + 15, C0 + 256))
         b.all_rows_block(b.mul(f_cl, c_hi), 241)
@@ -4038,10 +4186,15 @@ class EvmCpuAir(Air):
             b.first_row(accCR[c])
         # --- bridge instancing sends: args (kind 0), ret-write (kind 1)
         # on call rows; the callee's ret-read (kind 2) on its RETURN row
+        # one accumulator carries BOTH the args-bridge tuples (call rows,
+        # kind 0) and the log-data-bridge tuples (log rows, kind 3): the
+        # rows are disjoint, so the kind term is just 3*f_log*chi^2, and
+        # cfid_w is zero on log rows (no call witness bits set)
         code_bra = lincode(
             fid_pub,
             [
                 (b.add(b.scale(4, clk), one), 1),
+                (b.scale(3, f_lg), 2),
                 (waddr, 3),
                 (swval, 4),
                 (cfid_w, 5),
@@ -4052,7 +4205,7 @@ class EvmCpuAir(Air):
         prodBRA = b.ef_mul4(
             b.ef_sub4(accBRA_n, accBRA), b.ef_sub4(g_br, code_bra)
         )
-        act_bra = b.ef_from_base4(b.mul(f_cl, taken))
+        act_bra = b.ef_from_base4(b.mul(b.add(f_cl, f_lg), taken))
         for c in range(4):
             b.transition(b.sub(prodBRA[c], act_bra[c]))
             b.first_row(accBRA[c])
@@ -4145,6 +4298,28 @@ class EvmCpuAir(Air):
         for c in range(4):
             b.transition(b.sub(prodAC[c], actAC[c]))
             b.first_row(accAC[c])
+        # --- log-record sends (per-frame channel): on a log row, the
+        # record tuple carries (clk, fam_n, data span) plus the four
+        # topic words read on the NEXT (logext) row as 16-bit limbs
+        g_lg = b.ef_sub4(b.challenge_ef(CHAL_LG), fid_shift)
+        lB_n = b.linmap(_LIMB_MAT, b.next_block(range(B0, B0 + 256)))
+        lC_n = b.linmap(_LIMB_MAT, b.next_block(range(C0, C0 + 256)))
+        lW_n = b.linmap(_LIMB_MAT, b.next_block(range(W0, W0 + 256)))
+        code_lg = lincode(
+            clk,
+            [(fam_n, 1), (waddr, 2), (lB[0], 3)]
+            + [(lA_n[i], 4 + i) for i in range(16)]
+            + [(lB_n[i], 20 + i) for i in range(16)]
+            + [(lC_n[i], 36 + i) for i in range(16)]
+            + [(lW_n[i], 52 + i) for i in range(16)],
+        )
+        accLG = [b.aux(AUX_LG + c) for c in range(4)]
+        accLG_n = [b.aux_next(AUX_LG + c) for c in range(4)]
+        prodLG = b.ef_mul4(b.ef_sub4(accLG_n, accLG), b.ef_sub4(g_lg, code_lg))
+        actLG = b.ef_from_base4(f_lg)
+        for c in range(4):
+            b.transition(b.sub(prodLG[c], actLG[c]))
+            b.first_row(accLG[c])
         # --- callee-side channel endpoints: one CALLREQ receive and one
         # CALLRET send, built purely from publics, bound through inverse
         # witnesses at the (always halted) last row
@@ -4221,6 +4396,7 @@ class EvmCpuAir(Air):
             )
             b.last_row(b.sub(accAD[c], b.bus_coord(4 * BUS_AD + c)))
             b.last_row(b.sub(accAC[c], b.bus_coord(4 * BUS_AC + c)))
+            b.last_row(b.sub(accLG[c], b.bus_coord(4 * BUS_LG + c)))
 
 
 # --------------------------------------------------------------------------
@@ -5012,6 +5188,14 @@ def frame_record(ft: FrameTrace) -> dict:
         "acct_ctx": [
             [k, hex(key), hex(v)] for k, key, v, _ in ft.acct_groups
         ],
+        "logs": [
+            [
+                lr["clk"], lr["fam_n"], lr["offw"], lr["size"],
+                [hex(t) for t in lr["topics"]],
+                [hex(w) for w in lr["data_words"]],
+            ]
+            for lr in ft.log_records
+        ],
     }
     if ft.hasret and ft.ret_span:
         rec["ret_clk"] = ft.ret_span[0]
@@ -5081,6 +5265,24 @@ def _frame_extra_tables(ft: FrameTrace) -> list:
         counts = [c for _, _, _, c in ft.acct_groups]
         act = AcctCtxAir(rows, fid)
         tables.append((act, act.trace(counts), [fid]))
+    if ft.log_records:
+        from .evm_call import KIND_LOGDATA, EvmLogAir
+
+        recs = [
+            (lr["fam_n"], lr["offw"], lr["size"], lr["topics"])
+            for lr in ft.log_records
+        ]
+        lga = EvmLogAir(recs, fid)
+        tables.append(
+            (lga, lga.trace([lr["clk"] for lr in ft.log_records]), [fid])
+        )
+        for lr in ft.log_records:
+            if lr["data_words"]:
+                br = MemSpanBridgeAir(
+                    fid, 4 * lr["clk"] + 1, KIND_LOGDATA, lr["offw"],
+                    lr["data_words"], 0, 0,
+                )
+                tables.append((br, br.trace(), br.publics()))
     for site in ft.call_sites:
         if site["args_words"]:
             br = MemSpanBridgeAir(
@@ -5171,6 +5373,28 @@ def _frame_extra_airs_from_record(rec: dict, by_fid: dict):
     if acct_rows:
         airs.append(AcctCtxAir(acct_rows, fid))
         pubs.append([fid])
+    logs = rec.get("logs", [])
+    if logs:
+        from .evm_call import KIND_LOGDATA, EvmLogAir
+
+        lrecs = []
+        for clk, fam, offw, size, topics, words in logs:
+            fam, offw, size = int(fam), int(offw), int(size)
+            tvals = [int(t, 16) for t in topics]
+            wvals = [int(w, 16) for w in words]
+            if len(wvals) != ((size + 31) // 32 if size else 0):
+                raise ValueError("log data words/size mismatch")
+            lrecs.append((fam, offw, size, tvals))
+        airs.append(EvmLogAir(lrecs, fid))
+        pubs.append([fid])
+        for clk, fam, offw, size, topics, words in logs:
+            if int(size):
+                br = MemSpanBridgeAir(
+                    fid, 4 * int(clk) + 1, KIND_LOGDATA, int(offw),
+                    [int(w, 16) for w in words], 0, 0,
+                )
+                airs.append(br)
+                pubs.append(br.publics())
     for site in rec.get("calls", []):
         clk = int(site["clk"])
         cfid = int(site["cfid"])

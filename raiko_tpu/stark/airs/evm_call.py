@@ -67,6 +67,7 @@ _PU = np.uint64(bb.P)
 KIND_ARGS = 0
 KIND_RETWRITE = 1
 KIND_RETREAD = 2
+KIND_LOGDATA = 3
 
 # publics layout of MemSpanBridgeAir
 MB_FID = 0
@@ -112,7 +113,9 @@ class MemSpanBridgeAir(Air):
         iw: int,
         other_fid: int,
     ):
-        assert words and kind in (KIND_ARGS, KIND_RETWRITE, KIND_RETREAD)
+        assert words and kind in (
+            KIND_ARGS, KIND_RETWRITE, KIND_RETREAD, KIND_LOGDATA,
+        )
         assert iw in (0, 1) and 0 <= base_waddr < (1 << 13)
         self.fid = int(fid)
         self.clk4 = int(clk4)
@@ -770,6 +773,150 @@ class AcctCtxAir(Air):
         for i in range(NUM_BUS):
             for c in range(4):
                 if i == BUS_AC:
+                    b.last_row(b.sub(acc[c], b.bus_coord(4 * i + c)))
+                else:
+                    b.last_row(b.bus_coord(4 * i + c))
+
+
+# --------------------------------------------------------------------------
+# log-record table (LOGn topics + data span, execution-bound)
+# --------------------------------------------------------------------------
+
+LGF_ACTIVE = 0
+LGF_FAM = 1
+LGF_OFFW = 2
+LGF_SIZE = 3
+LGF_T0 = 4  # 4 topics x 16 limbs (16-bit LE)
+LG_NFIXED = LGF_T0 + 64
+LG_CLK = 0
+LG_WIDTH = 1
+
+
+class EvmLogAir(Air):
+    """PUBLIC per-LOG records (fam_n, data span, topic words), received
+    once each from the CPU's BUS_LG channel — so every published topic
+    word was REALLY read from the executing frame's stack, and the data
+    span points at RAM words a kind-3 MemSpanBridgeAir read from the
+    frame's memory.  The round-4 half of the execution<->receipt
+    binding: the receipts-trie linkage (re-deriving the receipts root
+    from these records) additionally needs the tx bodies public and
+    remains on the roadmap."""
+
+    width = LG_WIDTH
+    aux_width = 4
+    num_aux_challenges = NUM_CHALLENGES
+    num_bus_values = NUM_BUS
+    quotient_chunks = 2
+    commit_fixed = True
+    eager_quotient = True
+
+    def __init__(self, records: list[tuple[int, int, int, list[int]]],
+                 fid: int = 0):
+        """records: (fam_n, offw, size, topics[4]) in execution order."""
+        assert records
+        for fam, offw, size, topics in records:
+            assert 1 <= fam <= 5 and 0 <= offw < (1 << 13)
+            assert 0 <= size < (1 << 13) and len(topics) == 4
+            for ti in range(4):
+                # absent topics are pinned zero (canonical form)
+                assert ti < fam - 1 or topics[ti] == 0
+        self.records = [
+            (int(f), int(o), int(sz), [int(t) for t in tp])
+            for f, o, sz, tp in records
+        ]
+        self.fid = int(fid)
+        self.n = _pow2_atleast(len(records) + 1)
+
+    def structure_key(self) -> tuple:
+        return ()
+
+    def fixed_columns(self, n: int):
+        assert n == self.n
+        cols = np.zeros((LG_NFIXED, n), dtype=np.uint32)
+        for r, (fam, offw, size, topics) in enumerate(self.records):
+            cols[LGF_ACTIVE, r] = 1
+            cols[LGF_FAM, r] = fam
+            cols[LGF_OFFW, r] = offw
+            cols[LGF_SIZE, r] = size
+            for ti in range(4):
+                for i in range(16):
+                    cols[LGF_T0 + 16 * ti + i, r] = (
+                        topics[ti] >> (16 * i)
+                    ) & 0xFFFF
+        return cols
+
+    def trace(self, clks: list[int]) -> np.ndarray:
+        assert len(clks) == len(self.records)
+        tr = np.zeros((self.n, LG_WIDTH), dtype=np.uint32)
+        for r, c in enumerate(clks):
+            tr[r, LG_CLK] = c
+        return tr
+
+    def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        from .evm_air import CHAL_LG
+
+        ch = fid_challenges(challenges, self.fid)
+        chi, g_lg = ch[CHAL_CHI], ch[CHAL_LG]
+        pows = _np_chi_pows(chi, 68)
+        n = self.n
+        fx = self.fixed_columns(n).astype(np.uint64)
+        code = _np_tuple_code(
+            trace[:, LG_CLK].astype(np.uint64),
+            [(fx[LGF_FAM], 1), (fx[LGF_OFFW], 2), (fx[LGF_SIZE], 3)]
+            + [(fx[LGF_T0 + j], 4 + j) for j in range(64)],
+            pows,
+        )
+        glg = np.array([x % bb.P for x in g_lg], dtype=np.uint64)
+        inv = ef.npef_inv(ef.npef_sub(glg[None, :], code))
+        active = np.zeros(n, dtype=np.uint64)
+        active[: len(self.records)] = _PU - np.uint64(1)
+        return ef.npef_mul(ef.npef_from_base(active), inv)
+
+    def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
+        from .evm_air import EvmCpuAir
+
+        aux = np.zeros((self.n, 4), dtype=np.uint32)
+        aux[:] = EvmCpuAir._excl_prefix(self._terms(trace, challenges))
+        return aux
+
+    def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
+        from .evm_air import BUS_LG
+
+        out = [ef.H_ZERO] * NUM_BUS
+        out[BUS_LG] = tuple(
+            int(v) for v in self._terms(trace, challenges).sum(axis=0) % _PU
+        )
+        return out
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        from .evm_air import BUS_LG, CHAL_LG
+
+        chi = b.challenge_ef(CHAL_CHI)
+        g_lg = fid_gamma(b, chi, b.challenge_ef(CHAL_LG), b.public(0))
+        active = b.fixed(LGF_ACTIVE)
+        clk = b.local(LG_CLK)
+        code = b.ef_from_base4(clk)
+        pw = list(chi)
+        for col, e in ((LGF_FAM, 1), (LGF_OFFW, 2), (LGF_SIZE, 3)):
+            code = b.ef_add4(
+                code, [b.mul(b.fixed(col), pw[c]) for c in range(4)]
+            )
+            pw = b.ef_mul4(pw, chi)
+        for j in range(64):
+            vj = b.fixed(LGF_T0 + j)
+            code = b.ef_add4(code, [b.mul(vj, pw[c]) for c in range(4)])
+            if j < 63:
+                pw = b.ef_mul4(pw, chi)
+        acc = [b.aux(c) for c in range(4)]
+        acc_n = [b.aux_next(c) for c in range(4)]
+        prod = b.ef_mul4(b.ef_sub4(acc_n, acc), b.ef_sub4(g_lg, code))
+        act4 = b.ef_from_base4(active)
+        for c in range(4):
+            b.transition(b.add(prod[c], act4[c]))
+            b.first_row(acc[c])
+        for i in range(NUM_BUS):
+            for c in range(4):
+                if i == BUS_LG:
                     b.last_row(b.sub(acc[c], b.bus_coord(4 * i + c)))
                 else:
                     b.last_row(b.bus_coord(4 * i + c))

@@ -413,9 +413,11 @@ def test_executor_covers_everything(frame, ret_frame):
 
 
 def test_constraints_and_bus_balance(frame, challenges):
+    # CPU/ROM/stack/calldata/RAM + storage + keccak bridge + sponge (+
+    # round 4: the log-record table and its data bridges)
     tables = ea.frame_tables(frame)
-    # CPU/ROM/stack/calldata/RAM + storage + keccak bridge + sponge
     assert len(tables) == 11
+    tables = tables + ea._frame_extra_tables(frame)
     totals = [ef.H_ZERO] * ea.NUM_BUS
     for air, trace, publics in tables:
         assert check_constraints(air, trace, publics, challenges) == []
@@ -428,7 +430,7 @@ def test_return_frame_constraints(ret_frame, challenges):
     """A RETURN-halted frame satisfies every table (halting discipline,
     expansion gas on the returned range) and balances the bus."""
     assert ret_frame.steps[-1].name == "return"
-    tables = ea.frame_tables(ret_frame)
+    tables = ea.frame_tables(ret_frame) + ea._frame_extra_tables(ret_frame)
     totals = [ef.H_ZERO] * ea.NUM_BUS
     for air, trace, publics in tables:
         assert check_constraints(air, trace, publics, challenges) == []
