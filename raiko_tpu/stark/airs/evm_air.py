@@ -5398,6 +5398,10 @@ def _frame_extra_airs_from_record(rec: dict, by_fid: dict):
     for site in rec.get("calls", []):
         clk = int(site["clk"])
         cfid = int(site["cfid"])
+        if not (0 <= clk < (1 << MAX_STEPS_LOG)) or not (
+            0 < cfid < (1 << 16)
+        ):
+            raise ValueError("call-site clk/cfid out of range")
         kind = site.get("precompile")
         args_sw = int(site.get("args_sw", 0))
         ret_sw = int(site.get("ret_sw", 0))
