@@ -22,7 +22,7 @@ test-multichip:
 	$(PY) -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
 
 test-multihost:
-	$(PY) tools/multihost_sim.py --processes 2
+	$(PY) tools/multihost_sim.py --nprocs 2
 
 bench:
 	$(PY) bench.py
