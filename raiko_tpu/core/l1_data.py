@@ -110,8 +110,13 @@ def decode_block_proposed_event(topics: list[bytes], data: bytes):
     """-> (block_id, BlockMetadata) from a raw log."""
     if not topics or bytes(topics[0]) != BLOCK_PROPOSED_TOPIC0:
         raise PreflightError("log is not a BlockProposed event")
+    if len(topics) < 3:
+        raise PreflightError("BlockProposed log has too few topics")
     block_id = int.from_bytes(bytes(topics[1]), "big")
-    _bond, meta_vals, _deposits = abi.decode(_EVENT_DATA_SPECS, data)
+    try:
+        _bond, meta_vals, _deposits = abi.decode(_EVENT_DATA_SPECS, data)
+    except Exception as e:
+        raise PreflightError(f"malformed BlockProposed log data: {e}") from e
     field_names = [
         "l1_hash",
         "difficulty",
@@ -153,11 +158,20 @@ def get_block_proposed_event(
         l1_address, BLOCK_PROPOSED_TOPIC0, l1_inclusion_block_hash
     )
     for log in logs:
-        topics = [_b32(t) for t in log["topics"]]
-        block_id, meta = decode_block_proposed_event(topics, _by(log["data"]))
+        # guard the wire shapes: a malformed/truncated log from an RPC must
+        # surface as PreflightError, not IndexError/ValueError
+        try:
+            topics = [_b32(t) for t in log["topics"]]
+            data = _by(log["data"])
+        except Exception as e:
+            raise PreflightError(f"malformed log from L1 RPC: {e}") from e
+        block_id, meta = decode_block_proposed_event(topics, data)
         if block_id != l2_block_number:
             continue
-        tx_hash = _b32(log["transactionHash"])
+        try:
+            tx_hash = _b32(log["transactionHash"])
+        except Exception as e:
+            raise PreflightError(f"malformed log from L1 RPC: {e}") from e
         tx = l1_provider.get_transaction_by_hash(tx_hash)
         if tx is None:
             raise PreflightError("could not find the propose tx")
@@ -195,7 +209,7 @@ def calc_blob_versioned_hash(blob_hex: str) -> bytes:
     from ..kzg import eip4844
 
     blob = _blob_to_bytes(blob_hex)
-    commitment = eip4844.blob_to_kzg_commitment(blob, use_tpu=False)
+    commitment = eip4844.blob_to_kzg_commitment(blob, use_tpu=None)
     return eip4844.commitment_to_version_hash(commitment)
 
 
@@ -259,4 +273,10 @@ def _get_blob_blobscan(base_url: str, blob_hash: bytes) -> bytes:
         resp.raise_for_status()
     except Exception as e:
         raise PreflightError(f"blobscan blob request failed: {e}") from e
-    return _blob_to_bytes(resp.json()["data"])
+    blob_hex = resp.json()["data"]
+    # uniform contract with the beacon path: verify the returned blob
+    # actually matches the requested versioned hash (the reference trusts
+    # blobscan here and relies on the later recommit; we don't)
+    if calc_blob_versioned_hash(blob_hex) != blob_hash:
+        raise PreflightError("blobscan blob does not match the versioned hash")
+    return _blob_to_bytes(blob_hex)

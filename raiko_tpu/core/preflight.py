@@ -168,7 +168,9 @@ def prepare_taiko_chain_input(
             l1_spec.seconds_per_slot,
         )
         tx_data = l1_data.get_blob_data(l1_spec, slot, blob_hash)
-        blob_commitment = eip4844.blob_to_kzg_commitment(tx_data, use_tpu=False)
+        # use_tpu=None: auto-select the TPU MSM kernel when a real TPU is
+        # the default backend (eip4844.tpu_default)
+        blob_commitment = eip4844.blob_to_kzg_commitment(tx_data, use_tpu=None)
         if eip4844.commitment_to_version_hash(blob_commitment) != meta.blob_hash:
             raise PreflightError("blob versioned hash mismatch")
     else:

@@ -178,6 +178,22 @@ def execute_transaction(
     prewarm_addrs = {int.from_bytes(a, "big") for a in state.warm_accounts}
 
     acct_log: dict = {}
+
+    def _frame_start_balances(st, snd, to, value):
+        out = {
+            int.from_bytes(a, "big"): v for a, v in (st.bal_orig or {}).items()
+        }
+        if value and to is not None:
+            # bal_orig marks sit before the entry transfer; shift
+            # sender/recipient to their frame-start values
+            snd_i = int.from_bytes(snd, "big")
+            to_i = int.from_bytes(to, "big")
+            if snd_i in out:
+                out[snd_i] -= value
+            if to_i in out:
+                out[to_i] += value
+        return out
+
     evm = EVM(
         state,
         block,
@@ -188,6 +204,10 @@ def execute_transaction(
     )
     gas_exec = tx.gas_limit - ig
     frame_code = b"" if is_create else state.code(tx.to)
+    # balance originals for the EVM balance journal: the mark sits right
+    # before frame entry; the tx.value transfer happens inside evm.call,
+    # so the candidate adjusts sender/to below to frame-start values
+    state.mark_balance_origins()
     if is_create:
         # create() computes the address from sender nonce - 1 (already bumped)
         res = evm.create(sender, tx.value, tx.data, gas_exec)
@@ -237,6 +257,12 @@ def execute_transaction(
                     if state.code(a)
                 },
                 "warm_addresses": sorted(prewarm_addrs),
+                # frame-start balances (post tx.value entry transfer) of
+                # every address whose balance the frame touched — the
+                # PUBLIC originals of the balance journal (EvmBalanceAir)
+                "balances": _frame_start_balances(
+                    state, sender, tx.to, tx.value
+                ),
                 # account-context reads actually observed (value-exact;
                 # keys poisoned to None on mid-tx divergence)
                 "acct_ctx": {

@@ -82,6 +82,12 @@ class StateJournal:
         # cumulative (block-level) sets for finalize
         self.all_touched: set[bytes] = set()
         self.all_selfdestructed: set[bytes] = set()
+        # frame-start balance originals (round 5): after
+        # mark_balance_origins(), the first read/write of an address's
+        # balance records the value it had AT THE MARK — the per-address
+        # originals of the EVM balance journal (stark/airs/evm_call.py
+        # EvmBalanceAir)
+        self.bal_orig: dict[bytes, int] | None = None
 
     # -- account loading -------------------------------------------------
     def _load(self, address: bytes) -> AccountInfo:
@@ -103,8 +109,18 @@ class StateJournal:
         a = self._load(address)
         return a.nonce == 0 and a.balance == 0 and len(a.code) == 0
 
+    def mark_balance_origins(self):
+        """Start recording per-address balance originals (frame entry)."""
+        self.bal_orig = {}
+
+    def _note_bal(self, address: bytes, current: int):
+        if self.bal_orig is not None and address not in self.bal_orig:
+            self.bal_orig[address] = current
+
     def balance(self, address: bytes) -> int:
-        return self._load(address).balance
+        v = self._load(address).balance
+        self._note_bal(address, v)
+        return v
 
     def nonce(self, address: bytes) -> int:
         return self._load(address).nonce
@@ -134,6 +150,7 @@ class StateJournal:
 
     def set_balance(self, address: bytes, value: int):
         a = self._load(address)
+        self._note_bal(address, a.balance)
         self._j(("balance", address, a.balance, a.exists))
         a.balance = value
         a.exists = True

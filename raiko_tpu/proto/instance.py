@@ -146,7 +146,7 @@ class ProtocolInstance:
                     int.from_bytes(y, "little"),
                 )
             else:
-                expect = eip4844.blob_to_kzg_commitment(taiko.tx_data, use_tpu=False)
+                expect = eip4844.blob_to_kzg_commitment(taiko.tx_data, use_tpu=None)
                 if bytes(commitment) != expect:
                     raise ProtocolInstanceError("blob commitment mismatch")
             tx_list_hash = versioned_hash

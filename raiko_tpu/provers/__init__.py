@@ -26,7 +26,8 @@ def run_prover(
         from ..kzg import eip4844
 
         vh = eip4844.commitment_to_version_hash(bytes(taiko.blob_commitment))
-        kzg_proof = eip4844.calc_kzg_proof(taiko.tx_data, vh, use_tpu=False)
+        # use_tpu=None: same device policy as preflight (eip4844.tpu_default)
+        kzg_proof = eip4844.calc_kzg_proof(taiko.tx_data, vh, use_tpu=None)
         proof.kzg_proof = "0x" + kzg_proof.hex()
     return proof
 

@@ -450,6 +450,7 @@ def prove_evm_frames(
                 world=cand.get("world") or {},
                 warm_addresses=set(cand.get("warm_addresses", ())),
                 acct_ctx=cand.get("acct_ctx") or {},
+                balances=dict(cand.get("balances") or {}),
             )
         except ea.UncoveredFrame:
             continue

@@ -125,26 +125,43 @@ carries its source words as fixed columns, and both write every word
 to RAM at destw + j; byte tails read the old word at sub-clock +1 and
 write the splice at +2.
 
-CALL composition (round 4, docs/EVM_COMPOSITION.md): CALL (0xF1)
-occupies TWO rows — the "call" row reads argsOff/addr/argsSize/gas,
-charges the EIP-2929 base (cold flag journaled via BUS_AD against
-stark/airs/evm_call.py's EvmAddrAir) and expands memory to cover both
-the args and ret ranges (a max gadget over two materialized targets);
-the "callret" row reads value/retOff/retSize, runs the EIP-150 63/64
-forwarding gadget (avail = the row's gas register, gas_in = min cap),
-pays gas_in, receives gas_ret/rds back through the CALLRET channel and
-pushes success.  The callee executes as its OWN frame group in the
-same proof: the caller sends a CALLREQ tuple carrying (call id =
-caller fid + clk, gas_in, value, address, calldatasize, caller
-address, callee fid); the callee's CPU receives it built from its OWN
-publics, so LogUp equality forces the callee's environment to be
+CALL composition (rounds 4-5, docs/EVM_COMPOSITION.md): CALL (0xF1),
+DELEGATECALL (0xF4) and STATICCALL (0xFA) occupy TWO rows — the "call"
+row reads argsOff/addr/argsSize/gas, charges the EIP-2929 base (cold
+flag journaled via BUS_AD against stark/airs/evm_call.py's EvmAddrAir)
+plus 9000 on value transfers, and expands memory to cover both the
+args and ret ranges (a max gadget over two materialized targets); the
+"callret" row reads value/retOff/retSize (value only on 7-arg CALL —
+the KDEL/KSTA kind bits shift the 6-arg variants' stack offsets by
+one), runs the EIP-150 63/64 forwarding gadget (avail = the row's gas
+register, gas_in = min cap + 2300*[value != 0]), pays gas_in minus the
+stipend, receives gas_ret/success/rds back through the CALLRET channel
+and pushes the success bit.  The callee executes as its OWN frame
+group in the same proof: the caller sends a CALLREQ tuple carrying
+(call id = caller fid + clk, gas_in, env address, value, calldatasize,
+env caller, callee fid, static flag, code address); under DELEGATECALL
+the env words come from the CALLER's publics while the code address
+stays the target, so the callee provably runs the target's code in the
+caller's context.  The callee's CPU receives the tuple built from its
+OWN publics, so LogUp equality forces the callee's environment to be
 exactly what the caller created.  Argument/returndata bytes move
 through MemSpanBridgeAir instances whose fixed words are the callee's
 public calldata/returndata, instanced in-circuit by BUS_BR tuples.
 The identity precompile (0x04) answers CALLREQ from a
-PrecompileCallAir.  Phase-1 coverage restrictions (reported uncovered,
-never mis-proven): zero value, 32-byte-aligned arg/ret ranges,
-retSize <= rds, no REVERT paths, one frame per address per tree.
+PrecompileCallAir.  Value transfers ride the TREE-level balance
+journal (EvmBalanceAir over BUS_BL): the call row sends a debit
+(caller) + credit (target) with the value word, BALANCE/SELFBALANCE
+send reads, and the journal's per-address running-balance chain (with
+no-borrow/no-wrap adders) pins originals to finals.  REVERT (0xFD) is
+a third halt opcode carrying a returndata span; the callee's CALLRET
+success term becomes 1 - PUB_REVERTED and PUB_REVERTED gates every
+effectful opcode (coverage v1: reverting frames are effect-free).  A
+static frame (PUB_STATIC, propagated through CALLREQ exp 42) is gated
+off SSTORE/LOG/value-transfer in-circuit.  Remaining coverage
+restrictions (reported uncovered, never mis-proven): 32-byte-aligned
+arg/ret ranges, retSize <= rds, effect-free reverts, at most one
+storage-active frame per address, no CREATE/CALLCODE, value only to
+provably non-empty accounts.
 """
 
 from __future__ import annotations
@@ -213,9 +230,19 @@ SIMPLE_OPS = {
     # expansion + EIP-2929 base charge; the "callret" row reads
     # value/retOff/retSize, runs the 63/64 forwarding gadget, exchanges
     # the CALLREQ/CALLRET tuples and pushes success.  Both rows fetch
-    # the same 0xF1 instruction.
+    # the same instruction.  Round 5: the SAME two-row shape also covers
+    # DELEGATECALL (0xF4) and STATICCALL (0xFA) via the KDEL/KSTA kind
+    # bits (op = 0xF1 + 3*kdel + 9*ksta), and value-bearing CALL via the
+    # callret row's nonzero gadget on the popped value word (9000 gas +
+    # 2300 stipend + balance-journal debit/credit over BUS_BL).
     "call": (0xF1, 100, 0, 0),
     "callret": (0xF1, 0, 0, 0),
+    # REVERT (0xFD): a third halt opcode with a returndata span like
+    # RETURN; the callee's CALLRET success term becomes 1 - PUB_REVERTED
+    # and the caller pushes that bit.  Coverage v1: a reverting frame
+    # must be effect-free (no SSTORE, no LOGs, no calls) — the rollback
+    # is then a no-op, enforced in-circuit by PUB_REVERTED gating.
+    "revert": (0xFD, 0, 2, 0),
     # account-state family (round 4): values come from the PUBLIC
     # account-context table (evm_call.AcctCtxAir) over BUS_AC; the
     # EIP-2929 100/2600 address pricing rides the same address journal
@@ -236,8 +263,8 @@ ENV_OPS = {
     "calldatasize": 0x36,
     "codesize": 0x38,
     "gasprice": 0x3A,
-    # no calls happen inside a covered frame, so RETURNDATASIZE is the
-    # constant 0 (bound as a public env word that must be zero)
+    # RETURNDATASIZE binds the CONSTANT env public; the executor leaves
+    # coverage if a push would diverge from the live rds (post-CALL)
     "returndatasize": 0x3D,
     "coinbase": 0x41,
     "timestamp": 0x42,
@@ -273,6 +300,7 @@ COVERED_OPBYTES = frozenset(
     [v[0] for v in SIMPLE_OPS.values()]
     + list(ENV_OPS.values())
     + [base + n for base, cap, _ in FAMILIES.values() for n in range(1, cap + 1)]
+    + [0xF4, 0xFA]  # DELEGATECALL / STATICCALL share the CALL rows
 )
 
 # sp delta per flag
@@ -296,7 +324,7 @@ def _sp_delta(name: str) -> int:
         return 0
     if name in ("pop", "jump"):
         return -1
-    if name in ("jumpi", "mstore", "mstore8", "sstore", "return"):
+    if name in ("jumpi", "mstore", "mstore8", "sstore", "return", "revert"):
         return -2
     if name in ("calldatacopy", "codecopy", "returndatacopy"):
         return -3
@@ -381,7 +409,12 @@ CC_INVH = SG2 + 1
 CC_INVR = CC_INVH + 1
 CC_ARGNEED = CC_INVR + 1
 CC_RETNEED = CC_ARGNEED + 1
-CPU_WIDTH = CC_RETNEED + 1
+# call-variant kind bits (round 5): KDEL = DELEGATECALL, KSTA =
+# STATICCALL (op = 0xF1 + 3*kdel + 9*ksta); valid on call/callret rows
+# only, mirrored from the call row onto its callret row
+KDEL = CC_RETNEED + 1
+KSTA = KDEL + 1
+CPU_WIDTH = KSTA + 1
 
 # CALL-row scratch overlay (the SCRATCH0 bit region is free on call /
 # callret rows: no mul carries, no shift one-hots)
@@ -426,7 +459,11 @@ AUX_BRR = AUX_BRW + 4  # callee ret-read-bridge instancing sends
 AUX_ADR = AUX_BRR + 4  # address-journal sends
 AUX_AC = AUX_ADR + 4  # account-context sends
 AUX_LG = AUX_AC + 4  # log-record sends
-CPU_AUX_W = AUX_LG + 4
+# balance-journal channel (round 5, tree-level EvmBalanceAir over BUS_BL)
+AUX_BLR = AUX_LG + 4  # balance READ sends (BALANCE / SELFBALANCE rows)
+AUX_BLD = AUX_BLR + 4  # balance DEBIT sends (value-bearing call rows)
+AUX_BLC = AUX_BLD + 4  # balance CREDIT sends (value-bearing call rows)
+CPU_AUX_W = AUX_BLC + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
@@ -447,7 +484,8 @@ CHAL_BR = 13  # args/ret memory-span bridge instancing tuples
 CHAL_AD = 14  # address-access tuples (CPU -> address journal, EIP-2929)
 CHAL_AC = 15  # account-context tuples (CPU -> AcctCtxAir, per-frame)
 CHAL_LG = 16  # log-record tuples (CPU -> EvmLogAir, per-frame)
-NUM_CHALLENGES = 17
+CHAL_BL = 17  # balance-journal tuples (tree-level, fid inside the tuple)
+NUM_CHALLENGES = 18
 BUS_FETCH = 0
 BUS_STACK = 1
 BUS_CD = 2
@@ -462,9 +500,10 @@ BUS_CQ = 10  # CALLREQ tuples (cross-frame)
 BUS_CR = 11  # CALLRET tuples (cross-frame)
 BUS_BR = 12  # bridge instancing tuples
 BUS_AD = 13  # address-access tuples
-BUS_AC = 14  # account-context tuples (balance/codesize/codehash/blockhash)
+BUS_AC = 14  # account-context tuples (codesize/codehash/blockhash)
 BUS_LG = 15  # log-record tuples (LOGn topics + data span)
-NUM_BUS = 16
+BUS_BL = 16  # balance-journal tuples (reads + value-transfer deltas)
+NUM_BUS = 17
 ENV_IDX_CDSIZE = list(ENV_OPS).index("calldatasize")
 ENV_IDX_ADDRESS = list(ENV_OPS).index("address")
 ENV_IDX_CALLER = list(ENV_OPS).index("caller")
@@ -485,7 +524,14 @@ PUB_CID_FID = PUB_FID + 2
 PUB_CID_CLK = PUB_FID + 3
 PUB_RDS = PUB_FID + 4
 PUB_HASRET = PUB_FID + 5
-NUM_PUBLICS = PUB_FID + 6
+# round 5: the static-context flag (STATICCALL descendants — gates every
+# write opcode in-circuit), the reverted flag (halt was REVERT; flips
+# the CALLRET success term), and the code address (the account whose
+# code this frame runs — differs from env.address under DELEGATECALL)
+PUB_STATIC = PUB_FID + 6
+PUB_REVERTED = PUB_FID + 7
+PUB_CODEADDR0 = PUB_FID + 8  # 10 address limbs
+NUM_PUBLICS = PUB_CODEADDR0 + 10
 
 MAX_STEPS_LOG = 20  # clk4 = 4*clk + slot < 2^22
 MAX_GAS_LOG = 28  # frame gas < 2^28: keeps every gas equation far from
@@ -678,6 +724,8 @@ class _Step:
     mem_access4: tuple | None = None  # (word_addr, iw, value) at slot 3
     accesses: list = field(default_factory=list)  # (slot, addr, iw, value)
     callw: dict | None = None  # call/callret row witnesses (CW_*/RW_* keys)
+    kdel: int = 0  # call-variant bits (DELEGATECALL / STATICCALL),
+    ksta: int = 0  # set on both rows of the pair
 
 
 @dataclass
@@ -725,6 +773,19 @@ class FrameTrace:
     # LOGn records: per-log PUBLIC (fam_n, offw, size, topics, data
     # words) — the execution-bound receipt-log statement (EvmLogAir)
     log_records: list = field(default_factory=list)
+    # balance-journal events (round 5): (clk4, kind, addr, value) with
+    # kind 1 = read (BALANCE/SELFBALANCE push), 2 = debit, 3 = credit
+    # (value-bearing CALL); received by the tree-level EvmBalanceAir
+    bal_events: list = field(default_factory=list)
+    # tree-level balance originals/finals (root frame only): addr -> int
+    bal_originals: dict = field(default_factory=dict)
+    bal_finals: dict = field(default_factory=dict)
+    # static context (STATICCALL descendant) and reverted halt (round 5)
+    static: int = 0
+    reverted: int = 0
+    # the account whose CODE this frame executes (== env.address except
+    # under DELEGATECALL, where env.address is the caller's account)
+    code_addr: int = 0
     # proving-time composition role (assigned by the call-tree prover)
     fid: int = 0
     is_callee: int = 0
@@ -879,6 +940,11 @@ def execute_frame(
     depth: int = 0,
     _tree_addrs: set | None = None,
     acct_ctx: dict | None = None,
+    balances: dict | None = None,
+    static: bool = False,
+    code_addr: int | None = None,
+    _tree_storage_addrs: set | None = None,
+    _bal_seq: list | None = None,
 ) -> FrameTrace:
     """Run the covered-subset stack machine, recording the full witness.
 
@@ -919,14 +985,45 @@ def execute_frame(
     copy_calls: list = []
     ret_rds = 0
     ret_span = None
+    reverted = 0
+    # live RETURNDATASIZE (EIP-211): covered env pushes of 0x3D must
+    # match it — the in-circuit push binds the CONSTANT env public, so a
+    # divergence (push after a call changed rds) must leave coverage
+    cur_rds = env.returndatasize
     call_sites: list = []
     # EIP-2929 address access set, shared down the call tree; precompiles
     # and the tree-visited addresses
     warm_addr = warm_addresses if warm_addresses is not None else set()
     prewarm_addr = set(warm_addr)
     tree_addrs = _tree_addrs if _tree_addrs is not None else {env.address}
+    # round 5: address revisits ARE covered (delegatecall proxies, repeat
+    # transfers) as long as at most ONE frame per address touches storage
+    # — the per-address prestate chain stays well-ordered then
+    storage_addrs = (
+        _tree_storage_addrs if _tree_storage_addrs is not None else set()
+    )
     addr_accesses: list = []  # (addr, clk4, cold)
     addr_counts: dict[int, int] = {}
+    # balance journal (round 5): live balances shared down the tree,
+    # originals snapshotted at tree entry; events (clk4, kind, addr, v)
+    bal_live = balances if balances is not None else {}
+    bal_originals = dict(bal_live) if depth == 0 else {}
+    bal_events: list = []
+    # tree-wide monotone sequence: orders a single address's events
+    # across interleaved frames when the journal trace is built
+    bal_seq = _bal_seq if _bal_seq is not None else [0]
+    is_static = bool(static)
+
+    def bal_event(clk4: int, kind: int, addr_i: int, value: int) -> None:
+        bal_seq[0] += 1
+        bal_events.append((clk4, kind, addr_i, value, bal_seq[0]))
+
+    def bal_read(clk4: int, addr_i: int) -> int:
+        if addr_i not in bal_live:
+            raise UncoveredFrame("balance outside captured set")
+        v = int(bal_live[addr_i])
+        bal_event(clk4, 1, addr_i, v)
+        return v
     # account-context records: (kind, key, value) -> multiplicity
     # (kind 1 balance, 2 codesize, 3 codehash, 4 blockhash)
     acct_counts: dict[tuple, int] = {}
@@ -1340,8 +1437,13 @@ def execute_frame(
             addr_accesses.append((addr, 4 * (len(steps) - 1), cold))
             addr_counts[addr] = addr_counts.get(addr, 0) + 1
             use(100 + 2500 * cold)
-            kind = {0x31: 1, 0x3B: 2, 0x3F: 3}[op]
-            push(acct_lookup(kind, addr), sp - 1)
+            if op == 0x31:
+                # BALANCE reads the live balance journal (round 5): the
+                # running balance, not a static context record
+                push(bal_read(4 * (len(steps) - 1), addr), sp - 1)
+            else:
+                kind = {0x3B: 2, 0x3F: 3}[op]
+                push(acct_lookup(kind, addr), sp - 1)
         elif op == 0x40:
             st.name = "blockhash"
             n_arg = pop1()
@@ -1353,14 +1455,19 @@ def execute_frame(
         elif op == 0x47:
             st.name = "selfbalance"
             use(5)
-            push(acct_lookup(1, env.address), sp)
-        elif op == 0xF1:
-            # CALL (docs/EVM_COMPOSITION.md): two rows, the callee as its
-            # own frame bound through CALLREQ/CALLRET; phase-1 coverage:
-            # zero value, 32-byte-aligned arg/ret ranges, retSize <= rds,
-            # leaf-or-nested callees at addresses not yet in the tree
+            push(bal_read(4 * (len(steps) - 1), env.address), sp)
+        elif op in (0xF1, 0xF4, 0xFA):
+            # CALL / DELEGATECALL / STATICCALL (docs/EVM_COMPOSITION.md):
+            # two rows, the callee as its own frame bound through
+            # CALLREQ/CALLRET; coverage: 32-byte-aligned arg/ret ranges,
+            # retSize <= rds, value-bearing only through the balance
+            # journal, at most one storage-active frame per address
             st.name = "call"
-            if sp < 7:
+            kdel = 1 if op == 0xF4 else 0
+            ksta = 1 if op == 0xFA else 0
+            k6 = kdel or ksta
+            nargs = 6 if k6 else 7
+            if sp < nargs:
                 raise UncoveredFrame("stack underflow")
             if world is None:
                 raise UncoveredFrame("no world state for CALL")
@@ -1368,13 +1475,13 @@ def execute_frame(
                 raise UncoveredFrame("call depth beyond coverage")
             g_req = stack.pop()
             addr_w = stack.pop()
-            value = stack.pop()
+            value = 0 if k6 else stack.pop()
             args_off = stack.pop()
             args_size = stack.pop()
             ret_off = stack.pop()
             ret_size = stack.pop()
-            if value != 0:
-                raise UncoveredFrame("value-bearing CALL not covered")
+            if value != 0 and is_static:
+                raise UncoveredFrame("value CALL in a static context")
             if any(v % 32 for v in (args_off, args_size, ret_off, ret_size)):
                 raise UncoveredFrame("unaligned CALL memory range")
             if args_off >= (1 << 18) or ret_off >= (1 << 18):
@@ -1383,10 +1490,11 @@ def execute_frame(
                 raise UncoveredFrame("CALL range beyond coverage")
             addr = addr_w & ((1 << 160) - 1)
             st.a, st.b, st.c, st.w = args_off, addr_w, args_size, g_req
+            st.kdel, st.ksta = kdel, ksta
             st.accesses = [
-                (0, sp - 4, 0, args_off),
+                (0, sp - 4 + k6, 0, args_off),
                 (1, sp - 2, 0, addr_w),
-                (2, sp - 5, 0, args_size),
+                (2, sp - 5 + k6, 0, args_size),
                 (3, sp - 1, 0, g_req),
             ]
             # [argsSize != 0] through the row's nonzero gadget (popcount
@@ -1407,6 +1515,18 @@ def execute_frame(
             argneed = (args_off // 32 + asw) if args_size else 0
             retneed = (ret_off // 32 + rsw) if ret_size else 0
             use(mem_expand(st, max(argneed, retneed)))
+            if value:
+                # EIP-150 CallValueTransferGas, charged before the 63/64
+                # cap; the 25000 new-account surcharge stays uncovered,
+                # so the target must provably be non-empty
+                if addr not in bal_live:
+                    raise UncoveredFrame("value CALL outside balance set")
+                info0 = world.get(addr)
+                if bal_live[addr] == 0 and not (info0 and info0.get("code")):
+                    raise UncoveredFrame("value CALL to maybe-empty account")
+                if bal_live.get(env.address, 0) < value:
+                    raise UncoveredFrame("insufficient balance for CALL")
+                use(9000)
             # call-row witnesses: the max gadget + requested-gas flags
             h_pop = bin(g_req >> MAX_GAS_LOG).count("1")
             bigreq = 1 if h_pop else 0
@@ -1423,7 +1543,7 @@ def execute_frame(
                 "cfid": 0,  # assigned at prove time (fid of the callee)
             }
             # 63/64 forwarding (EIP-150): avail is the gas after the base
-            # + expansion charges — exactly this row's post-charge gas
+            # + value + expansion charges — this row's post-charge gas
             avail = gas_left
             q64, r64 = avail // 64, avail % 64
             cap = 63 * q64 + r64
@@ -1431,6 +1551,8 @@ def execute_frame(
             m_sel = 1 if (bigreq or g_req > cap) else 0
             gas_in = cap if m_sel else g_req
             dmin = (reqlo + (bigreq << MAX_GAS_LOG) - cap) if m_sel else (cap - reqlo)
+            # the callee's gas0 includes the 2300 stipend on value calls
+            child_gas0 = gas_in + (2300 if value else 0)
             # args bytes from caller memory (fresh reads are zero)
             args_words = [
                 mem_words.get(args_off // 32 + j, 0) for j in range(asw)
@@ -1445,19 +1567,33 @@ def execute_frame(
             )
             steps.append(st2)
             visit[pc] = visit.get(pc, 0) + 1
-            st2.a, st2.b, st2.c = value, ret_off, ret_size
+            st2.a, st2.b, st2.c = (0 if k6 else value), ret_off, ret_size
+            st2.kdel, st2.ksta = kdel, ksta
             st2.ksw, st2.ksl = rsw, 0
-            st2.accesses = [
-                (0, sp - 3, 0, value),
-                (1, sp - 6, 0, ret_off),
-                (2, sp - 7, 0, ret_size),
+            # the callret row's nonzero gadget carries [value != 0]
+            st2.nz, st2.inv, st2.s_inv, st2.taken = _nonzero_witness(
+                [((0 if k6 else value) >> (16 * i)) & 0xFFFF for i in range(16)]
+            )
+            st2.accesses = (
+                [] if k6 else [(0, sp - 3, 0, value)]
+            ) + [
+                (1, sp - 6 + k6, 0, ret_off),
+                (2, sp - 7 + k6, 0, ret_size),
             ]
+            # balance-journal debit/credit at the call row's sub-clocks
+            # +2 / +3 (value transfers happen before the callee runs)
+            if value:
+                bal_event(4 * clk_call + 2, 2, env.address, value)
+                bal_event(4 * clk_call + 3, 3, addr, value)
+                bal_live[env.address] -= value
+                bal_live[addr] = bal_live.get(addr, 0) + value
             # execute the callee
+            child_static = is_static or bool(ksta)
             site = {
                 "clk": clk_call,
                 "addr": addr,
                 "cold": cold,
-                "gas_in": gas_in,
+                "gas_in": child_gas0,
                 "args_offw": args_off // 32,
                 "args_sw": asw,
                 "args_words": args_words if args_size else [],
@@ -1465,60 +1601,94 @@ def execute_frame(
                 "ret_sw": rsw if ret_size else 0,
                 "precompile": None,
                 "callee": None,
+                "static": 1 if child_static else 0,
+                "kdel": kdel,
+                "ksta": ksta,
             }
             if 1 <= addr <= 0x0A:
                 if addr != 0x04:
                     raise UncoveredFrame("precompile not covered")
+                if kdel:
+                    raise UncoveredFrame("DELEGATECALL to precompile")
+                if value:
+                    raise UncoveredFrame("value to precompile not covered")
                 pcost = 15 + 3 * asw
-                if gas_in < pcost:
+                if child_gas0 < pcost:
                     raise UncoveredFrame("precompile out of gas")
-                gas_ret = gas_in - pcost
+                gas_ret = child_gas0 - pcost
                 rds_child = args_size
                 out_words = list(args_words)
+                success = 1
                 site["precompile"] = "identity"
             else:
                 info = world.get(addr)
-                if not info or not info.get("code"):
-                    raise UncoveredFrame("callee without code not covered")
-                if addr in tree_addrs:
-                    raise UncoveredFrame("address revisited in call tree")
+                ccode = bytes(info["code"]) if info and info.get("code") else b""
+                if not ccode and not k6 and value == 0 and addr not in bal_live:
+                    # plain zero-value call to an unknown codeless target:
+                    # can't distinguish existing-empty from nonexistent
+                    raise UncoveredFrame("codeless callee outside balance set")
                 tree_addrs.add(addr)
-                ccode = bytes(info["code"])
-                cenv = FrameEnv(
-                    address=addr,
-                    origin=env.origin,
-                    caller=env.address,
-                    callvalue=0,
-                    calldatasize=args_size,
-                    codesize=len(ccode),
-                    gasprice=env.gasprice,
-                    returndatasize=0,
-                    coinbase=env.coinbase,
-                    timestamp=env.timestamp,
-                    number=env.number,
-                    prevrandao=env.prevrandao,
-                    gaslimit=env.gaslimit,
-                    chainid=env.chainid,
-                    basefee=env.basefee,
-                    blobbasefee=env.blobbasefee,
-                )
+                if kdel:
+                    # DELEGATECALL: target CODE in the CALLER's context —
+                    # address/caller/callvalue/storage all the parent's
+                    cenv = FrameEnv(
+                        **{
+                            **env.__dict__,
+                            "calldatasize": args_size,
+                            "codesize": len(ccode),
+                            "returndatasize": 0,
+                        }
+                    )
+                    cstorage = dict(storage_cur)
+                    cwarm = set(warm)
+                else:
+                    cenv = FrameEnv(
+                        address=addr,
+                        origin=env.origin,
+                        caller=env.address,
+                        callvalue=value,
+                        calldatasize=args_size,
+                        codesize=len(ccode),
+                        gasprice=env.gasprice,
+                        returndatasize=0,
+                        coinbase=env.coinbase,
+                        timestamp=env.timestamp,
+                        number=env.number,
+                        prevrandao=env.prevrandao,
+                        gaslimit=env.gaslimit,
+                        chainid=env.chainid,
+                        basefee=env.basefee,
+                        blobbasefee=env.blobbasefee,
+                    )
+                    cstorage = (info or {}).get("storage")
+                    cwarm = (info or {}).get("warm_slots")
                 child = execute_frame(
                     ccode,
                     cenv,
-                    gas_in,
+                    child_gas0,
                     max_steps,
                     calldata=args_data,
-                    storage=info.get("storage"),
-                    warm_slots=info.get("warm_slots"),
+                    storage=cstorage,
+                    warm_slots=cwarm,
                     world=world,
                     warm_addresses=warm_addr,
                     depth=depth + 1,
                     _tree_addrs=tree_addrs,
                     acct_ctx=acct_ctx,
+                    balances=bal_live,
+                    static=child_static,
+                    code_addr=addr,
+                    _tree_storage_addrs=storage_addrs,
+                    _bal_seq=bal_seq,
                 )
                 gas_ret = child.gas_f
                 rds_child = child.rds
                 out_words = list(child.ret_span[2]) if child.ret_span else []
+                success = 0 if child.reverted else 1
+                if not success and value:
+                    # a reverted value call rolls the transfer back —
+                    # outside the effect-free-revert coverage (v1)
+                    raise UncoveredFrame("reverted value CALL")
                 site["callee"] = child
             if ret_size:
                 if rds_child < ret_size:
@@ -1530,13 +1700,14 @@ def execute_frame(
                 site["ret_words"] = out_words[:rsw]
             else:
                 site["ret_words"] = []
+            cur_rds = rds_child
             use(gas_in - gas_ret)
             st2.callw = {
                 "q": q64,
                 "r": r64,
                 "m": m_sel,
                 "d": dmin,
-                "gasin": gas_in,
+                "gasin": child_gas0,
                 "gasret": gas_ret,
                 "rds": rds_child,
                 "rdiff": (rds_child - ret_size) if ret_size else 0,
@@ -1544,13 +1715,12 @@ def execute_frame(
             site["gas_ret"] = gas_ret
             site["rds"] = rds_child
             call_sites.append(site)
-            # push success (always 1: reverting/failing paths are
-            # uncovered, never mis-proven)
+            # push the callee's success bit (0 for a reverted callee)
             if len(stack) >= 1024:
                 raise UncoveredFrame("stack overflow")
-            stack.append(1)
-            st2.w = 1
-            st2.accesses.append((3, sp - 7, 1, 1))
+            stack.append(success)
+            st2.w = success
+            st2.accesses.append((3, sp - 7 + k6, 1, success))
         elif op == 0x50:
             st.name = "pop"
             a = pop1()
@@ -1648,6 +1818,8 @@ def execute_frame(
             )
         elif op == 0x55:
             st.name = "sstore"
+            if is_static:
+                raise UncoveredFrame("SSTORE in a static context")
             if gas_left <= 2300:
                 raise UncoveredFrame("SSTORE sentry (EIP-2200)")
             st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
@@ -1700,8 +1872,44 @@ def execute_frame(
                     [mem_words.get(a // 32 + i, 0) for i in range(sw)],
                 )
             break
+        elif op == 0xFD:
+            # REVERT (round 5): third halt opcode with a returndata span.
+            # Coverage v1: the frame must be EFFECT-FREE (no storage
+            # writes, no logs, no calls, no balance deltas) so the
+            # rollback is a no-op — require()-guard reverts, the common
+            # real-block shape.  Effectful reverts stay uncovered.
+            st.name = "revert"
+            if any(acc[2] for acc in storage_accesses):
+                raise UncoveredFrame("REVERT after storage writes")
+            if log_records or call_sites:
+                raise UncoveredFrame("REVERT after logs or calls")
+            if any(ev[1] != 1 for ev in bal_events):
+                raise UncoveredFrame("REVERT after value transfer")
+            a, size = pop2()  # a = offset, size = length
+            if a % 32 or a >= (1 << 18):
+                raise UncoveredFrame("unaligned or far REVERT range")
+            if size >= (1 << 13):
+                raise UncoveredFrame("REVERT size beyond covered bound")
+            st.a, st.b = a, size
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(size & 0x7FFF).bit_count()] + [0] * 15
+            )
+            sw = (size + 31) // 32
+            st.ksw, st.ksl = sw, 32 * sw - size
+            use(mem_expand(st, (a // 32 + sw) if size else 0))
+            ret_rds = size
+            reverted = 1
+            if size:
+                ret_span = (
+                    len(steps) - 1,
+                    a // 32,
+                    [mem_words.get(a // 32 + i, 0) for i in range(sw)],
+                )
+            break
         elif 0xA0 <= op <= 0xA4:
             st.name = "log"
+            if is_static:
+                raise UncoveredFrame("LOG in a static context")
             st.fam_n = op - 0x9F  # topics = fam_n - 1
             topics = op - 0xA0
             if sp < 2 + topics:
@@ -1818,11 +2026,22 @@ def execute_frame(
         elif op in env_by_op:
             st.name, v = env_by_op[op]
             use(2)
+            if op == 0x3D and v != cur_rds:
+                # the in-circuit push binds the CONSTANT env public; a
+                # post-call RETURNDATASIZE that diverges from it would be
+                # mis-proven — leave coverage instead
+                raise UncoveredFrame("RETURNDATASIZE diverges from env")
             push(v, sp)
         else:  # pragma: no cover — COVERED_OPBYTES gate above
             raise UncoveredFrame(f"opcode 0x{op:02x} not covered")
         pc += 1
 
+    if storage_accesses:
+        # at most ONE frame per address may touch storage in a tree (the
+        # per-address prestate chain has no global clock across frames)
+        if env.address in storage_addrs:
+            raise UncoveredFrame("two storage-active frames at one address")
+        storage_addrs.add(env.address)
     return FrameTrace(
         code=code,
         env=env,
@@ -1860,6 +2079,12 @@ def execute_frame(
             (k, key, v, cnt) for (k, key, v), cnt in acct_counts.items()
         ),
         log_records=log_records,
+        bal_events=bal_events,
+        bal_originals=bal_originals,
+        bal_finals=(dict(bal_live) if depth == 0 else {}),
+        static=1 if is_static else 0,
+        reverted=reverted,
+        code_addr=env.address if code_addr is None else int(code_addr),
     )
 
 
@@ -1929,6 +2154,8 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
         row[SCOLD] = st.scold
         row[SG1] = st.sg1
         row[SG2] = st.sg2
+        row[KDEL] = st.kdel
+        row[KSTA] = st.ksta
         if st.name == "sstore":
             for i in range(12):
                 row[MULC0 + i] = (st.sentry >> i) & 1
@@ -2006,6 +2233,9 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
         cid=ft.cid,
         rds=ft.rds,
         hasret=ft.hasret,
+        static=ft.static,
+        reverted=ft.reverted,
+        code_addr=ft.code_addr or ft.env.address,
     )
     return tr, publics
 
@@ -2270,19 +2500,23 @@ class EvmCpuAir(Air):
             fb0 * fb1 + fb2,
             fb2,
         ]
+        # 6-arg call variants (DELEGATECALL/STATICCALL) shift the call-
+        # pair stack offsets by one; REVERT pops like RETURN
+        k6 = t[:, KDEL] + t[:, KSTA]
         pops_w0 = (
             2 * p21 + flags["iszero"] + flags["not"] + flags["swap"]
             + cdl + mld + sl + 3 * cdc_f + 5 * fcl + 7 * fcr + acp
-            + 3 * flgx
-        )
+            + 3 * flgx - anycall * k6 + _PU
+        ) % _PU
         env_sum = sum(flags[nm] for nm in ENV_OPS)
-        ret = flags["return"]
+        ret = flags["return"] + flags["revert"]
         active = [
             p21
             + flags["iszero"] + flags["not"] + flags["pop"]
             + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
             + cdl + mld + mst + sl + ss + ret + flags["log"]
-            + flags["mstore8"] + cdc_f + anycall + acp + flgx * lg_ind[0],
+            + flags["mstore8"] + cdc_f + anycall + acp + flgx * lg_ind[0]
+            + _PU - fcr * k6,
             p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret
             + flags["log"] + flags["mstore8"] + cdc_f + anycall
             + flgx * lg_ind[1],
@@ -2294,13 +2528,20 @@ class EvmCpuAir(Air):
             flags["swap"] + anycall + flgx * lg_ind[3],
         ]
         addr = [
-            (sp + _PU - 1 - flags["dup"] * (fam_n - 1) - 3 * fcl - 2 * fcr)
+            (
+                sp + _PU - 1 - flags["dup"] * (fam_n - 1) - 3 * fcl
+                - 2 * fcr + fcl * k6
+            )
             % _PU,
-            (sp + 2 * _PU - 2 - flags["swap"] * (fam_n - 1) - 4 * fcr) % _PU,
+            (
+                sp + 2 * _PU - 2 - flags["swap"] * (fam_n - 1) - 4 * fcr
+                + fcr * k6
+            )
+            % _PU,
             (sp + _PU * 2 - pops_w0) % _PU,
             (
                 sp + 2 * _PU - 1 - flags["swap"] * fam_n - 6 * fcr
-                - 3 * flgx
+                - 3 * flgx + fcr * k6
             )
             % _PU,
         ]
@@ -2380,13 +2621,24 @@ class EvmCpuAir(Air):
 
         out = {
             k: np.zeros((n, 4), dtype=np.uint64)
-            for k in ("cq", "cr", "bra", "brw", "brr", "adr", "ac", "lg")
+            for k in (
+                "cq", "cr", "bra", "brw", "brr", "adr", "ac", "lg",
+                "blr", "bld", "blc",
+            )
         }
+        g_bl = challenges[CHAL_BL]
         denoms = []
         meta = []  # (key, row, sign)
         caller_l = [
             pubs[PUB_ENV0 + 16 * ENV_IDX_ADDRESS + i] for i in range(10)
         ]
+        callerenv_l = [
+            pubs[PUB_ENV0 + 16 * ENV_IDX_CALLER + i] for i in range(10)
+        ]
+        cv_l = [
+            pubs[PUB_ENV0 + 16 * ENV_IDX_CALLVALUE + i] for i in range(16)
+        ]
+        static_pub = pubs[PUB_STATIC]
         idx_call = FLAG0 + FLAG_IDX["call"]
         for r in np.nonzero(trace[:, idx_call])[0]:
             r = int(r)
@@ -2399,25 +2651,54 @@ class EvmCpuAir(Air):
             gasret = sbits(r + 1, RW_GASRET0, 28)
             rds = sbits(r + 1, RW_RDS0, 13)
             cfid = sbits(r, CW_CFID0, 16)
+            kdel = int(trace[r, KDEL])
+            ksta = int(trace[r, KSTA])
+            taken_n = int(trace[r + 1, TAKEN])
+            succ = int(trace[r + 1, W0])
             addr_l = [(Bw >> (16 * i)) & 0xFFFF for i in range(10)]
             val_l = [(Awn >> (16 * i)) & 0xFFFF for i in range(16)]
+            # DELEGATECALL: the callee keeps the CALLER's context words
+            env_addr_l = caller_l if kdel else addr_l
+            env_val_l = cv_l if kdel else val_l
+            env_caller_l = callerenv_l if kdel else caller_l
+            static_child = static_pub + ksta - static_pub * ksta
             code_cq = hcode(
                 self.fid,
                 [(r, 1), (gasin & 0xFFFF, 2), (gasin >> 16, 3)]
-                + [(addr_l[i], 4 + i) for i in range(10)]
-                + [(val_l[i], 14 + i) for i in range(16)]
+                + [(env_addr_l[i], 4 + i) for i in range(10)]
+                + [(env_val_l[i], 14 + i) for i in range(16)]
                 + [(Cw & 0x7FFF, 30)]
-                + [(caller_l[i], 31 + i) for i in range(10)]
-                + [(cfid, 41)],
+                + [(env_caller_l[i], 31 + i) for i in range(10)]
+                + [(cfid, 41), (static_child, 42)]
+                + [(addr_l[i], 43 + i) for i in range(10)],
             )
             denoms.append(ef.h_sub(g_cq, code_cq))
             meta.append(("cq", r, +1))
             code_cr = hcode(
                 self.fid,
-                [(r, 1), (gasret & 0xFFFF, 2), (gasret >> 16, 3), (1, 4), (rds, 5)],
+                [(r, 1), (gasret & 0xFFFF, 2), (gasret >> 16, 3), (succ, 4), (rds, 5)],
             )
             denoms.append(ef.h_sub(g_cr, code_cr))
             meta.append(("cr", r, -1))
+            if taken_n:
+                # balance-journal debit/credit (value-bearing call)
+                vb = [(Awn >> (8 * j)) & 0xFF for j in range(32)]
+                code_bld = hcode(
+                    self.fid,
+                    [(4 * r + 2, 1), (2, 2)]
+                    + [(caller_l[i], 3 + i) for i in range(10)]
+                    + [(vb[j], 13 + j) for j in range(32)],
+                )
+                denoms.append(ef.h_sub(g_bl, code_bld))
+                meta.append(("bld", r, +1))
+                code_blc = hcode(
+                    self.fid,
+                    [(4 * r + 3, 1), (3, 2)]
+                    + [(addr_l[i], 3 + i) for i in range(10)]
+                    + [(vb[j], 13 + j) for j in range(32)],
+                )
+                denoms.append(ef.h_sub(g_bl, code_blc))
+                meta.append(("blc", r, +1))
             asw = sum(int(trace[r, KSW0 + i]) << i for i in range(10))
             rsw = sum(int(trace[r + 1, KSW0 + i]) << i for i in range(10))
             if Cw:
@@ -2472,7 +2753,8 @@ class EvmCpuAir(Air):
                 denoms.append(ef.h_sub(g_br, code))
                 meta.append(("bra", r, +1))
         # account-state rows: the context tuples + (for the three
-        # address-priced ops) journal entries keyed by the A word
+        # address-priced ops) journal entries keyed by the A word;
+        # BALANCE/SELFBALANCE reads go to the balance journal (round 5)
         for name, kind in (
             ("balance", 1),
             ("extcodesize", 2),
@@ -2491,13 +2773,23 @@ class EvmCpuAir(Air):
                     ]
                 else:
                     key_l = [(Aw >> (16 * i)) & 0xFFFF for i in range(10)]
-                code = hcode(
-                    kind,
-                    [(key_l[i], 1 + i) for i in range(10)]
-                    + [((Cw >> (8 * j)) & 0xFF, 11 + j) for j in range(32)],
-                )
-                denoms.append(ef.h_sub(g_ac, code))
-                meta.append(("ac", r, +1))
+                if name in ("balance", "selfbalance"):
+                    code_bl = hcode(
+                        self.fid,
+                        [(4 * r, 1), (1, 2)]
+                        + [(key_l[i], 3 + i) for i in range(10)]
+                        + [((Cw >> (8 * j)) & 0xFF, 13 + j) for j in range(32)],
+                    )
+                    denoms.append(ef.h_sub(g_bl, code_bl))
+                    meta.append(("blr", r, +1))
+                else:
+                    code = hcode(
+                        kind,
+                        [(key_l[i], 1 + i) for i in range(10)]
+                        + [((Cw >> (8 * j)) & 0xFF, 11 + j) for j in range(32)],
+                    )
+                    denoms.append(ef.h_sub(g_ac, code))
+                    meta.append(("ac", r, +1))
                 if name in ("balance", "extcodesize", "extcodehash"):
                     code_ad = hcode(
                         4 * r,
@@ -2508,7 +2800,11 @@ class EvmCpuAir(Air):
                     meta.append(("adr", r, +1))
         if pubs[PUB_HASRET]:
             idx_ret = FLAG0 + FLAG_IDX["return"]
-            for r in np.nonzero(trace[:, idx_ret])[0]:
+            idx_rev = FLAG0 + FLAG_IDX["revert"]
+            halt_rows = np.nonzero(
+                trace[:, idx_ret] | trace[:, idx_rev]
+            )[0]
+            for r in halt_rows:
                 r = int(r)
                 ksw = sum(int(trace[r, KSW0 + i]) << i for i in range(10))
                 code = hcode(
@@ -2541,7 +2837,8 @@ class EvmCpuAir(Air):
                     (pubs[PUB_ENV0 + 16 * ENV_IDX_CALLER + i], 31 + i)
                     for i in range(10)
                 ]
-                + [(pubs[PUB_FID], 41)],
+                + [(pubs[PUB_FID], 41), (pubs[PUB_STATIC], 42)]
+                + [(pubs[PUB_CODEADDR0 + i], 43 + i) for i in range(10)],
             )
             code_send = hcode(
                 pubs[PUB_CID_FID],
@@ -2549,7 +2846,7 @@ class EvmCpuAir(Air):
                     (pubs[PUB_CID_CLK], 1),
                     (pubs[PUB_GASF], 2),
                     (pubs[PUB_GASF + 1], 3),
-                    (1, 4),
+                    (1 - pubs[PUB_REVERTED], 4),
                     (pubs[PUB_RDS], 5),
                 ],
             )
@@ -2608,6 +2905,9 @@ class EvmCpuAir(Air):
         aux[:, AUX_BRW : AUX_BRW + 4] = self._excl_prefix(ct["brw"])
         aux[:, AUX_BRR : AUX_BRR + 4] = self._excl_prefix(ct["brr"])
         aux[:, AUX_ADR : AUX_ADR + 4] = self._excl_prefix(ct["adr"])
+        aux[:, AUX_BLR : AUX_BLR + 4] = self._excl_prefix(ct["blr"])
+        aux[:, AUX_BLD : AUX_BLD + 4] = self._excl_prefix(ct["bld"])
+        aux[:, AUX_BLC : AUX_BLC + 4] = self._excl_prefix(ct["blc"])
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
@@ -2655,9 +2955,10 @@ class EvmCpuAir(Air):
         bus_ad = _tot("adr")
         bus_ac = _tot("ac")
         bus_lg = _tot("lg")
+        bus_bl = ef.h_add(ef.h_add(_tot("blr"), _tot("bld")), _tot("blc"))
         return [
             fetch, stack, cdl, mem, ef.H_ZERO, ef.H_ZERO, kcall, stor, ar, cp,
-            bus_cq, bus_cr, bus_br, bus_ad, bus_ac, bus_lg,
+            bus_cq, bus_cr, bus_br, bus_ad, bus_ac, bus_lg, bus_bl,
         ]
 
     # ------------------------------- constraints -------------------------
@@ -2743,6 +3044,7 @@ class EvmCpuAir(Air):
             + list(range(A0, A0 + 1024))
             + list(range(SCRATCH0, KNEED))  # KNEED itself is a raw column
             + list(range(DMB0, CC_INVH))  # CC_INVH..CC_RETNEED are raw
+            + [KDEL, KSTA]
         )
         bits = b.local_block(bit_cols)
         b.all_rows_block(b.mul(bits, b.sub(bits, one)), len(bit_cols))
@@ -2762,7 +3064,25 @@ class EvmCpuAir(Air):
             op_expr = b.add(op_expr, b.scale(base, f[nm]))
         fam_f = fsum(FAMILIES)
         op_expr = b.add(op_expr, b.mul(fam_f, fam_n))
+        # call-variant bytes: 0xF1 + 3*kdel (DELEGATECALL 0xF4) + 9*ksta
+        # (STATICCALL 0xFA) on both rows of the pair
+        kdel_l = b.local(KDEL)
+        ksta_l = b.local(KSTA)
+        f_callpair = b.add(f["call"], f["callret"])
+        op_expr = b.add(
+            op_expr,
+            b.mul(
+                f_callpair, b.add(b.scale(3, kdel_l), b.scale(9, ksta_l))
+            ),
+        )
         b.all_rows(b.sub(op, op_expr))
+        # kind bits live on call/callret rows only, at most one set, and
+        # mirror from the call row onto its callret row
+        b.all_rows(b.mul(kdel_l, b.sub(one, f_callpair)))
+        b.all_rows(b.mul(ksta_l, b.sub(one, f_callpair)))
+        b.all_rows(b.mul(kdel_l, ksta_l))
+        b.transition(b.mul(f["call"], b.sub(b.next(KDEL), kdel_l)))
+        b.transition(b.mul(f["call"], b.sub(b.next(KSTA), ksta_l)))
         # dup/swap n <= 16
         b.all_rows(b.mul(b.add(f["dup"], f["swap"]), b.local(FAMB0 + 4)))
         # log n <= 5: n-1 in 0..4 — bits 3/4 clear, and bit 2 excludes 5..7
@@ -2777,12 +3097,26 @@ class EvmCpuAir(Air):
             )
         )
 
-        # 4. halting discipline (STOP or RETURN)
+        # 4. halting discipline (STOP, RETURN or REVERT)
         b.first_row(halted)
         b.transition(
-            b.sub(b.sub(b.sub(halted_n, halted), f["stop"]), f["return"])
+            b.sub(
+                b.sub(b.sub(b.sub(halted_n, halted), f["stop"]), f["return"]),
+                f["revert"],
+            )
         )
         b.last_row(b.sub(halted, one))
+        # the reverted public selects WHICH halt opcode ended the frame
+        rev_pub = b.public(PUB_REVERTED)
+        static_pub = b.public(PUB_STATIC)
+        b.all_rows(b.mul(rev_pub, b.add(f["stop"], f["return"])))
+        b.all_rows(b.mul(b.sub(one, rev_pub), f["revert"]))
+        # coverage v1: a reverting frame is effect-free, and a static
+        # frame makes no writes (STATICCALL semantics) — in-circuit
+        for gate in (rev_pub, static_pub):
+            b.all_rows(b.mul(gate, f["sstore"]))
+            b.all_rows(b.mul(gate, f["log"]))
+        b.all_rows(b.mul(rev_pub, f["call"]))
 
         # 5. clock
         b.first_row(clk)
@@ -2799,7 +3133,7 @@ class EvmCpuAir(Air):
                         b.sub(b.sub(b.sub(one, halted), f["stop"]), f["jump"]),
                         f["jumpi"],
                     ),
-                    f["return"],
+                    b.add(f["return"], f["revert"]),
                 ),
                 f["call"],
             ),
@@ -2832,6 +3166,9 @@ class EvmCpuAir(Air):
             delta = term if delta is None else b.add(delta, term)
         # the logext row pops the fam_n - 1 topic values
         delta = b.sub(delta, b.mul(f["logext"], b.sub(fam_n, one)))
+        # 6-arg call variants (DELEGATECALL/STATICCALL) pop one less:
+        # the callret net is -5, not -6
+        delta = b.add(delta, b.mul(f["callret"], b.add(kdel_l, ksta_l)))
         b.transition(b.sub(sp_n, b.add(sp, delta)))
         b.last_row(b.sub(sp, b.public(PUB_SPF)))
 
@@ -2851,10 +3188,10 @@ class EvmCpuAir(Air):
         # delta (witnessed as dq, bound in section 14d), plus KECCAK256's
         # 6 gas per hashed word
         f_kec = f["keccak"]
-        f_ret = f["return"]
+        f_ret = b.add(f["return"], f["revert"])  # both halt with a span
         f_log = f["log"]
         f_m8 = f["mstore8"]
-        # keccak/return/log/calldatacopy/codecopy all meter a
+        # keccak/return/revert/log/calldatacopy/codecopy all meter a
         # word-aligned (offset, size) range via the sw/slack machinery
         f_kr = b.add(
             b.add(b.add(f_kec, f_ret), f_log),
@@ -2944,7 +3281,24 @@ class EvmCpuAir(Air):
 
         gasin_l = scratch_val(RW_GASIN0, 28)
         gasret_l = scratch_val(RW_GASRET0, 28)
-        cost = b.add(cost, b.mul(f["callret"], b.sub(gasin_l, gasret_l)))
+        # the callret row pays the forwarded gas (gasin already includes
+        # the 2300 stipend on value calls — the caller never paid it, so
+        # it is subtracted back out) and receives the callee's leftover
+        cost = b.add(
+            cost,
+            b.mul(
+                f["callret"],
+                b.sub(
+                    b.sub(gasin_l, gasret_l),
+                    b.scale(2300, taken),
+                ),
+            ),
+        )
+        # CallValueTransferGas (9000) on the call row when the NEXT row's
+        # nonzero gadget says the popped value word is nonzero
+        cost = b.add(
+            cost, b.scale(9000, b.mul(f["call"], b.next(TAKEN)))
+        )
         b.transition(b.sub(G_n, b.sub(G, cost)))
         # gas register capped below 2^28 (MAX_GAS_LOG): bits 28..31 are
         # zero on every row, so no gas equation can wrap mod p — the
@@ -2955,7 +3309,7 @@ class EvmCpuAir(Air):
         # returndata-size public: the halting step binds PUB_RDS (the
         # RETURN size's low limb — its high bits are zero via the f_kr
         # group's 15-bit size check; 0 for STOP)
-        b.all_rows(b.mul(f["return"], b.sub(lB[0], b.public(PUB_RDS))))
+        b.all_rows(b.mul(f_ret, b.sub(lB[0], b.public(PUB_RDS))))
         b.all_rows(b.mul(f["stop"], b.public(PUB_RDS)))
         # EXP byte-length suffix check (bbytes defined in section 14a;
         # emitted there to reuse the byte linmaps)
@@ -3031,7 +3385,7 @@ class EvmCpuAir(Air):
                 b.add(
                     b.mul(
                         b.add(
-                            b.add(f_kec, f["return"]),
+                            b.add(f_kec, f_ret),
                             b.add(
                                 f["log"],
                                 b.add(f["calldatacopy"], f["codecopy"]),
@@ -3054,7 +3408,9 @@ class EvmCpuAir(Air):
                 b.add(b.mul(f["iszero"], lA), b.mul(f["jumpi"], lB)),
             ),
             b.add(
-                b.mul(f_dm, lB),
+                # the callret row's gadget carries [value != 0]: A holds
+                # the popped value word (pinned 0 on 6-arg variants)
+                b.add(b.mul(f_dm, lB), b.mul(f["callret"], lA)),
                 b.concat_rows([b.stack_block([extra0]), b.scale(0, lA[:15])]),
             ),
         )
@@ -3801,6 +4157,8 @@ class EvmCpuAir(Air):
             fb2,
         ]
         f_lgx = f["logext"]
+        # 6-arg call variants shift every call-pair stack offset by one
+        k6_loc = b.add(kdel_l, ksta_l)
         pops_w0 = b.add(
             b.add(
                 b.scale(2, p21),
@@ -3813,8 +4171,12 @@ class EvmCpuAir(Air):
                 b.add(
                     b.add(
                         b.scale(3, f_cdc),
-                        # call reads argsSize @sp-5; callret retSize @sp-7
-                        b.add(b.scale(5, f_cl), b.scale(7, f_cr)),
+                        # call reads argsSize @sp-5 (-4 on 6-arg);
+                        # callret retSize @sp-7 (-6 on 6-arg)
+                        b.sub(
+                            b.add(b.scale(5, f_cl), b.scale(7, f_cr)),
+                            b.mul(f_anycall, k6_loc),
+                        ),
                     ),
                     f_acp,
                 ),
@@ -3836,7 +4198,9 @@ class EvmCpuAir(Air):
                             b.add(
                                 b.add(b.add(f_ret, f_log), f_cdc),
                                 b.add(
-                                    f_anycall,
+                                    # 6-arg callret rows have no value
+                                    # pop: slot 0 goes inactive
+                                    b.sub(f_anycall, b.mul(f_cr, k6_loc)),
                                     b.add(f_acp, b.mul(f_lgx, lg_ind[0])),
                                 ),
                             ),
@@ -3891,22 +4255,30 @@ class EvmCpuAir(Air):
         ]
         fam_m1 = b.sub(fam_n, one)
         addrs = [
-            # call row: argsOff at sp-4; callret row: value at sp-3
+            # call row: argsOff at sp-4 (sp-3 on 6-arg); callret row:
+            # value at sp-3 (slot inactive on 6-arg)
             b.sub(
                 b.sub(b.sub(sp, one), b.mul(f["dup"], fam_m1)),
-                b.add(b.scale(3, f_cl), b.scale(2, f_cr)),
+                b.sub(
+                    b.add(b.scale(3, f_cl), b.scale(2, f_cr)),
+                    b.mul(f_cl, k6_loc),
+                ),
             ),
             # call row: addr at sp-2 (default); callret: retOff at sp-6
+            # (sp-5 on 6-arg)
             b.sub(
                 b.sub(b.sub(sp, b.constant(2)), b.mul(f["swap"], fam_m1)),
-                b.scale(4, f_cr),
+                b.sub(b.scale(4, f_cr), b.mul(f_cr, k6_loc)),
             ),
             b.sub(sp, pops_w0),
-            # call row: gas at sp-1 (default); callret: success at sp-7;
-            # logext: topic 4 at sp-4
+            # call row: gas at sp-1 (default); callret: success at sp-7
+            # (sp-6 on 6-arg); logext: topic 4 at sp-4
             b.sub(
                 b.sub(b.sub(sp, one), b.mul(f["swap"], fam_n)),
-                b.add(b.scale(6, f_cr), b.scale(3, f_lgx)),
+                b.sub(
+                    b.add(b.scale(6, f_cr), b.scale(3, f_lgx)),
+                    b.mul(f_cr, k6_loc),
+                ),
             ),
         ]
         w0_bits = b.add(
@@ -4011,11 +4383,18 @@ class EvmCpuAir(Air):
         b.transition_block(b.mul(f_cl, bn_hi), 238)
         bn_lo5 = b.next_block(range(B0, B0 + 5))
         b.transition_block(b.mul(f_cl, bn_lo5), 5)
+        # the callret row's A word holds the popped value on a 7-arg
+        # CALL; 6-arg variants pin it to zero (DELEGATECALL's forwarded
+        # callvalue enters the CALLREQ tuple from the publics instead)
+        k6_n = b.add(b.next(KDEL), b.next(KSTA))
         an_blk = b.next_block(range(A0, A0 + 256))
-        b.transition_block(b.mul(f_cl, an_blk), 256)
+        b.transition_block(b.mul(b.mul(f_cl, k6_n), an_blk), 256)
         wn_rest = b.next_block(range(W0 + 1, W0 + 256))
         b.transition_block(b.mul(f_cl, wn_rest), 255)
-        b.transition(b.mul(f_cl, b.sub(b.next(W0), one)))
+        # success bit: bound to the callee's CALLRET tuple (not pinned);
+        # a VALUE-bearing call must succeed (reverted value calls roll
+        # the transfer back and stay uncovered)
+        b.all_rows(b.mul(b.mul(f_cr, taken), b.sub(one, b.local(W0))))
         cn_val15 = None
         for i in range(15):
             tv = b.scale(1 << i, b.next(C0 + i))
@@ -4118,11 +4497,14 @@ class EvmCpuAir(Air):
                 b.sub(cap, b.add(reqlo, d_n)),
             )
         )
+        # forwarded gas = min(req, cap) + the 2300 stipend on value calls
         b.transition(
             b.mul(
                 f_cl,
                 b.sub(
-                    b.sub(gasin_n, reqlo),
+                    b.sub(
+                        b.sub(gasin_n, b.scale(2300, b.next(TAKEN))), reqlo
+                    ),
                     b.mul(m_n, b.sub(cap, reqlo)),
                 ),
             )
@@ -4151,14 +4533,45 @@ class EvmCpuAir(Air):
         caller_pub = [
             b.public(PUB_ENV0 + 16 * ENV_IDX_ADDRESS + i) for i in range(10)
         ]
+        callerenv_pub = [
+            b.public(PUB_ENV0 + 16 * ENV_IDX_CALLER + i) for i in range(10)
+        ]
+        cvown_pub = [
+            b.public(PUB_ENV0 + 16 * ENV_IDX_CALLVALUE + i) for i in range(16)
+        ]
+        # DELEGATECALL keeps the caller's context: the callee's address /
+        # callvalue / caller words come from THIS frame's publics; the
+        # target address still binds the callee's CODE (exps 43-52)
+        static_child = b.sub(
+            b.add(static_pub, ksta_l), b.mul(static_pub, ksta_l)
+        )
         code_cq = lincode(
             fid_pub,
             [(clk, 1), (gasin_lo_n, 2), (gasin_hi_n, 3)]
-            + [(lB[i], 4 + i) for i in range(10)]
-            + [(lA_n[i], 14 + i) for i in range(16)]
+            + [
+                (
+                    b.add(lB[i], b.mul(kdel_l, b.sub(caller_pub[i], lB[i]))),
+                    4 + i,
+                )
+                for i in range(10)
+            ]
+            + [
+                (b.add(lA_n[i], b.mul(kdel_l, cvown_pub[i])), 14 + i)
+                for i in range(16)
+            ]
             + [(c_val15, 30)]
-            + [(caller_pub[i], 31 + i) for i in range(10)]
-            + [(cfid_w, 41)],
+            + [
+                (
+                    b.add(
+                        caller_pub[i],
+                        b.mul(kdel_l, b.sub(callerenv_pub[i], caller_pub[i])),
+                    ),
+                    31 + i,
+                )
+                for i in range(10)
+            ]
+            + [(cfid_w, 41), (static_child, 42)]
+            + [(lB[i], 43 + i) for i in range(10)],
         )
         accCQ = [b.aux(AUX_CQ + c) for c in range(4)]
         accCQ_n = [b.aux_next(AUX_CQ + c) for c in range(4)]
@@ -4167,14 +4580,15 @@ class EvmCpuAir(Air):
         for c in range(4):
             b.transition(b.sub(prodCQ[c], fcl4[c]))
             b.first_row(accCQ[c])
-        # --- CALLRET receives (-1 per call row)
+        # --- CALLRET receives (-1 per call row); exp 4 carries the
+        # callee's success bit, pushed as the callret row's W word
         code_cr = lincode(
             fid_pub,
             [
                 (clk, 1),
                 (gasret_lo_n, 2),
                 (gasret_hi_n, 3),
-                (one, 4),
+                (b.next(W0), 4),
                 (rds_n, 5),
             ],
         )
@@ -4243,7 +4657,7 @@ class EvmCpuAir(Air):
             b.ef_sub4(accBRR_n, accBRR), b.ef_sub4(g_br, code_brr)
         )
         act_brr = b.ef_from_base4(
-            b.mul(f["return"], b.public(PUB_HASRET))
+            b.mul(f_ret, b.public(PUB_HASRET))
         )
         for c in range(4):
             b.transition(b.sub(prodBRR[c], act_brr[c]))
@@ -4269,11 +4683,12 @@ class EvmCpuAir(Air):
         # + SELFBALANCE keying its OWN address publics); values are the
         # pushed C word, bound against the PUBLIC AcctCtxAir rows
         g_ac = b.ef_sub4(b.challenge_ef(CHAL_AC), fid_shift)
+        # balance/selfbalance reads moved to the balance journal (round
+        # 5); the context table keeps codesize/codehash/blockhash
         kind_ac = b.add(
-            b.add(f["balance"], b.scale(2, f["extcodesize"])),
+            b.scale(2, f["extcodesize"]),
             b.add(
-                b.add(b.scale(3, f["extcodehash"]), b.scale(4, f["blockhash"])),
-                f_sb,
+                b.scale(3, f["extcodehash"]), b.scale(4, f["blockhash"])
             ),
         )
         self_pub = [
@@ -4294,10 +4709,62 @@ class EvmCpuAir(Air):
         accAC = [b.aux(AUX_AC + c) for c in range(4)]
         accAC_n = [b.aux_next(AUX_AC + c) for c in range(4)]
         prodAC = b.ef_mul4(b.ef_sub4(accAC_n, accAC), b.ef_sub4(g_ac, code_ac))
-        actAC = b.ef_from_base4(b.add(f_acp, f_sb))
+        actAC = b.ef_from_base4(b.sub(f_acp, f["balance"]))
         for c in range(4):
             b.transition(b.sub(prodAC[c], actAC[c]))
             b.first_row(accAC[c])
+        # --- balance-journal sends (round 5, BUS_BL, unshifted gamma —
+        # the frame id rides inside the tuple): READ on balance /
+        # selfbalance rows (value = the pushed C word), DEBIT/CREDIT on
+        # value-bearing call rows (value = the callret row's A word)
+        g_bl = b.challenge_ef(CHAL_BL)
+        # value bytes land at chi^{13+j}; bit_block_code emits byte j at
+        # chi^{j+1}, so the block multiplier is chi^12
+        chi12p = b.ef_mul4(chi8p, chi4p)
+        code_blr = lincode(
+            fid_pub,
+            [(b.scale(4, clk), 1), (one, 2)]
+            + [(ac_keys[i], 3 + i) for i in range(10)],
+        )
+        code_blr = b.ef_add4(code_blr, b.ef_mul4(chi12p, vcode_ac))
+        accBLR = [b.aux(AUX_BLR + c) for c in range(4)]
+        accBLR_n = [b.aux_next(AUX_BLR + c) for c in range(4)]
+        prodBLR = b.ef_mul4(
+            b.ef_sub4(accBLR_n, accBLR), b.ef_sub4(g_bl, code_blr)
+        )
+        actBLR = b.ef_from_base4(b.add(f["balance"], f_sb))
+        for c in range(4):
+            b.transition(b.sub(prodBLR[c], actBLR[c]))
+            b.first_row(accBLR[c])
+        vcode_an = b.bit_block_code(an_blk, chi, b.constant(0), 32)
+        act_bl_call = b.ef_from_base4(b.mul(f_cl, b.next(TAKEN)))
+        code_bld = lincode(
+            fid_pub,
+            [(b.add(b.scale(4, clk), b.constant(2)), 1), (b.constant(2), 2)]
+            + [(caller_pub[i], 3 + i) for i in range(10)],
+        )
+        code_bld = b.ef_add4(code_bld, b.ef_mul4(chi12p, vcode_an))
+        accBLD = [b.aux(AUX_BLD + c) for c in range(4)]
+        accBLD_n = [b.aux_next(AUX_BLD + c) for c in range(4)]
+        prodBLD = b.ef_mul4(
+            b.ef_sub4(accBLD_n, accBLD), b.ef_sub4(g_bl, code_bld)
+        )
+        code_blc = lincode(
+            fid_pub,
+            [(b.add(b.scale(4, clk), b.constant(3)), 1), (b.constant(3), 2)]
+            + [(lB[i], 3 + i) for i in range(10)],
+        )
+        code_blc = b.ef_add4(code_blc, b.ef_mul4(chi12p, vcode_an))
+        accBLC = [b.aux(AUX_BLC + c) for c in range(4)]
+        accBLC_n = [b.aux_next(AUX_BLC + c) for c in range(4)]
+        prodBLC = b.ef_mul4(
+            b.ef_sub4(accBLC_n, accBLC), b.ef_sub4(g_bl, code_blc)
+        )
+        for c in range(4):
+            b.transition(b.sub(prodBLD[c], act_bl_call[c]))
+            b.first_row(accBLD[c])
+            b.transition(b.sub(prodBLC[c], act_bl_call[c]))
+            b.first_row(accBLC[c])
         # --- log-record sends (per-frame channel): on a log row, the
         # record tuple carries (clk, fam_n, data span) plus the four
         # topic words read on the NEXT (logext) row as 16-bit limbs
@@ -4344,7 +4811,8 @@ class EvmCpuAir(Air):
             + [(cvalue_pub[i], 14 + i) for i in range(16)]
             + [(b.public(PUB_ENV0 + 16 * ENV_IDX_CDSIZE), 30)]
             + [(ccaller_pub[i], 31 + i) for i in range(10)]
-            + [(fid_pub, 41)],
+            + [(fid_pub, 41), (static_pub, 42)]
+            + [(b.public(PUB_CODEADDR0 + i), 43 + i) for i in range(10)],
         )
         invQ = [b.aux(AUX_CQI + c) for c in range(4)]
         prodQ = b.ef_mul4(invQ, b.ef_sub4(g_cq, code_cq_recv))
@@ -4356,7 +4824,7 @@ class EvmCpuAir(Air):
                 (b.public(PUB_CID_CLK), 1),
                 (b.public(PUB_GASF), 2),
                 (b.public(PUB_GASF + 1), 3),
-                (one, 4),
+                (b.sub(one, rev_pub), 4),
                 (b.public(PUB_RDS), 5),
             ],
         )
@@ -4397,6 +4865,12 @@ class EvmCpuAir(Air):
             b.last_row(b.sub(accAD[c], b.bus_coord(4 * BUS_AD + c)))
             b.last_row(b.sub(accAC[c], b.bus_coord(4 * BUS_AC + c)))
             b.last_row(b.sub(accLG[c], b.bus_coord(4 * BUS_LG + c)))
+            b.last_row(
+                b.sub(
+                    b.add(b.add(accBLR[c], accBLD[c]), accBLC[c]),
+                    b.bus_coord(4 * BUS_BL + c),
+                )
+            )
 
 
 # --------------------------------------------------------------------------
@@ -5107,6 +5581,9 @@ def frame_publics(
     cid: tuple = (0, 0),
     rds: int = 0,
     hasret: int = 0,
+    static: int = 0,
+    reverted: int = 0,
+    code_addr: int | None = None,
 ) -> list[int]:
     publics = [gas0 & 0xFFFF, gas0 >> 16, gas_f & 0xFFFF, gas_f >> 16, sp_f]
     for w in env.words():
@@ -5114,6 +5591,9 @@ def frame_publics(
     publics.extend(
         [int(fid), int(is_callee), int(cid[0]), int(cid[1]), int(rds), int(hasret)]
     )
+    ca = env.address if code_addr is None else int(code_addr)
+    publics.extend([int(static), int(reverted)])
+    publics.extend((ca >> (16 * i)) & 0xFFFF for i in range(10))
     return publics
 
 
@@ -5171,6 +5651,7 @@ def frame_record(ft: FrameTrace) -> dict:
                 "args_sw": site["args_sw"] if site["args_words"] else 0,
                 "ret_offw": site["ret_offw"],
                 "ret_sw": site["ret_sw"],
+                "static": site.get("static", 0),
                 **(
                     {
                         "gas_in": site["gas_in"],
@@ -5213,6 +5694,9 @@ def frame_record(ft: FrameTrace) -> dict:
         "cid": [int(ft.cid[0]), int(ft.cid[1])],
         "rds": ft.rds,
         "hasret": ft.hasret,
+        "static": ft.static,
+        "reverted": ft.reverted,
+        "code_addr": hex(ft.code_addr or ft.env.address),
         "accesses": len(ft.accesses),
         "mem_accesses": len(ft.mem_accesses),
         "keccak_calls": [
@@ -5303,6 +5787,7 @@ def _frame_extra_tables(ft: FrameTrace) -> list:
                 site["cfid"], fid, site["clk"], site["gas_in"],
                 site["gas_in"] - precompile_gas(kind, cds), cds,
                 PRECOMPILE_ADDR[kind], ft.env.address,
+                static=site.get("static", 0),
             )
             tables.append((pc, pc.trace(), pc.publics()))
     if ft.hasret and ft.ret_span:
@@ -5314,11 +5799,39 @@ def _frame_extra_tables(ft: FrameTrace) -> list:
     return tables
 
 
+def balance_journal(fts: list[FrameTrace]):
+    """Aggregate the tree's balance events into the journal statement:
+    -> (groups [(addr, orig, final, count)], per-group ordered events
+    [(fid, clk4, kind, value)]) — or (None, None) when no frame touches
+    balances."""
+    root = fts[0]
+    by_addr: dict[int, list] = {}
+    for ft in fts:
+        for clk4, kind, addr, value, seq in ft.bal_events:
+            by_addr.setdefault(addr, []).append(
+                (seq, ft.fid, clk4, kind, value)
+            )
+    if not by_addr:
+        return None, None
+    groups = []
+    events = []
+    for addr in sorted(by_addr):
+        # true cross-frame execution order within the address group
+        evs = [t[1:] for t in sorted(by_addr[addr])]
+        orig = int(root.bal_originals.get(addr, 0))
+        fin = int(root.bal_finals.get(addr, orig))
+        groups.append((addr, orig, fin, len(evs)))
+        events.append(evs)
+    return groups, events
+
+
 def prove_call_tree(root: FrameTrace) -> dict:
     """Prove a call tree (root + every callee frame + composition
-    tables) in ONE multi-table proof with a shared bus."""
+    tables + the tree-level balance journal) in ONE multi-table proof
+    with a shared bus."""
     from .. import prover as sp
     from ..serde import proof_to_dict
+    from .evm_call import EvmBalanceAir
 
     fts = flatten_call_tree(root)
     tables = []
@@ -5327,12 +5840,17 @@ def prove_call_tree(root: FrameTrace) -> dict:
         frames.append(frame_record(ft))
         tables.extend(frame_tables(ft))
         tables.extend(_frame_extra_tables(ft))
+    out = {"kind": "evm-call-tree-v1", "frames": frames}
+    groups, events = balance_journal(fts)
+    if groups:
+        bal = EvmBalanceAir(groups)
+        tables.append((bal, bal.trace(events), bal.publics()))
+        out["balances"] = [
+            [hex(a), hex(o), hex(f), c] for a, o, f, c in groups
+        ]
     proofs = sp.prove_tables(tables)
-    return {
-        "kind": "evm-call-tree-v1",
-        "frames": frames,
-        "starks": [proof_to_dict(p) for p in proofs],
-    }
+    out["starks"] = [proof_to_dict(p) for p in proofs]
+    return out
 
 
 def prove_frame_trace(ft: FrameTrace) -> dict:
@@ -5451,9 +5969,12 @@ def _frame_extra_airs_from_record(rec: dict, by_fid: dict):
             cost = precompile_gas(kind, cds)
             if not (0 <= cost <= gas_in < 1 << MAX_GAS_LOG):
                 raise ValueError("precompile gas out of range")
+            if int(site.get("static", 0)) not in (0, 1):
+                raise ValueError("bad precompile static flag")
             pc = PrecompileCallAir(
                 cfid, fid, clk, gas_in, gas_in - cost, cds,
                 PRECOMPILE_ADDR[kind], env_addr,
+                static=int(site.get("static", 0)),
             )
             airs.append(pc)
             pubs.append(pc.publics())
@@ -5516,9 +6037,19 @@ def _frame_airs_from_record(rec: dict):
         raise ValueError("bad returndata statement")
     if hasret and (is_callee == 0 or rds == 0):
         raise ValueError("returndata bridge without a callee returndata")
+    static = int(rec.get("static", 0))
+    reverted = int(rec.get("reverted", 0))
+    code_addr = int(rec.get("code_addr", hex(env.address)), 16)
+    if static not in (0, 1) or reverted not in (0, 1):
+        raise ValueError("bad static/reverted flags")
+    if not (0 <= code_addr < (1 << 160)):
+        raise ValueError("code address exceeds 160 bits")
+    if reverted and is_callee == 0:
+        raise ValueError("the root frame cannot be reverted")
     cpu_pub = frame_publics(
         env, gas0, gas_f, sp_f, fid=fid, is_callee=is_callee, cid=cid,
-        rds=rds, hasret=hasret,
+        rds=rds, hasret=hasret, static=static, reverted=reverted,
+        code_addr=code_addr,
     )
     airs = [
         EvmCpuAir(fid),
@@ -5599,6 +6130,19 @@ def verify_frame_payload(payload: dict) -> bool:
             a2, p2 = _frame_extra_airs_from_record(rec, by_fid)
             airs.extend(a2)
             pubs.extend(p2)
+        # tree-level balance journal: the PUBLIC (addr, orig, final,
+        # count) groups; omitting it while any CPU sent a BUS_BL tuple
+        # leaves the bus unbalanced, so presence is forced by content
+        if payload.get("balances"):
+            from .evm_call import EvmBalanceAir
+
+            groups = [
+                (int(a, 16), int(o, 16), int(f, 16), int(c))
+                for a, o, f, c in payload["balances"]
+            ]
+            bal = EvmBalanceAir(groups)
+            airs.append(bal)
+            pubs.append(bal.publics())
         starks = payload["starks"]
         if len(starks) != len(airs):
             return False

@@ -42,11 +42,13 @@ from ...fields import babybear_ext as ef
 from ..air import Air, ConstraintBuilder
 from .evm_air import (
     BUS_AD,
+    BUS_BL,
     BUS_BR,
     BUS_CQ,
     BUS_CR,
     BUS_MEM,
     CHAL_AD,
+    CHAL_BL,
     CHAL_BR,
     CHAL_CHI,
     CHAL_CQ,
@@ -466,7 +468,8 @@ PC_GASRET_HI = 6
 PC_CDS = 7
 PC_ADDR = 8  # the precompile address (< 2^16)
 PC_CALLER0 = 9  # 10 caller-address limbs
-PC_NPUB = PC_CALLER0 + 10
+PC_STATIC = 19  # called from a static context (CALLREQ exp 42)
+PC_NPUB = PC_STATIC + 1
 
 
 class PrecompileCallAir(Air):
@@ -491,6 +494,7 @@ class PrecompileCallAir(Air):
         cds: int,
         addr: int,
         caller_addr: int,
+        static: int = 0,
     ):
         self.fid = int(fid)
         self.caller_fid = int(caller_fid)
@@ -500,6 +504,7 @@ class PrecompileCallAir(Air):
         self.cds = int(cds)
         self.addr = int(addr)
         self.caller_addr = int(caller_addr)
+        self.static = int(static)
 
     def publics(self) -> list[int]:
         return [
@@ -512,7 +517,9 @@ class PrecompileCallAir(Air):
             self.gas_ret >> 16,
             self.cds,
             self.addr,
-        ] + [(self.caller_addr >> (16 * i)) & 0xFFFF for i in range(10)]
+        ] + [(self.caller_addr >> (16 * i)) & 0xFFFF for i in range(10)] + [
+            self.static
+        ]
 
     def structure_key(self) -> tuple:
         return ()
@@ -523,7 +530,7 @@ class PrecompileCallAir(Air):
     def _codes(self, challenges):
         chi = challenges[CHAL_CHI]
         pows = [ef.H_ONE]
-        for _ in range(42):
+        for _ in range(44):
             pows.append(ef.h_mul(pows[-1], chi))
 
         def hc(base, terms):
@@ -547,7 +554,7 @@ class PrecompileCallAir(Air):
                 ((self.caller_addr >> (16 * i)) & 0xFFFF, 31 + i)
                 for i in range(10)
             ]
-            + [(self.fid, 41)],
+            + [(self.fid, 41), (self.static, 42), (self.addr, 43)],
         )
         code_ret = hc(
             self.caller_fid,
@@ -590,7 +597,7 @@ class PrecompileCallAir(Air):
         g_cr = b.challenge_ef(CHAL_CR)
         b.all_rows(b.local(0))
         chip = [b.ef_from_base4(one), list(chi)]
-        for _ in range(40):
+        for _ in range(42):
             chip.append(b.ef_mul4(chip[-1], chi))
 
         def lincode(base, terms):
@@ -609,7 +616,11 @@ class PrecompileCallAir(Air):
                 (b.public(PC_CDS), 30),
             ]
             + [(b.public(PC_CALLER0 + i), 31 + i) for i in range(10)]
-            + [(b.public(PC_FID), 41)],
+            + [
+                (b.public(PC_FID), 41),
+                (b.public(PC_STATIC), 42),
+                (b.public(PC_ADDR), 43),
+            ],
         )
         code_ret = lincode(
             b.public(PC_CALLER_FID),
@@ -917,6 +928,321 @@ class EvmLogAir(Air):
         for i in range(NUM_BUS):
             for c in range(4):
                 if i == BUS_LG:
+                    b.last_row(b.sub(acc[c], b.bus_coord(4 * i + c)))
+                else:
+                    b.last_row(b.bus_coord(4 * i + c))
+
+
+# --------------------------------------------------------------------------
+# balance journal (value-bearing CALL + BALANCE/SELFBALANCE, round 5)
+# --------------------------------------------------------------------------
+
+# fixed columns
+BLF_ACTIVE = 0
+BLF_FIRST = 1  # first row of an address group (running = original)
+BLF_LASTG = 2  # last row of an address group (post-event = final)
+BLF_A0 = 3  # 10 address limbs (16-bit LE)
+BLF_ORIG0 = BLF_A0 + 10  # 32 LE original-balance bytes (first row)
+BLF_FIN0 = BLF_ORIG0 + 32  # 32 LE final-balance bytes (last row)
+BL_NFIXED = BLF_FIN0 + 32
+# witness columns (all bits)
+BL_KD = 0  # debit
+BL_KC = 1  # credit (read = active & !kd & !kc)
+BL_FID0 = 2  # 6 frame-id bits
+BL_CLK0 = 8  # 22 clk4 bits
+BL_V0 = 30  # 256 value bits
+BL_B0 = BL_V0 + 256  # 256 running-balance-before bits
+BL_C0 = BL_B0 + 256  # 16 adder carry bits
+BL_WIDTH = BL_C0 + 16
+
+
+class EvmBalanceAir(Air):
+    """The TREE-level read-write balance journal (reference analog: the
+    revm balance state the vendored guests mutate inline,
+    /root/reference/lib/src/builder.rs:113-128).
+
+    PUBLIC per-address groups (address, original, final, count); one
+    witness row per event, grouped by address.  Every event tuple
+    (fid, clk4, kind, addr, value) is RECEIVED once from some frame's
+    CPU over BUS_BL (gamma unshifted; the frame id rides inside the
+    tuple), so the event multiset is exactly what the executions sent:
+
+      read   (kind 1): value == running balance, running unchanged
+      debit  (kind 2): running -= value, with a no-borrow carry chain
+                       (insufficient balance is unsatisfiable)
+      credit (kind 3): running += value, no 2^256 wrap
+
+    The first row of a group pins running = original; the last row pins
+    post-event running = final.  Ordering WITHIN a group is
+    prover-chosen (no global cross-frame clock exists; the same
+    documented scope as the prestate group order, docs/SOUNDNESS.md) —
+    originals/finals are payload publics anchored by the outer
+    statement the way storage originals are."""
+
+    width = BL_WIDTH
+    aux_width = 4
+    num_aux_challenges = NUM_CHALLENGES
+    num_bus_values = NUM_BUS
+    quotient_chunks = 2
+    commit_fixed = True
+    eager_quotient = True
+
+    def __init__(self, groups: list[tuple[int, int, int, int]]):
+        """groups: (address, original, final, count), address-sorted."""
+        assert groups
+        prev = -1
+        total = 0
+        for a, orig, fin, count in groups:
+            assert 0 <= a < (1 << 160) and a > prev
+            assert 0 <= orig < (1 << 256) and 0 <= fin < (1 << 256)
+            assert count >= 1
+            prev = a
+            total += count
+        self.groups = [
+            (int(a), int(o), int(f), int(c)) for a, o, f, c in groups
+        ]
+        self.total = total
+        self.n = _pow2_atleast(total + 1)
+
+    def publics(self) -> list[int]:
+        out = [len(self.groups)]
+        for a, o, f, c in self.groups:
+            out.extend([(a >> (16 * i)) & 0xFFFF for i in range(10)])
+            out.extend([(o >> (16 * i)) & 0xFFFF for i in range(16)])
+            out.extend([(f >> (16 * i)) & 0xFFFF for i in range(16)])
+            out.append(c)
+        return out
+
+    def structure_key(self) -> tuple:
+        return ()
+
+    def fixed_columns(self, n: int):
+        assert n == self.n
+        cols = np.zeros((BL_NFIXED, n), dtype=np.uint32)
+        r = 0
+        for a, orig, fin, count in self.groups:
+            for k in range(count):
+                cols[BLF_ACTIVE, r] = 1
+                cols[BLF_FIRST, r] = int(k == 0)
+                cols[BLF_LASTG, r] = int(k == count - 1)
+                for i in range(10):
+                    cols[BLF_A0 + i, r] = (a >> (16 * i)) & 0xFFFF
+                for j in range(32):
+                    cols[BLF_ORIG0 + j, r] = (orig >> (8 * j)) & 0xFF
+                    cols[BLF_FIN0 + j, r] = (fin >> (8 * j)) & 0xFF
+                r += 1
+        return cols
+
+    def trace(self, events: list[list[tuple[int, int, int, int]]]) -> np.ndarray:
+        """events: per group, ordered (fid, clk4, kind, value); the
+        running balance chain is recomputed here."""
+        assert len(events) == len(self.groups)
+        tr = np.zeros((self.n, BL_WIDTH), dtype=np.uint32)
+        r = 0
+        for (a, orig, fin, count), evs in zip(self.groups, events):
+            assert len(evs) == count
+            run = orig
+            for fid, clk4, kind, value in evs:
+                assert kind in (1, 2, 3) and 0 <= value < (1 << 256)
+                assert 0 <= fid < (1 << 6) and 0 <= clk4 < (1 << 22)
+                row = tr[r]
+                if kind == 2:
+                    row[BL_KD] = 1
+                elif kind == 3:
+                    row[BL_KC] = 1
+                for i in range(6):
+                    row[BL_FID0 + i] = (fid >> i) & 1
+                for i in range(22):
+                    row[BL_CLK0 + i] = (clk4 >> i) & 1
+                for i in range(256):
+                    row[BL_V0 + i] = (value >> i) & 1
+                    row[BL_B0 + i] = (run >> i) & 1
+                if kind == 1:
+                    assert value == run, "read must see the running balance"
+                    after = run
+                elif kind == 2:
+                    assert run >= value, "debit underflow"
+                    after = run - value
+                else:
+                    after = run + value
+                    assert after < (1 << 256), "credit overflow"
+                # carry chain of the 16-bit limb adder (debit: after +
+                # value = before; credit: before + value = after)
+                x = after if kind == 2 else run
+                z = run if kind == 2 else after
+                c = 0
+                for i in range(16):
+                    if kind == 1:
+                        break
+                    s = ((x >> (16 * i)) & 0xFFFF) + (
+                        (value >> (16 * i)) & 0xFFFF
+                    ) + c
+                    c = s >> 16
+                    assert (s & 0xFFFF) == (z >> (16 * i)) & 0xFFFF
+                    tr[r, BL_C0 + i] = c
+                assert kind == 1 or c == 0
+                run = after
+                r += 1
+            assert run == fin, "group final mismatch"
+        return tr
+
+    def _terms(self, trace: np.ndarray, challenges) -> np.ndarray:
+        chi, g_bl = challenges[CHAL_CHI], challenges[CHAL_BL]
+        pows = _np_chi_pows(chi, 46)
+        n = self.n
+        t = trace.astype(np.uint64)
+        fx = self.fixed_columns(n).astype(np.uint64)
+        fid = sum(t[:, BL_FID0 + i] << np.uint64(i) for i in range(6))
+        clk4 = sum(t[:, BL_CLK0 + i] << np.uint64(i) for i in range(22))
+        kind = 1 + t[:, BL_KD] + 2 * t[:, BL_KC]
+        vbytes = [
+            sum(
+                t[:, BL_V0 + 8 * j + bit] << np.uint64(bit)
+                for bit in range(8)
+            )
+            for j in range(32)
+        ]
+        code = _np_tuple_code(
+            fid,
+            [(clk4, 1), (kind, 2)]
+            + [(fx[BLF_A0 + i], 3 + i) for i in range(10)]
+            + [(vbytes[j], 13 + j) for j in range(32)],
+            pows,
+        )
+        gbl = np.array([x % bb.P for x in g_bl], dtype=np.uint64)
+        inv = ef.npef_inv(ef.npef_sub(gbl[None, :], code))
+        active = np.zeros(n, dtype=np.uint64)
+        active[: self.total] = _PU - np.uint64(1)  # receive: -1
+        return ef.npef_mul(ef.npef_from_base(active), inv)
+
+    def aux_trace(self, trace: np.ndarray, challenges) -> np.ndarray:
+        from .evm_air import EvmCpuAir
+
+        aux = np.zeros((self.n, 4), dtype=np.uint32)
+        aux[:] = EvmCpuAir._excl_prefix(self._terms(trace, challenges))
+        return aux
+
+    def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
+        out = [ef.H_ZERO] * NUM_BUS
+        out[BUS_BL] = tuple(
+            int(v) for v in self._terms(trace, challenges).sum(axis=0) % _PU
+        )
+        return out
+
+    def eval(self, b: ConstraintBuilder) -> None:
+        one = b.constant(1)
+        chi = b.challenge_ef(CHAL_CHI)
+        g_bl = b.challenge_ef(CHAL_BL)
+        active = b.fixed(BLF_ACTIVE)
+        first = b.fixed(BLF_FIRST)
+        lastg = b.fixed(BLF_LASTG)
+        kd = b.local(BL_KD)
+        kc = b.local(BL_KC)
+        kr = b.sub(active, b.add(kd, kc))
+        # booleanity + gating
+        bits = b.local_block(range(BL_WIDTH))
+        b.all_rows_block(b.mul(bits, b.sub(bits, one)), BL_WIDTH)
+        b.all_rows(b.mul(kd, kc))
+        b.all_rows(b.mul(b.add(kd, kc), b.sub(one, active)))
+
+        def limbs(base, nx=False):
+            g = b.next if nx else b.local
+            out = []
+            for i in range(16):
+                acc = None
+                for bit in range(16):
+                    tv = b.scale(1 << bit, g(base + 16 * i + bit))
+                    acc = tv if acc is None else b.add(acc, tv)
+                out.append(acc)
+            return out
+
+        def fixed_limbs(base):
+            out = []
+            for i in range(16):
+                lo = b.fixed(base + 2 * i)
+                hi = b.fixed(base + 2 * i + 1)
+                out.append(b.add(lo, b.scale(256, hi)))
+            return out
+
+        val_l = limbs(BL_V0)
+        bal_l = limbs(BL_B0)
+        bal_ln = limbs(BL_B0, nx=True)
+        orig_l = fixed_limbs(BLF_ORIG0)
+        fin_l = fixed_limbs(BLF_FIN0)
+        # first row of a group: running = original
+        for i in range(16):
+            b.all_rows(b.mul(first, b.sub(bal_l[i], orig_l[i])))
+        # reads: value == running
+        for i in range(16):
+            b.all_rows(b.mul(kr, b.sub(val_l[i], bal_l[i])))
+        # post-event running ("after"): final on the group's last row,
+        # the next row's running otherwise; adders per event kind
+        for i in range(16):
+            aft = b.add(
+                b.mul(lastg, fin_l[i]),
+                b.mul(b.sub(active, lastg), bal_ln[i]),
+            )
+            cprev = b.local(BL_C0 + i - 1) if i else b.constant(0)
+            ci = b.local(BL_C0 + i)
+            # debit: after + value + c_prev = before + 2^16 c
+            b.transition(
+                b.mul(
+                    kd,
+                    b.sub(
+                        b.add(b.add(aft, val_l[i]), cprev),
+                        b.add(bal_l[i], b.scale(1 << 16, ci)),
+                    ),
+                )
+            )
+            # credit: before + value + c_prev = after + 2^16 c
+            b.transition(
+                b.mul(
+                    kc,
+                    b.sub(
+                        b.add(b.add(bal_l[i], val_l[i]), cprev),
+                        b.add(aft, b.scale(1 << 16, ci)),
+                    ),
+                )
+            )
+            # read: after == before
+            b.transition(b.mul(kr, b.sub(aft, bal_l[i])))
+        # no borrow on debit / no wrap on credit: final carry must clear
+        b.all_rows(b.mul(b.add(kd, kc), b.local(BL_C0 + 15)))
+        # receive channel: code(fid, clk4, kind, addr, value bytes)
+        fid_v = None
+        for i in range(6):
+            tv = b.scale(1 << i, b.local(BL_FID0 + i))
+            fid_v = tv if fid_v is None else b.add(fid_v, tv)
+        clk4_v = None
+        for i in range(22):
+            tv = b.scale(1 << i, b.local(BL_CLK0 + i))
+            clk4_v = tv if clk4_v is None else b.add(clk4_v, tv)
+        kind_v = b.add(b.add(active, kd), b.scale(2, kc))
+        code = b.ef_from_base4(fid_v)
+        code = b.ef_add4(code, [b.mul(clk4_v, chi[c]) for c in range(4)])
+        chi2 = b.ef_mul4(chi, chi)
+        code = b.ef_add4(code, [b.mul(kind_v, chi2[c]) for c in range(4)])
+        pw = b.ef_mul4(chi2, chi)
+        for i in range(10):
+            ai = b.fixed(BLF_A0 + i)
+            code = b.ef_add4(code, [b.mul(ai, pw[c]) for c in range(4)])
+            if i < 9:
+                pw = b.ef_mul4(pw, chi)
+        # pw == chi^12 here; bit_block_code emits byte j at chi^{j+1},
+        # so the value bytes land at chi^{13+j} as in the CPU's send
+        vblk = b.local_block(range(BL_V0, BL_V0 + 256))
+        vcode = b.bit_block_code(vblk, chi, b.constant(0), 32)
+        code = b.ef_add4(code, b.ef_mul4(pw, vcode))
+        acc = [b.aux(c) for c in range(4)]
+        acc_n = [b.aux_next(c) for c in range(4)]
+        prod = b.ef_mul4(b.ef_sub4(acc_n, acc), b.ef_sub4(g_bl, code))
+        act4 = b.ef_from_base4(active)
+        for c in range(4):
+            b.transition(b.add(prod[c], act4[c]))
+            b.first_row(acc[c])
+        for i in range(NUM_BUS):
+            for c in range(4):
+                if i == BUS_BL:
                     b.last_row(b.sub(acc[c], b.bus_coord(4 * i + c)))
                 else:
                     b.last_row(b.bus_coord(4 * i + c))

@@ -27,6 +27,7 @@ m/4 = FRI bound — blowup 4 supports up to degree 5.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -439,6 +440,7 @@ def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
         dom.log_n,
         air.quotient_chunks,
         has_fixed,
+        bool(os.environ.get("RAIKO_EAGER_QUOTIENT")),
     )
     fn = _QUOTIENT_STAGES.get(key)
     if fn is not None:
@@ -489,6 +491,13 @@ def _quotient_stage_for(air: Air, dom: Domain, has_fixed: bool):
     # microsecond dispatch, exact modular arithmetic), and only the
     # NTT / chunk-LDE / Merkle stages stay on device.
     host_eval = bool(getattr(air, "eager_quotient", False))
+    # RAIKO_EAGER_QUOTIENT=1 forces host-numpy constraint evaluation for
+    # EVERY table — zero XLA quotient compiles.  Used by the multi-chip
+    # dryrun (driver machines start with a cold compilation cache and a
+    # hard wall-clock budget); block-proof entry points keep the jitted
+    # path, whose one-time compiles amortize across chunks and runs.
+    if os.environ.get("RAIKO_EAGER_QUOTIENT"):
+        host_eval = True
 
     if not host_eval:
 

@@ -35,32 +35,9 @@ except Exception:  # pragma: no cover
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: the big-integer EC kernels compile slowly on
-# XLA:CPU; cache them across test runs.  The directory is keyed by the
-# host's CPU feature set: XLA:CPU AOT executables embed machine features
-# and LOADING one compiled on a different machine (this sandbox's VMs
-# vary in avx512/amx exposure) hard-crashes the process with SIGILL —
-# a feature-keyed directory makes foreign entries invisible instead.
-
-
-def _cpu_cache_dir() -> str:
-    import hashlib
-
-    flags = b""
-    try:
-        with open("/proc/cpuinfo", "rb") as f:
-            for line in f:
-                if line.startswith(b"flags"):
-                    flags = b" ".join(sorted(line.split(b":")[1].split()))
-                    break
-    except OSError:
-        pass
-    tag = hashlib.sha256(flags).hexdigest()[:12]
-    return os.path.join(
-        os.path.dirname(__file__), "..", ".cache", f"jax-cpu-{tag}"
-    )
-
-
+# persistent compilation cache: the big-integer EC kernels compile slowly
+# on XLA:CPU; cache them across test runs.  Directory keying + foreign-
+# cache detection live in raiko_tpu.utils.jaxcache.
 # Persistent cache ONLY in subprocess-isolated children (fresh, short-
 # lived processes): serializing OR deserializing the big EC executables
 # inside the long-lived suite process segfaults XLA:CPU (observed at

@@ -362,13 +362,19 @@ def test_executor_covers_everything(frame, ret_frame):
         100_000,
         world={0xEE: {"code": callee}},
         warm_addresses=set(),
-        acct_ctx={
-            (1, 0xEE): 1, (2, 0xEE): 1, (3, 0xEE): 2, (1, 0xA0): 3,
-            (4, 5): 0x55,
-        },
+        acct_ctx={(2, 0xEE): 1, (3, 0xEE): 2, (4, 5): 0x55},
+        balances={0xA0: 3, 0xEE: 1},
     )
     names |= {st.name for st in ft.steps}
     names |= {st.name for st in ft.call_sites[0]["callee"].steps}
+    # REVERT (round 5): a dedicated halt shape
+    rev = ea.execute_frame(
+        bytes([0x60, 0x00, 0x60, 0x00, 0xFD]),
+        ea.FrameEnv(address=0xA0, caller=0x99, origin=0x99),
+        10_000,
+    )
+    assert rev.reverted == 1
+    names |= {st.name for st in rev.steps}
     assert names == set(ea.FLAG_NAMES), set(ea.FLAG_NAMES) - names
     assert len(frame.arith_calls) == 7
     # interpreter cross-check on an arithmetic sub-program: the covered

@@ -218,18 +218,31 @@ def test_tampered_bridge_words_unbalance_ram(tree, challenges):
     assert totals[ea.BUS_MEM] != ef.H_ZERO
 
 
-def test_revert_and_shortfall_uncovered():
-    """REVERTing callees and retSize > rds are reported uncovered —
-    never mis-proven (the coverage discipline of the statement)."""
+def test_reverting_callee_covered_effectful_not():
+    """Effect-free REVERTing callees ARE covered (round 5): the caller
+    pushes success 0 and the callee's CALLRET carries 1 - reverted;
+    effectful reverts (storage writes before the REVERT) stay
+    uncovered.  retSize > rds also stays uncovered."""
     reverting = bytes([0x60, 0x00, 0x60, 0x00, 0xFD])  # REVERT
     caller = bytes([
         0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00,
         0x60, 0xCC, 0x61, 0xFF, 0xFF, 0xF1, 0x00,
     ])
+    root = ea.execute_frame(
+        caller, ENV, 100_000,
+        world={0xCC: {"code": reverting}}, warm_addresses=set(),
+    )
+    child = root.call_sites[0]["callee"]
+    assert child.reverted == 1 and root.steps[-2].w == 0
+    # a REVERT after an SSTORE needs rollback — uncovered (v1)
+    effectful = bytes([
+        0x60, 0x07, 0x60, 0x01, 0x55, 0x60, 0x00, 0x60, 0x00, 0xFD,
+    ])
     with pytest.raises(ea.UncoveredFrame):
         ea.execute_frame(
             caller, ENV, 100_000,
-            world={0xCC: {"code": reverting}}, warm_addresses=set(),
+            world={0xCC: {"code": effectful, "storage": {1: 0}}},
+            warm_addresses=set(),
         )
     # retSize beyond the callee's returndata
     shorty = bytes([0x00])  # STOP: rds = 0
@@ -244,7 +257,9 @@ def test_revert_and_shortfall_uncovered():
         )
 
 
-def test_value_call_uncovered():
+def test_value_call_covered_with_balances_only():
+    """A value-bearing CALL is covered when the balance set captures
+    caller + target (the journal originals); without it — uncovered."""
     caller = bytes([
         0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x01,
         0x60, 0xBB, 0x61, 0xFF, 0xFF, 0xF1, 0x00,
@@ -252,6 +267,18 @@ def test_value_call_uncovered():
     with pytest.raises(ea.UncoveredFrame):
         ea.execute_frame(
             caller, ENV, 100_000, world=WORLD, warm_addresses=set()
+        )
+    root = ea.execute_frame(
+        caller, ENV, 100_000, world=WORLD, warm_addresses=set(),
+        balances={0xAA: 10, 0xBB: 1},
+    )
+    assert root.bal_finals == {0xAA: 9, 0xBB: 2}
+    assert [ev[:2] for ev in root.bal_events] == [(4 * 7 + 2, 2), (4 * 7 + 3, 3)]
+    # insufficient balance: uncovered, never a forged debit
+    with pytest.raises(ea.UncoveredFrame):
+        ea.execute_frame(
+            caller, ENV, 100_000, world=WORLD, warm_addresses=set(),
+            balances={0xAA: 0, 0xBB: 1},
         )
 
 
@@ -371,6 +398,140 @@ def test_block_call_composition_e2e():
         _SIM_REGISTRY.clear()
 
 
+def test_tampered_static_and_codeaddr_unbalance_callreq(challenges):
+    """A STATICCALL callee claiming static=0, or a DELEGATECALL callee
+    claiming a different code address, cannot match the caller's
+    CALLREQ tuple (exps 42-52)."""
+    import copy
+
+    SC = bytes([
+        0x60, 0x20, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00,
+        0x60, 0xBB, 0x61, 0xFF, 0xFF, 0xFA, 0x00,
+    ])
+    root = ea.execute_frame(SC, ENV, 100_000, world=WORLD, warm_addresses=set())
+    ea.flatten_call_tree(root)
+    child = root.call_sites[0]["callee"]
+    assert child.static == 1
+    for attr, val in (("static", 0), ("code_addr", 0xDE)):
+        bad = copy.deepcopy(child)
+        setattr(bad, attr, val)
+        tables = (
+            ea.frame_tables(root)
+            + ea._frame_extra_tables(root)
+            + ea.frame_tables(bad)
+            + ea._frame_extra_tables(bad)
+        )
+        totals = _bus_totals(tables, challenges)
+        assert totals[ea.BUS_CQ] != ef.H_ZERO, attr
+
+    DC = bytes([
+        0x60, 0x20, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00,
+        0x60, 0xBB, 0x61, 0xFF, 0xFF, 0xF4, 0x00,
+    ])
+    root2 = ea.execute_frame(DC, ENV, 100_000, world=WORLD, warm_addresses=set())
+    ea.flatten_call_tree(root2)
+    child2 = root2.call_sites[0]["callee"]
+    assert child2.env.address == 0xAA and child2.code_addr == 0xBB
+    bad2 = copy.deepcopy(child2)
+    bad2.code_addr = 0xCC
+    tables = (
+        ea.frame_tables(root2)
+        + ea._frame_extra_tables(root2)
+        + ea.frame_tables(bad2)
+        + ea._frame_extra_tables(bad2)
+    )
+    totals = _bus_totals(tables, challenges)
+    assert totals[ea.BUS_CQ] != ef.H_ZERO
+
+
+def test_call_variants_gas_matches_interpreter():
+    """STATICCALL / DELEGATECALL / value CALL / reverting callee all
+    reproduce the full interpreter's gas accounting exactly (EIP-150 +
+    stipend + EIP-2929 + value costs)."""
+    from raiko_tpu.evm.interpreter import EVM, BlockEnv, TxEnv
+    from raiko_tpu.evm.state import AccountInfo, StateJournal
+
+    sb_child = bytes([0x47, 0x60, 0x00, 0x52, 0x60, 0x20, 0x60, 0x00, 0xF3])
+    stor_child = bytes([
+        0x60, 0x07, 0x60, 0x01, 0x55, 0x60, 0x01, 0x54,
+        0x60, 0x00, 0x52, 0x60, 0x20, 0x60, 0x00, 0xF3,
+    ])
+    revc = bytes([0x60, 0x55, 0x60, 0x00, 0x52, 0x60, 0x20, 0x60, 0x00, 0xFD])
+    code = bytes([
+        # STATICCALL 0xBB (adder via calldata 0 -> harmless)
+        0x60, 0x20, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00,
+        0x60, 0xBB, 0x61, 0xFF, 0xFF, 0xFA, 0x50,
+        # DELEGATECALL 0xCB (SSTOREs into OUR storage)
+        0x60, 0x20, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00,
+        0x60, 0xCB, 0x61, 0xFF, 0xFF, 0xF4, 0x50,
+        # value CALL 7 wei into 0xEE (reads SELFBALANCE)
+        0x60, 0x20, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x07,
+        0x60, 0xEE, 0x61, 0xFF, 0xFF, 0xF1, 0x50,
+        # value transfer 3 wei to the EOA 0xDD
+        0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x03,
+        0x60, 0xDD, 0x61, 0xFF, 0xFF, 0xF1, 0x50,
+        # CALL the reverting 0xCC (success 0)
+        0x60, 0x20, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00, 0x60, 0x00,
+        0x60, 0xCC, 0x61, 0xFF, 0xFF, 0xF1, 0x50,
+        # BALANCE of 0xDD, then stop
+        0x60, 0xDD, 0x31, 0x50, 0x00,
+    ])
+    codes = {
+        0xAA: code, 0xBB: CALLEE, 0xCB: stor_child,
+        0xEE: sb_child, 0xCC: revc,
+    }
+    balances = {0xAA: 1000, 0xEE: 50, 0xDD: 1}
+
+    class _Db:
+        def basic(self, a):
+            ai = int.from_bytes(a, "big")
+            if ai in codes or ai in balances:
+                return AccountInfo(
+                    nonce=1, balance=balances.get(ai, 0),
+                    code=codes.get(ai, b""), exists=True,
+                )
+            return None
+
+        def storage(self, a, k):
+            return 0
+
+        def block_hash(self, n):
+            return b"\x00" * 32
+
+        def code_by_hash(self, h):
+            return b""
+
+    st = StateJournal(_Db())
+    for i in range(1, 11):
+        st.access_account(bytes(19) + bytes([i]))
+    evm = EVM(
+        st,
+        BlockEnv(
+            number=0, timestamp=0, gas_limit=30_000_000, base_fee=0,
+            coinbase=b"\x00" * 20, chain_id=1,
+        ),
+        TxEnv(origin=(0x99).to_bytes(20, "big"), gas_price=0),
+    )
+    res = evm.call(
+        (0x99).to_bytes(20, "big"), (0xAA).to_bytes(20, "big"), 0, b"",
+        300_000, transfers_value=False,
+    )
+    assert res.success
+    world = {
+        ai: {"code": c, "storage": {1: 0} if ai == 0xAA else {}}
+        for ai, c in codes.items()
+    }
+    ft = ea.execute_frame(
+        code, ENV, 300_000, world=world, warm_addresses=set(),
+        storage={1: 0}, balances=dict(balances),
+    )
+    assert ft.gas_f == res.gas_left
+    assert ft.bal_finals[0xDD] == 4 and ft.bal_finals[0xEE] == 57
+    kinds = [s for s in ft.call_sites]
+    assert kinds[0]["ksta"] == 1 and kinds[1]["kdel"] == 1
+    assert kinds[4]["callee"].reverted == 1
+
+
 ACCT_CODE = bytes([
     0x60, 0xDD, 0x31,                    # BALANCE
     0x60, 0xDD, 0x3B, 0x01,              # EXTCODESIZE; fold
@@ -387,13 +548,32 @@ ACCT_CTX = {
 }
 
 
+ACCT_BAL = {0xDD: 123456, 0xAA: 999}
+
+
+def _acct_tables(ft):
+    from raiko_tpu.stark.airs.evm_call import EvmBalanceAir
+
+    tables = ea.frame_tables(ft) + ea._frame_extra_tables(ft)
+    groups, events = ea.balance_journal([ft])
+    if groups:
+        bal = EvmBalanceAir(groups)
+        tables.append((bal, bal.trace(events), bal.publics()))
+    return tables
+
+
 def test_account_state_family_constraints(challenges):
     """BALANCE/EXTCODESIZE/EXTCODEHASH/SELFBALANCE/BLOCKHASH satisfy the
-    constraints and balance the account-context + address channels."""
-    ft = ea.execute_frame(ACCT_CODE, ACCT_ENV, 100_000, acct_ctx=ACCT_CTX)
-    assert len(ft.acct_groups) == 6
+    constraints and balance the context + address + balance channels
+    (round 5: balance reads run through the journal, not AcctCtx)."""
+    ft = ea.execute_frame(
+        ACCT_CODE, ACCT_ENV, 100_000, acct_ctx=ACCT_CTX,
+        balances=dict(ACCT_BAL),
+    )
+    assert len(ft.acct_groups) == 4  # codesize/codehash/2x blockhash
     assert ft.addr_groups == [(0xDD, 3, 0)]
-    tables = ea.frame_tables(ft) + ea._frame_extra_tables(ft)
+    assert [ev[1] for ev in ft.bal_events] == [1, 1]  # two reads
+    tables = _acct_tables(ft)
     totals = [ef.H_ZERO] * ea.NUM_BUS
     for air, trace, publics in tables:
         errs = check_constraints(air, trace, publics, challenges)
@@ -404,15 +584,19 @@ def test_account_state_family_constraints(challenges):
 
 
 def test_account_state_tampered_value_unbalances(challenges):
-    """A context table claiming a different balance cannot balance the
-    BUS_AC channel against the CPU's pushed value."""
-    from raiko_tpu.stark.airs.evm_call import AcctCtxAir
+    """A context table claiming a different code size cannot balance
+    BUS_AC; a journal claiming a different balance original cannot
+    balance BUS_BL."""
+    from raiko_tpu.stark.airs.evm_call import AcctCtxAir, EvmBalanceAir
 
-    ft = ea.execute_frame(ACCT_CODE, ACCT_ENV, 100_000, acct_ctx=ACCT_CTX)
-    tables = ea.frame_tables(ft) + ea._frame_extra_tables(ft)
+    ft = ea.execute_frame(
+        ACCT_CODE, ACCT_ENV, 100_000, acct_ctx=ACCT_CTX,
+        balances=dict(ACCT_BAL),
+    )
+    tables = _acct_tables(ft)
     rows = [(k, key, v) for k, key, v, _ in ft.acct_groups]
     counts = [c for *_, c in ft.acct_groups]
-    rows[1] = (rows[1][0], rows[1][1], rows[1][2] + 1)  # wrong balance
+    rows[0] = (rows[0][0], rows[0][1], rows[0][2] + 1)  # wrong codesize
     bad = AcctCtxAir(rows, ft.fid)
     swapped = [
         (bad, bad.trace(counts), [ft.fid])
@@ -422,6 +606,22 @@ def test_account_state_tampered_value_unbalances(challenges):
     ]
     totals = _bus_totals(swapped, challenges)
     assert totals[ea.BUS_AC] != ef.H_ZERO
+    # balance tamper: a different original forces different read values
+    groups, events = ea.balance_journal([ft])
+    bad_groups = [(a, o + 1, f + 1, c) for a, o, f, c in groups]
+    badb = EvmBalanceAir(bad_groups)
+    bad_events = [
+        [(fid, clk4, kind, v + 1) for fid, clk4, kind, v in evs]
+        for evs in events
+    ]
+    swapped2 = [
+        (badb, badb.trace(bad_events), badb.publics())
+        if type(air).__name__ == "EvmBalanceAir"
+        else (air, trace, publics)
+        for air, trace, publics in tables
+    ]
+    totals2 = _bus_totals(swapped2, challenges)
+    assert totals2[ea.BUS_BL] != ef.H_ZERO
 
 
 def test_account_state_gas_matches_interpreter():
@@ -467,5 +667,8 @@ def test_account_state_gas_matches_interpreter():
         100_000, transfers_value=False,
     )
     assert res.success
-    ft = ea.execute_frame(code, ACCT_ENV, 100_000, acct_ctx=dict(log))
+    ft = ea.execute_frame(
+        code, ACCT_ENV, 100_000, acct_ctx=dict(log),
+        balances=dict(ACCT_BAL),
+    )
     assert ft.gas_f == res.gas_left
