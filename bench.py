@@ -43,11 +43,14 @@ def main() -> None:
     # the child's compiles one-time; null on timeout.
     import subprocess
 
-    def block_bench(backend: str, timeout_s: int, cpu: bool = False):
+    def block_bench(
+        backend: str, timeout_s: int, cpu: bool = False, extra_env=None
+    ):
         env = dict(os.environ)
         if cpu:
             env["JAX_PLATFORMS"] = "cpu"
             env["PALLAS_AXON_POOL_IPS"] = ""
+        env.update(extra_env or {})
         try:
             r = subprocess.run(
                 [sys.executable, os.path.join("tools", "bench_block.py"), backend],
@@ -62,8 +65,80 @@ def main() -> None:
         except Exception:
             return None
 
+    def json_tool(args, timeout_s, extra_env=None):
+        env = dict(os.environ)
+        env.update(extra_env or {})
+        try:
+            r = subprocess.run(
+                [sys.executable] + args,
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            return json.loads(line) if r.returncode == 0 and line else None
+        except Exception:
+            return None
+
+    # the 100-tx / 20-contract block (VERDICT r5: real-scale, cold+warm)
     blk_native = block_bench("native", 900, cpu=True)
-    blk_stark = block_bench("tpu_stark", 2400)
+    blk_stark = block_bench("tpu_stark", 3600)
+    # scaling: shard-parallel proving wall-clock vs worker count on a
+    # 12-tx block (the BASELINE.json scaling-efficiency obligation,
+    # measured on the one real chip + host threads)
+    shard_scaling = {}
+    for w in (1, 2, 4):
+        r = block_bench(
+            "tpu_shard",
+            900,
+            extra_env={
+                "BENCH_BLOCK_TXS": "12",
+                "BENCH_SHARD_WORKERS": str(w),
+                "RAIKO_FRAME_WORKERS": str(w),
+            },
+        )
+        shard_scaling[str(w)] = r and {
+            "prove_cold_s": r.get("prove_cold_s"),
+            "prove_warm_s": r.get("prove_warm_s"),
+        }
+    # scaling: virtual-mesh sharded commit + distributed NTT overhead
+    mesh_scaling = json_tool(
+        [os.path.join("tools", "bench_scaling.py")],
+        1500,
+        extra_env={"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
+    )
+    # scaling: multi-host (2 vs 4 jax.distributed processes, CPU)
+    import time as _time
+
+    multihost = {}
+    for nproc in (2, 4):
+        t0 = _time.time()
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join("tools", "multihost_sim.py"),
+                    "--nprocs",
+                    str(nproc),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                env={
+                    **os.environ,
+                    "JAX_PLATFORMS": "cpu",
+                    "PALLAS_AXON_POOL_IPS": "",
+                },
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            multihost[str(nproc)] = {
+                "ok": r.returncode == 0,
+                "wall_s": round(_time.time() - t0, 1),
+            }
+        except Exception:
+            multihost[str(nproc)] = None
     os.environ.setdefault("JAX_COMPILATION_CACHE", "1")
     import jax
 
@@ -223,13 +298,21 @@ def main() -> None:
                     "taiko_a7_block_proof_native_s": (
                         blk_native and blk_native["total_s"]
                     ),
-                    "taiko_a7_block_proof_tpu_stark_s": (
-                        blk_stark and blk_stark["total_s"]
+                    "taiko_a7_block_proof_tpu_stark_cold_s": (
+                        blk_stark and blk_stark.get("prove_cold_s")
+                    ),
+                    "taiko_a7_block_proof_tpu_stark_warm_s": (
+                        blk_stark and blk_stark.get("prove_warm_s")
                     ),
                     "taiko_a7_block_proof_detail": {
                         "native": blk_native,
                         "tpu_stark": blk_stark,
                     },
+                },
+                "scaling": {
+                    "shard_workers_12tx": shard_scaling,
+                    "virtual_mesh": mesh_scaling,
+                    "multihost": multihost,
                 },
             }
         )

@@ -163,6 +163,10 @@ def calculate_block_header(
         # (reference: builder.rs:191-264 roots; :350-372 ancestor chain)
         collect["tx_trie"] = tx_trie
         collect["receipts_trie"] = receipts_trie
+        # raw receipt fields: the receipts-link payload re-derives the
+        # trie from these (+ the proven frame logs) so tampering a log
+        # record breaks the receipts-root binding (VERDICT r4 missing #2)
+        collect["receipts"] = result.receipts
         collect["header_chain"] = [input.parent_header] + list(
             input.ancestor_headers
         )

@@ -263,6 +263,11 @@ def execute_transaction(
                 "balances": _frame_start_balances(
                     state, sender, tx.to, tx.value
                 ),
+                # frame-start nonces (CREATE address derivations)
+                "nonces": {
+                    int.from_bytes(a, "big"): v
+                    for a, v in (getattr(state, "nonce_orig", None) or {}).items()
+                },
                 # account-context reads actually observed (value-exact;
                 # keys poisoned to None on mid-tx divergence)
                 "acct_ctx": {
@@ -390,10 +395,16 @@ def execute_block_txs(
                 raise BlockError("wrong chain id")
             if cumulative + tx.gas_limit > block.gas_limit:
                 raise BlockError("block gas limit exceeded")
+            frames_before = len(frame_log) if frame_log is not None else 0
             result = execute_transaction(
                 state, block, tx, sender, is_taiko, is_anchor, treasury,
                 tracer=tracer, frame_log=frame_log,
             )
+            if frame_log is not None:
+                # stamp the tx index: the receipts-link payload aligns
+                # proven frame logs with receipt entries by it
+                for cand in frame_log[frames_before:]:
+                    cand["tx_index"] = i
         except (BlockError, ValueError):
             if optimistic:
                 # data-gathering run: keep executing the rest of the block

@@ -88,6 +88,7 @@ class StateJournal:
         # originals of the EVM balance journal (stark/airs/evm_call.py
         # EvmBalanceAir)
         self.bal_orig: dict[bytes, int] | None = None
+        self.nonce_orig: dict[bytes, int] | None = None
 
     # -- account loading -------------------------------------------------
     def _load(self, address: bytes) -> AccountInfo:
@@ -110,12 +111,22 @@ class StateJournal:
         return a.nonce == 0 and a.balance == 0 and len(a.code) == 0
 
     def mark_balance_origins(self):
-        """Start recording per-address balance originals (frame entry)."""
+        """Start recording per-address balance AND nonce originals
+        (frame entry) — the PUBLIC starting points of the EVM balance
+        journal and the CREATE address derivations."""
         self.bal_orig = {}
+        self.nonce_orig = {}
 
     def _note_bal(self, address: bytes, current: int):
         if self.bal_orig is not None and address not in self.bal_orig:
             self.bal_orig[address] = current
+
+    def _note_nonce(self, address: bytes, current: int):
+        if (
+            getattr(self, "nonce_orig", None) is not None
+            and address not in self.nonce_orig
+        ):
+            self.nonce_orig[address] = current
 
     def balance(self, address: bytes) -> int:
         v = self._load(address).balance
@@ -123,7 +134,9 @@ class StateJournal:
         return v
 
     def nonce(self, address: bytes) -> int:
-        return self._load(address).nonce
+        v = self._load(address).nonce
+        self._note_nonce(address, v)
+        return v
 
     def code(self, address: bytes) -> bytes:
         if address in self.selfdestructed:
@@ -166,6 +179,7 @@ class StateJournal:
 
     def set_nonce(self, address: bytes, value: int):
         a = self._load(address)
+        self._note_nonce(address, a.nonce)
         self._j(("nonce", address, a.nonce, a.exists))
         a.nonce = value
         a.exists = True

@@ -246,6 +246,73 @@ def host_permute(state: list[int]) -> list[int]:
     return s
 
 
+_PNP = np.uint64(bb.P)
+
+
+def _np_sbox(v: np.ndarray) -> np.ndarray:
+    """x^ALPHA mod p vectorized (inputs < p < 2^31: every product of two
+    reduced values fits u64)."""
+    x2 = v * v % _PNP
+    x3 = x2 * v % _PNP
+    if ALPHA == 7:
+        return x3 * x3 % _PNP * v % _PNP
+    if ALPHA == 5:
+        return x2 * x2 % _PNP * v % _PNP
+    if ALPHA == 3:
+        return x3
+    out = np.ones_like(v)
+    b, e = v, ALPHA
+    while e:
+        if e & 1:
+            out = out * b % _PNP
+        b = b * b % _PNP
+        e >>= 1
+    return out
+
+
+def _np_ext_linear(s: np.ndarray) -> np.ndarray:
+    """(B, 16) batched external linear layer (the M4 circulant form)."""
+    g = s.reshape(-1, 4, 4)
+    m4 = np.array(M4, dtype=np.uint64)
+    grp = (g @ m4.T) % _PNP  # (B, 4, 4)
+    sums = grp.sum(axis=1) % _PNP  # (B, 4)
+    return ((grp + sums[:, None, :]) % _PNP).reshape(-1, WIDTH)
+
+
+@functools.lru_cache(maxsize=1)
+def _np_round_consts():
+    ext_rc, int_rc, mu = host_constants()
+    return (
+        [np.array(rc, dtype=np.uint64) for rc in ext_rc],
+        [np.uint64(rc) for rc in int_rc],
+        np.array(mu, dtype=np.uint64),
+    )
+
+
+def host_permute_batch(states: np.ndarray) -> np.ndarray:
+    """Batched host permutation: (B, 16) standard-form uint64 -> same.
+    Bit-equal to ``host_permute`` per row (pinned by tests) — used by the
+    Fiat-Shamir grinding search, which evaluates ~2^bits candidate
+    nonces and would otherwise pay ~10 ms of scalar-python permutation
+    each (the round-5 ``stark.grind_queries`` profile whale)."""
+    ext_rc, int_rc, mu = _np_round_consts()
+    s = _np_ext_linear(states.astype(np.uint64) % _PNP)
+    ei = 0
+    ii = 0
+    for kind, _ in host_round_sequence():
+        if kind == "ext":
+            s = _np_ext_linear(_np_sbox((s + ext_rc[ei]) % _PNP))
+            ei += 1
+        else:
+            s0 = _np_sbox((s[:, 0] + int_rc[ii]) % _PNP)
+            ii += 1
+            s = s.copy()
+            s[:, 0] = s0
+            tot = s.sum(axis=1) % _PNP
+            s = (tot[:, None] + mu[None, :] * s) % _PNP
+    return s
+
+
 def hash_rows(rows: jax.Array) -> jax.Array:
     """Sponge-hash each row of a (B, W) matrix into a (B, 8) digest.
 

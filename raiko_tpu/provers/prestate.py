@@ -171,9 +171,20 @@ def verify_prestate_binding(payload: dict) -> bool:
     # flatten to frame records in execution order (groups are tx-ordered,
     # and within a group each address appears in at most one frame — the
     # phase-1 coverage restriction of docs/EVM_COMPOSITION.md)
-    frames = [
-        fr for grp in (evm.get("frames") or []) for fr in grp.get("frames", [])
-    ]
+    groups = evm.get("frames") or []
+    # group order must FOLLOW tx order when the payload carries the
+    # tx alignment (round 5): the cross-frame original==previous-final
+    # chain below is only meaningful in execution order, and a prover
+    # reordering groups could otherwise pick a self-serving interleaving
+    # (ADVICE r4: value-cycle reorderings were not structurally excluded)
+    txis = [grp.get("tx_index") for grp in groups]
+    if any(t is not None for t in txis):
+        if any(t is None for t in txis):
+            return False  # no partial opt-out
+        known = [int(t) for t in txis]
+        if known != sorted(known) or len(set(known)) != len(known):
+            return False
+    frames = [fr for grp in groups for fr in grp.get("frames", [])]
     has_storage = any(fr.get("storage") for fr in frames)
     if ps is None:
         # nothing claimed: acceptable only when no proven frame touches

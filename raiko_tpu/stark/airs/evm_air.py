@@ -157,11 +157,16 @@ a third halt opcode carrying a returndata span; the callee's CALLRET
 success term becomes 1 - PUB_REVERTED and PUB_REVERTED gates every
 effectful opcode (coverage v1: reverting frames are effect-free).  A
 static frame (PUB_STATIC, propagated through CALLREQ exp 42) is gated
-off SSTORE/LOG/value-transfer in-circuit.  Remaining coverage
-restrictions (reported uncovered, never mis-proven): 32-byte-aligned
-arg/ret ranges, retSize <= rds, effect-free reverts, at most one
-storage-active frame per address, no CREATE/CALLCODE, value only to
-provably non-empty accounts.
+off SSTORE/LOG/value-transfer in-circuit.  CREATE/CREATE2 run the
+initcode as a child frame (kind-4 memory bridge binds the initcode to
+the child's public CODE; the child's returndata is the deployed code;
+the new address is pushed from the createret row's B word and bound to
+the child's env through a dedicated CREATE CALLREQ; the keccak address
+derivation is a relativized public).  Remaining coverage restrictions
+(reported uncovered, never mis-proven): 32-byte-aligned arg/ret
+ranges, retSize <= rds, effect-free reverts, at most one
+storage-active frame per address, no CALLCODE, value only to provably
+non-empty accounts, success-only CREATE.
 """
 
 from __future__ import annotations
@@ -243,6 +248,17 @@ SIMPLE_OPS = {
     # must be effect-free (no SSTORE, no LOGs, no calls) — the rollback
     # is then a no-op, enforced in-circuit by PUB_REVERTED gating.
     "revert": (0xFD, 0, 2, 0),
+    # CREATE (0xF0) / CREATE2 (0xF5 via the KC2 bit): two rows like
+    # CALL.  The "create" row reads offset/size/value (+salt), charges
+    # 32000 + initcode word costs + expansion; the "createret" row runs
+    # the all-but-1/64 forwarding, exchanges CALLREQ/CALLRET with the
+    # INITCODE child frame (code = the public initcode, bound to caller
+    # memory by a kind-4 bridge; deployed code = the child's public
+    # returndata, deposit 200/byte re-charged at the boundary) and
+    # pushes the new address (bound to the child's env.address through
+    # the CALLREQ; its keccak derivation stays a relativized public).
+    "create": (0xF0, 32000, 0, 0),
+    "createret": (0xF0, 0, 0, 0),
     # account-state family (round 4): values come from the PUBLIC
     # account-context table (evm_call.AcctCtxAir) over BUS_AC; the
     # EIP-2929 100/2600 address pricing rides the same address journal
@@ -301,6 +317,7 @@ COVERED_OPBYTES = frozenset(
     + list(ENV_OPS.values())
     + [base + n for base, cap, _ in FAMILIES.values() for n in range(1, cap + 1)]
     + [0xF4, 0xFA]  # DELEGATECALL / STATICCALL share the CALL rows
+    + [0xF5]  # CREATE2 shares the CREATE rows (KC2 bit)
 )
 
 # sp delta per flag
@@ -320,6 +337,7 @@ def _sp_delta(name: str) -> int:
     if name in (
         "iszero", "not", "swap", "jumpdest", "stop", "calldataload", "mload",
         "sload", "call", "balance", "extcodesize", "extcodehash", "blockhash",
+        "create",
     ):
         return 0
     if name in ("pop", "jump"):
@@ -330,6 +348,8 @@ def _sp_delta(name: str) -> int:
         return -3
     if name == "callret":
         return -6  # CALL's net: 7 pops + 1 push, on the second row
+    if name == "createret":
+        return -2  # CREATE's net: 3 pops + 1 push (CREATE2: -3 via KC2)
     if name == "log":
         return -2  # offset + size; topics pop on the logext row
     if name == "logext":
@@ -414,7 +434,9 @@ CC_RETNEED = CC_ARGNEED + 1
 # only, mirrored from the call row onto its callret row
 KDEL = CC_RETNEED + 1
 KSTA = KDEL + 1
-CPU_WIDTH = KSTA + 1
+# CREATE2 selector (op = 0xF0 + 5*kc2), valid on create/createret rows
+KC2 = KSTA + 1
+CPU_WIDTH = KC2 + 1
 
 # CALL-row scratch overlay (the SCRATCH0 bit region is free on call /
 # callret rows: no mul carries, no shift one-hots)
@@ -463,7 +485,14 @@ AUX_LG = AUX_AC + 4  # log-record sends
 AUX_BLR = AUX_LG + 4  # balance READ sends (BALANCE / SELFBALANCE rows)
 AUX_BLD = AUX_BLR + 4  # balance DEBIT sends (value-bearing call rows)
 AUX_BLC = AUX_BLD + 4  # balance CREDIT sends (value-bearing call rows)
-CPU_AUX_W = AUX_BLC + 4
+# CREATE composition (round 5): its CALLREQ/CALLRET tuples differ from
+# CALL's in too many terms for flag-selected sharing (degree budget),
+# so the create rows drive their own accumulators + a kind-4 initcode
+# bridge instancing accumulator
+AUX_CQ2 = AUX_BLC + 4  # CREATE CALLREQ sends
+AUX_CR2 = AUX_CQ2 + 4  # CREATE CALLRET receives
+AUX_BRI = AUX_CR2 + 4  # initcode-bridge instancing sends
+CPU_AUX_W = AUX_BRI + 4
 
 CHAL_CHI = 0
 CHAL_F = 1
@@ -726,6 +755,7 @@ class _Step:
     callw: dict | None = None  # call/callret row witnesses (CW_*/RW_* keys)
     kdel: int = 0  # call-variant bits (DELEGATECALL / STATICCALL),
     ksta: int = 0  # set on both rows of the pair
+    kc2: int = 0  # CREATE2 selector (create/createret rows)
 
 
 @dataclass
@@ -945,6 +975,7 @@ def execute_frame(
     code_addr: int | None = None,
     _tree_storage_addrs: set | None = None,
     _bal_seq: list | None = None,
+    nonces: dict | None = None,
 ) -> FrameTrace:
     """Run the covered-subset stack machine, recording the full witness.
 
@@ -1456,6 +1487,209 @@ def execute_frame(
             st.name = "selfbalance"
             use(5)
             push(bal_read(4 * (len(steps) - 1), env.address), sp)
+        elif op in (0xF0, 0xF5):
+            # CREATE / CREATE2: two rows; the initcode runs as a child
+            # frame whose CODE is bound to the caller's memory span by a
+            # kind-4 bridge; the new address is pushed as the createret
+            # row's B word and bound to the child's env.address through
+            # the CALLREQ (its keccak derivation is a relativized
+            # public, docs/SOUNDNESS.md)
+            st.name = "create"
+            kc2 = 1 if op == 0xF5 else 0
+            nargs = 3 + kc2
+            if sp < nargs:
+                raise UncoveredFrame("stack underflow")
+            if world is None:
+                raise UncoveredFrame("no world state for CREATE")
+            if depth >= 8:
+                raise UncoveredFrame("call depth beyond coverage")
+            if is_static:
+                raise UncoveredFrame("CREATE in a static context")
+            value = stack.pop()
+            offset = stack.pop()
+            size = stack.pop()
+            salt = stack.pop() if kc2 else 0
+            if offset % 32 or offset >= (1 << 18):
+                raise UncoveredFrame("unaligned or far CREATE range")
+            if size >= (1 << 13):
+                raise UncoveredFrame("initcode beyond covered bound")
+            st.a, st.b, st.c, st.w = offset, size, salt, value
+            st.kc2 = kc2
+            st.accesses = [
+                (0, sp - 2, 0, offset),
+                (1, sp - 3, 0, size),
+                (3, sp - 1, 0, value),
+            ] + ([(2, sp - 4, 0, salt)] if kc2 else [])
+            # [size != 0] through the row's nonzero gadget (f_kr group)
+            st.nz, st.inv, st.s_inv, st.taken = _nonzero_witness(
+                [(size & 0x7FFF).bit_count()] + [0] * 15
+            )
+            sw = (size + 31) // 32
+            st.ksw, st.ksl = sw, 32 * sw - size
+            st.callw = {
+                "bigreq": 0, "invh": 0, "tr": 0, "invr": 0, "mm": 0,
+                "dmax": 0, "argneed": 0, "retneed": 0, "cfid": 0,
+            }
+            use(32000 + (2 + 6 * kc2) * sw)
+            use(mem_expand(st, (offset // 32 + sw) if size else 0))
+            clk_call = len(steps) - 1
+            if value:
+                if bal_live.get(env.address, 0) < value:
+                    raise UncoveredFrame("insufficient balance for CREATE")
+            initcode_words = [
+                mem_words.get(offset // 32 + j, 0) for j in range(sw)
+            ]
+            initcode = b"".join(
+                wv.to_bytes(32, "big") for wv in initcode_words
+            )[:size]
+            # address derivation (relativized public; exact host keccak)
+            from ...utils import keccak256 as _kec
+
+            if kc2:
+                new_addr = int.from_bytes(
+                    _kec(
+                        b"\xff"
+                        + env.address.to_bytes(20, "big")
+                        + salt.to_bytes(32, "big")
+                        + _kec(initcode)
+                    )[12:],
+                    "big",
+                )
+            else:
+                if nonces is None or env.address not in nonces:
+                    raise UncoveredFrame("creator nonce outside captured set")
+                from ...proto import rlp as _rlp
+
+                n_cr = int(nonces[env.address])
+                n_bytes = (
+                    n_cr.to_bytes((n_cr.bit_length() + 7) // 8, "big")
+                    if n_cr
+                    else b""
+                )
+                new_addr = int.from_bytes(
+                    _kec(
+                        _rlp.encode(
+                            [env.address.to_bytes(20, "big"), n_bytes]
+                        )
+                    )[12:],
+                    "big",
+                )
+                nonces[env.address] = n_cr + 1
+            if new_addr in tree_addrs:
+                raise UncoveredFrame("created address revisited")
+            # all-but-1/64 forwarding (no gas argument, no stipend)
+            avail = gas_left
+            q64, r64 = avail // 64, avail % 64
+            child_gas0 = 63 * q64 + r64
+            # the createret row
+            st2 = _Step(
+                pc=pc, op=op, name="createret", fam_n=0,
+                gas_before=gas_left, sp_before=sp, m_before=m_words,
+            )
+            steps.append(st2)
+            visit[pc] = visit.get(pc, 0) + 1
+            st2.a, st2.b = value, new_addr
+            st2.kc2 = kc2
+            st2.nz, st2.inv, st2.s_inv, st2.taken = _nonzero_witness(
+                [(value >> (16 * i)) & 0xFFFF for i in range(16)]
+            )
+            if value:
+                bal_event(4 * clk_call + 2, 2, env.address, value)
+                bal_event(4 * clk_call + 3, 3, new_addr, value)
+                bal_live[env.address] -= value
+                bal_live[new_addr] = bal_live.get(new_addr, 0) + value
+            tree_addrs.add(new_addr)
+            cenv = FrameEnv(
+                address=new_addr,
+                origin=env.origin,
+                caller=env.address,
+                callvalue=value,
+                calldatasize=0,
+                codesize=len(initcode),
+                gasprice=env.gasprice,
+                returndatasize=0,
+                coinbase=env.coinbase,
+                timestamp=env.timestamp,
+                number=env.number,
+                prevrandao=env.prevrandao,
+                gaslimit=env.gaslimit,
+                chainid=env.chainid,
+                basefee=env.basefee,
+                blobbasefee=env.blobbasefee,
+            )
+            child = execute_frame(
+                initcode,
+                cenv,
+                child_gas0,
+                max_steps,
+                calldata=b"",
+                storage={},
+                warm_slots=set(),
+                world=world,
+                warm_addresses=warm_addr,
+                depth=depth + 1,
+                _tree_addrs=tree_addrs,
+                acct_ctx=acct_ctx,
+                balances=bal_live,
+                static=False,
+                code_addr=new_addr,
+                _tree_storage_addrs=storage_addrs,
+                _bal_seq=bal_seq,
+                nonces=nonces,
+            )
+            if child.reverted:
+                raise UncoveredFrame("reverting initcode not covered")
+            gas_ret = child.gas_f
+            rds_child = child.rds
+            deployed = (
+                b"".join(
+                    wv.to_bytes(32, "big") for wv in child.ret_span[2]
+                )[:rds_child]
+                if child.ret_span
+                else b""
+            )
+            if gas_ret < 200 * rds_child:
+                raise UncoveredFrame("CREATE deposit out of gas")
+            use(child_gas0 - gas_ret + 200 * rds_child)
+            world[new_addr] = {"code": deployed, "storage": {}}
+            cur_rds = 0  # successful CREATE clears returndata
+            st2.callw = {
+                "q": q64,
+                "r": r64,
+                "m": 0,
+                "d": 0,
+                "gasin": child_gas0,
+                "gasret": gas_ret,
+                "rds": rds_child,
+                "rdiff": 0,
+            }
+            call_sites.append(
+                {
+                    "clk": clk_call,
+                    "addr": new_addr,
+                    "cold": 0,
+                    "gas_in": child_gas0,
+                    "args_offw": offset // 32,
+                    "args_sw": sw,
+                    "args_words": initcode_words if size else [],
+                    "ret_offw": 0,
+                    "ret_sw": 0,
+                    "precompile": None,
+                    "callee": child,
+                    "static": 0,
+                    "kdel": 0,
+                    "ksta": 0,
+                    "create": 1,
+                    "kc2": kc2,
+                    "rds": rds_child,
+                    "gas_ret": gas_ret,
+                    "ret_words": [],
+                }
+            )
+            if len(stack) >= 1024:
+                raise UncoveredFrame("stack overflow")
+            stack.append(new_addr)
+            st2.accesses.append((3, sp - 3 - kc2, 1, new_addr))
         elif op in (0xF1, 0xF4, 0xFA):
             # CALL / DELEGATECALL / STATICCALL (docs/EVM_COMPOSITION.md):
             # two rows, the callee as its own frame bound through
@@ -1680,6 +1914,7 @@ def execute_frame(
                     code_addr=addr,
                     _tree_storage_addrs=storage_addrs,
                     _bal_seq=bal_seq,
+                    nonces=nonces,
                 )
                 gas_ret = child.gas_f
                 rds_child = child.rds
@@ -1946,6 +2181,7 @@ def execute_frame(
             data_words = [
                 mem_words.get(a // 32 + i, 0) for i in range(sw)
             ]
+            bal_seq[0] += 1
             log_records.append(
                 {
                     "clk": clk_log,
@@ -1954,6 +2190,11 @@ def execute_frame(
                     "size": size,
                     "topics": tvals,
                     "data_words": data_words if size else [],
+                    # tree-global emission order (receipts-link payload
+                    # field; lying about it changes the re-derived
+                    # receipts-trie root, which must match the proven
+                    # containment root — self-correcting)
+                    "seq": bal_seq[0],
                 }
             )
         elif op == 0x56:
@@ -2156,6 +2397,7 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
         row[SG2] = st.sg2
         row[KDEL] = st.kdel
         row[KSTA] = st.ksta
+        row[KC2] = st.kc2
         if st.name == "sstore":
             for i in range(12):
                 row[MULC0 + i] = (st.sentry >> i) & 1
@@ -2176,7 +2418,7 @@ def build_cpu_trace(ft: FrameTrace) -> tuple[np.ndarray, list[int]]:
         row[KNEED] = st.kneed
         if st.callw is not None:
             cw = st.callw
-            if st.name == "call":
+            if st.name in ("call", "create"):
                 row[SCRATCH0 + CW_BIGREQ] = cw["bigreq"]
                 row[SCRATCH0 + CW_TR] = cw["tr"]
                 row[SCRATCH0 + CW_MM] = cw["mm"]
@@ -2501,12 +2743,15 @@ class EvmCpuAir(Air):
             fb2,
         ]
         # 6-arg call variants (DELEGATECALL/STATICCALL) shift the call-
-        # pair stack offsets by one; REVERT pops like RETURN
+        # pair stack offsets by one; REVERT pops like RETURN; create
+        # rows read offset/size/value (+salt) and push the new address
         k6 = t[:, KDEL] + t[:, KSTA]
+        kc2 = t[:, KC2]
+        cre, crr = flags["create"], flags["createret"]
         pops_w0 = (
             2 * p21 + flags["iszero"] + flags["not"] + flags["swap"]
             + cdl + mld + sl + 3 * cdc_f + 5 * fcl + 7 * fcr + acp
-            + 3 * flgx - anycall * k6 + _PU
+            + 3 * flgx - anycall * k6 + 4 * cre * kc2 + _PU
         ) % _PU
         env_sum = sum(flags[nm] for nm in ENV_OPS)
         ret = flags["return"] + flags["revert"]
@@ -2516,32 +2761,32 @@ class EvmCpuAir(Air):
             + flags["jump"] + flags["jumpi"] + flags["dup"] + flags["swap"]
             + cdl + mld + mst + sl + ss + ret + flags["log"]
             + flags["mstore8"] + cdc_f + anycall + acp + flgx * lg_ind[0]
-            + _PU - fcr * k6,
+            + cre + _PU - fcr * k6,
             p21 + flags["jumpi"] + flags["swap"] + mst + ss + ret
-            + flags["log"] + flags["mstore8"] + cdc_f + anycall
+            + flags["log"] + flags["mstore8"] + cdc_f + anycall + cre
             + flgx * lg_ind[1],
             p21
             + flags["iszero"] + flags["not"] + flags["push0"] + flags["push"]
             + flags["dup"] + flags["swap"] + flags["pc"] + flags["gas"]
             + env_sum + cdl + mld + msz + sl + cdc_f + anycall + acp + fsb
-            + flgx * lg_ind[2],
-            flags["swap"] + anycall + flgx * lg_ind[3],
+            + flgx * lg_ind[2] + cre * kc2,
+            flags["swap"] + anycall + cre + crr + flgx * lg_ind[3],
         ]
         addr = [
             (
                 sp + _PU - 1 - flags["dup"] * (fam_n - 1) - 3 * fcl
-                - 2 * fcr + fcl * k6
+                - 2 * fcr + fcl * k6 + _PU - cre
             )
             % _PU,
             (
                 sp + 2 * _PU - 2 - flags["swap"] * (fam_n - 1) - 4 * fcr
-                + fcr * k6
+                + fcr * k6 + _PU - cre
             )
             % _PU,
             (sp + _PU * 2 - pops_w0) % _PU,
             (
                 sp + 2 * _PU - 1 - flags["swap"] * fam_n - 6 * fcr
-                - 3 * flgx + fcr * k6
+                - 3 * flgx + fcr * k6 + 2 * _PU - 2 * crr - crr * kc2
             )
             % _PU,
         ]
@@ -2549,16 +2794,22 @@ class EvmCpuAir(Air):
             (flags["swap"] + cdc_f)[:, None] == 1, bytesB, bytesC
         )
         slot1 = np.where(cdc_f[:, None] == 1, bytesW, bytesB)
-        slot3 = np.where((anycall + flgx)[:, None] == 1, bytesW, bytesA)
+        slot3 = np.where(
+            crr[:, None] == 1,
+            bytesB,
+            np.where((anycall + flgx + cre)[:, None] == 1, bytesW, bytesA),
+        )
         vbytes = [bytesA, slot1, w0_bytes, slot3]
         slot_terms = []
         for s in range(4):
             iw_s = np.full(n, s >= 2, dtype=np.uint64)
             if s == 2:
-                # READS: copies' third pop, call/ret sizes, topic 3
-                iw_s = iw_s - cdc_f - anycall - flgx
+                # READS: copies' third pop, call/ret sizes, topic 3,
+                # CREATE2's salt
+                iw_s = iw_s - cdc_f - anycall - flgx - cre
             if s == 3:
-                iw_s = iw_s - fcl - flgx  # gas pop / topic 4 are READS
+                # gas pop / topic 4 / create's value pop are READS
+                iw_s = iw_s - fcl - flgx - cre
             code = _np_tuple_code(
                 addr[s],
                 [(4 * clk + s, 1), (iw_s % _PU, 2)]
@@ -2623,7 +2874,7 @@ class EvmCpuAir(Air):
             k: np.zeros((n, 4), dtype=np.uint64)
             for k in (
                 "cq", "cr", "bra", "brw", "brr", "adr", "ac", "lg",
-                "blr", "bld", "blc",
+                "blr", "bld", "blc", "cq2", "cr2", "bri",
             )
         }
         g_bl = challenges[CHAL_BL]
@@ -2722,6 +2973,67 @@ class EvmCpuAir(Air):
             )
             denoms.append(ef.h_sub(g_ad, code_ad))
             meta.append(("adr", r, +1))
+        # create rows: CREATE CALLREQ/CALLRET (address/value from the
+        # createret row's B/A words), the kind-4 initcode bridge, and
+        # the balance debit/credit on value-bearing creates
+        idx_cre = FLAG0 + FLAG_IDX["create"]
+        for r in np.nonzero(trace[:, idx_cre])[0]:
+            r = int(r)
+            Awn = word(r + 1, A0)
+            Bwn = word(r + 1, B0)
+            gasin = sbits(r + 1, RW_GASIN0, 28)
+            gasret = sbits(r + 1, RW_GASRET0, 28)
+            rds = sbits(r + 1, RW_RDS0, 13)
+            cfid = sbits(r, CW_CFID0, 16)
+            taken_n = int(trace[r + 1, TAKEN])
+            addr_l = [(Bwn >> (16 * i)) & 0xFFFF for i in range(10)]
+            val_l = [(Awn >> (16 * i)) & 0xFFFF for i in range(16)]
+            code_cq2 = hcode(
+                self.fid,
+                [(r, 1), (gasin & 0xFFFF, 2), (gasin >> 16, 3)]
+                + [(addr_l[i], 4 + i) for i in range(10)]
+                + [(val_l[i], 14 + i) for i in range(16)]
+                + [(caller_l[i], 31 + i) for i in range(10)]
+                + [(cfid, 41), (static_pub, 42)]
+                + [(addr_l[i], 43 + i) for i in range(10)],
+            )
+            denoms.append(ef.h_sub(g_cq, code_cq2))
+            meta.append(("cq2", r, +1))
+            code_cr2 = hcode(
+                self.fid,
+                [(r, 1), (gasret & 0xFFFF, 2), (gasret >> 16, 3), (1, 4), (rds, 5)],
+            )
+            denoms.append(ef.h_sub(g_cr, code_cr2))
+            meta.append(("cr2", r, -1))
+            sw_cre = sum(int(trace[r, KSW0 + i]) << i for i in range(10))
+            if int(trace[r, TAKEN]):  # size != 0: the initcode bridge
+                code = hcode(
+                    self.fid,
+                    [
+                        (4 * r + 1, 1), (4, 2), (word(r, A0) // 32, 3),
+                        (sw_cre, 4), (cfid, 5),
+                    ],
+                )
+                denoms.append(ef.h_sub(g_br, code))
+                meta.append(("bri", r, +1))
+            if taken_n:
+                vb = [(Awn >> (8 * j)) & 0xFF for j in range(32)]
+                code_bld = hcode(
+                    self.fid,
+                    [(4 * r + 2, 1), (2, 2)]
+                    + [(caller_l[i], 3 + i) for i in range(10)]
+                    + [(vb[j], 13 + j) for j in range(32)],
+                )
+                denoms.append(ef.h_sub(g_bl, code_bld))
+                meta.append(("bld", r, +1))
+                code_blc = hcode(
+                    self.fid,
+                    [(4 * r + 3, 1), (3, 2)]
+                    + [(addr_l[i], 3 + i) for i in range(10)]
+                    + [(vb[j], 13 + j) for j in range(32)],
+                )
+                denoms.append(ef.h_sub(g_bl, code_blc))
+                meta.append(("blc", r, +1))
         # log rows: the record tuple (topics from the NEXT row) + the
         # data-bridge instancing tuple (kind 3) when size != 0
         idx_log = FLAG0 + FLAG_IDX["log"]
@@ -2908,6 +3220,9 @@ class EvmCpuAir(Air):
         aux[:, AUX_BLR : AUX_BLR + 4] = self._excl_prefix(ct["blr"])
         aux[:, AUX_BLD : AUX_BLD + 4] = self._excl_prefix(ct["bld"])
         aux[:, AUX_BLC : AUX_BLC + 4] = self._excl_prefix(ct["blc"])
+        aux[:, AUX_CQ2 : AUX_CQ2 + 4] = self._excl_prefix(ct["cq2"])
+        aux[:, AUX_CR2 : AUX_CR2 + 4] = self._excl_prefix(ct["cr2"])
+        aux[:, AUX_BRI : AUX_BRI + 4] = self._excl_prefix(ct["bri"])
         return aux
 
     def bus_values(self, trace: np.ndarray, challenges) -> list[tuple]:
@@ -2949,9 +3264,12 @@ class EvmCpuAir(Air):
         def _tot(key):
             return tuple(int(v) for v in ct[key].sum(axis=0) % _PU)
 
-        bus_cq = ef.h_add(_tot("cq"), invQ)
-        bus_cr = ef.h_add(_tot("cr"), invR)
-        bus_br = ef.h_add(ef.h_add(_tot("bra"), _tot("brw")), _tot("brr"))
+        bus_cq = ef.h_add(ef.h_add(_tot("cq"), _tot("cq2")), invQ)
+        bus_cr = ef.h_add(ef.h_add(_tot("cr"), _tot("cr2")), invR)
+        bus_br = ef.h_add(
+            ef.h_add(ef.h_add(_tot("bra"), _tot("brw")), _tot("brr")),
+            _tot("bri"),
+        )
         bus_ad = _tot("adr")
         bus_ac = _tot("ac")
         bus_lg = _tot("lg")
@@ -3044,7 +3362,7 @@ class EvmCpuAir(Air):
             + list(range(A0, A0 + 1024))
             + list(range(SCRATCH0, KNEED))  # KNEED itself is a raw column
             + list(range(DMB0, CC_INVH))  # CC_INVH..CC_RETNEED are raw
-            + [KDEL, KSTA]
+            + [KDEL, KSTA, KC2]
         )
         bits = b.local_block(bit_cols)
         b.all_rows_block(b.mul(bits, b.sub(bits, one)), len(bit_cols))
@@ -3075,14 +3393,20 @@ class EvmCpuAir(Air):
                 f_callpair, b.add(b.scale(3, kdel_l), b.scale(9, ksta_l))
             ),
         )
+        # CREATE2 selector: op = 0xF0 + 5*kc2, create/createret rows only
+        kc2_l = b.local(KC2)
+        f_crepair = b.add(f["create"], f["createret"])
+        op_expr = b.add(op_expr, b.mul(f_crepair, b.scale(5, kc2_l)))
         b.all_rows(b.sub(op, op_expr))
-        # kind bits live on call/callret rows only, at most one set, and
-        # mirror from the call row onto its callret row
+        # kind bits live on call/callret (resp. create) rows only, at
+        # most one set, and mirror onto the pair's second row
         b.all_rows(b.mul(kdel_l, b.sub(one, f_callpair)))
         b.all_rows(b.mul(ksta_l, b.sub(one, f_callpair)))
         b.all_rows(b.mul(kdel_l, ksta_l))
         b.transition(b.mul(f["call"], b.sub(b.next(KDEL), kdel_l)))
         b.transition(b.mul(f["call"], b.sub(b.next(KSTA), ksta_l)))
+        b.all_rows(b.mul(kc2_l, b.sub(one, f_crepair)))
+        b.transition(b.mul(f["create"], b.sub(b.next(KC2), kc2_l)))
         # dup/swap n <= 16
         b.all_rows(b.mul(b.add(f["dup"], f["swap"]), b.local(FAMB0 + 4)))
         # log n <= 5: n-1 in 0..4 — bits 3/4 clear, and bit 2 excludes 5..7
@@ -3116,6 +3440,7 @@ class EvmCpuAir(Air):
         for gate in (rev_pub, static_pub):
             b.all_rows(b.mul(gate, f["sstore"]))
             b.all_rows(b.mul(gate, f["log"]))
+            b.all_rows(b.mul(gate, f["create"]))
         b.all_rows(b.mul(rev_pub, f["call"]))
 
         # 5. clock
@@ -3135,7 +3460,7 @@ class EvmCpuAir(Air):
                     ),
                     b.add(f["return"], f["revert"]),
                 ),
-                f["call"],
+                b.add(f["call"], f["create"]),
             ),
             f["log"],
         )
@@ -3167,8 +3492,10 @@ class EvmCpuAir(Air):
         # the logext row pops the fam_n - 1 topic values
         delta = b.sub(delta, b.mul(f["logext"], b.sub(fam_n, one)))
         # 6-arg call variants (DELEGATECALL/STATICCALL) pop one less:
-        # the callret net is -5, not -6
+        # the callret net is -5, not -6; CREATE2 pops one more than
+        # CREATE (the salt)
         delta = b.add(delta, b.mul(f["callret"], b.add(kdel_l, ksta_l)))
+        delta = b.sub(delta, b.mul(f["createret"], kc2_l))
         b.transition(b.sub(sp_n, b.add(sp, delta)))
         b.last_row(b.sub(sp, b.public(PUB_SPF)))
 
@@ -3191,10 +3518,10 @@ class EvmCpuAir(Air):
         f_ret = b.add(f["return"], f["revert"])  # both halt with a span
         f_log = f["log"]
         f_m8 = f["mstore8"]
-        # keccak/return/revert/log/calldatacopy/codecopy all meter a
-        # word-aligned (offset, size) range via the sw/slack machinery
+        # keccak/return/revert/log/create/calldatacopy/codecopy all meter
+        # a word-aligned (offset, size) range via the sw/slack machinery
         f_kr = b.add(
-            b.add(b.add(f_kec, f_ret), f_log),
+            b.add(b.add(f_kec, f_ret), b.add(f_log, f["create"])),
             b.add(f["calldatacopy"], f["codecopy"]),
         )
         # expansion/dq group (MSTORE8 expands too, at ANY byte offset)
@@ -3299,6 +3626,29 @@ class EvmCpuAir(Air):
         cost = b.add(
             cost, b.scale(9000, b.mul(f["call"], b.next(TAKEN)))
         )
+        # CREATE: initcode word cost (EIP-3860: 2/word; CREATE2 adds the
+        # 6/word hashing charge); the createret row pays the forwarded
+        # gas, receives the child's leftover, and re-charges the
+        # 200/byte code deposit on the child's public returndata size
+        cost = b.add(
+            cost,
+            b.mul(
+                f["create"],
+                b.add(
+                    b.scale(2, swval), b.scale(6, b.mul(kc2_l, swval))
+                ),
+            ),
+        )
+        rds_loc = scratch_val(RW_RDS0, 13)
+        cost = b.add(
+            cost,
+            b.mul(
+                f["createret"],
+                b.add(
+                    b.sub(gasin_l, gasret_l), b.scale(200, rds_loc)
+                ),
+            ),
+        )
         b.transition(b.sub(G_n, b.sub(G, cost)))
         # gas register capped below 2^28 (MAX_GAS_LOG): bits 28..31 are
         # zero on every row, so no gas equation can wrap mod p — the
@@ -3387,7 +3737,7 @@ class EvmCpuAir(Air):
                         b.add(
                             b.add(f_kec, f_ret),
                             b.add(
-                                f["log"],
+                                b.add(f["log"], f["create"]),
                                 b.add(f["calldatacopy"], f["codecopy"]),
                             ),
                         ),
@@ -3408,9 +3758,13 @@ class EvmCpuAir(Air):
                 b.add(b.mul(f["iszero"], lA), b.mul(f["jumpi"], lB)),
             ),
             b.add(
-                # the callret row's gadget carries [value != 0]: A holds
-                # the popped value word (pinned 0 on 6-arg variants)
-                b.add(b.mul(f_dm, lB), b.mul(f["callret"], lA)),
+                # the callret/createret row's gadget carries [value != 0]:
+                # A holds the value word (pinned 0 on 6-arg variants;
+                # bound to the create row's W pop on createret rows)
+                b.add(
+                    b.mul(f_dm, lB),
+                    b.mul(b.add(f["callret"], f["createret"]), lA),
+                ),
                 b.concat_rows([b.stack_block([extra0]), b.scale(0, lA[:15])]),
             ),
         )
@@ -4159,6 +4513,8 @@ class EvmCpuAir(Air):
         f_lgx = f["logext"]
         # 6-arg call variants shift every call-pair stack offset by one
         k6_loc = b.add(kdel_l, ksta_l)
+        f_cre = f["create"]
+        f_crr = f["createret"]
         pops_w0 = b.add(
             b.add(
                 b.scale(2, p21),
@@ -4180,7 +4536,11 @@ class EvmCpuAir(Air):
                     ),
                     f_acp,
                 ),
-                b.scale(3, f_lgx),  # logext slot2 reads topic 3 at sp-3
+                b.add(
+                    b.scale(3, f_lgx),  # logext slot2: topic 3 at sp-3
+                    # CREATE2 slot2: the salt at sp-4
+                    b.scale(4, b.mul(f_cre, kc2_l)),
+                ),
             ),
         )
         actives = [
@@ -4196,7 +4556,7 @@ class EvmCpuAir(Air):
                                 b.add(f["mstore8"], b.add(f_sl, f_ss)),
                             ),
                             b.add(
-                                b.add(b.add(f_ret, f_log), f_cdc),
+                                b.add(b.add(f_ret, f_log), b.add(f_cdc, f_cre)),
                                 b.add(
                                     # 6-arg callret rows have no value
                                     # pop: slot 0 goes inactive
@@ -4215,7 +4575,7 @@ class EvmCpuAir(Air):
                     b.add(
                         b.add(f_mst, f_ss),
                         b.add(
-                            b.add(b.add(f_ret, f_log), f_cdc),
+                            b.add(b.add(f_ret, f_log), b.add(f_cdc, f_cre)),
                             b.add(f_anycall, b.mul(f_lgx, lg_ind[1])),
                         ),
                     ),
@@ -4250,34 +4610,48 @@ class EvmCpuAir(Air):
                 ),
             ),
             b.add(
-                b.add(f["swap"], f_anycall), b.mul(f_lgx, lg_ind[3])
+                b.add(b.add(f["swap"], f_anycall), b.add(f_cre, f_crr)),
+                b.mul(f_lgx, lg_ind[3]),
             ),
         ]
+        # slot-2 activity: add the CREATE2 salt read
+        actives[2] = b.add(actives[2], b.mul(f_cre, kc2_l))
         fam_m1 = b.sub(fam_n, one)
         addrs = [
             # call row: argsOff at sp-4 (sp-3 on 6-arg); callret row:
-            # value at sp-3 (slot inactive on 6-arg)
+            # value at sp-3 (slot inactive on 6-arg); create row: the
+            # initcode offset at sp-2
             b.sub(
                 b.sub(b.sub(sp, one), b.mul(f["dup"], fam_m1)),
-                b.sub(
-                    b.add(b.scale(3, f_cl), b.scale(2, f_cr)),
-                    b.mul(f_cl, k6_loc),
+                b.add(
+                    b.sub(
+                        b.add(b.scale(3, f_cl), b.scale(2, f_cr)),
+                        b.mul(f_cl, k6_loc),
+                    ),
+                    f_cre,
                 ),
             ),
             # call row: addr at sp-2 (default); callret: retOff at sp-6
-            # (sp-5 on 6-arg)
+            # (sp-5 on 6-arg); create row: the initcode size at sp-3
             b.sub(
                 b.sub(b.sub(sp, b.constant(2)), b.mul(f["swap"], fam_m1)),
-                b.sub(b.scale(4, f_cr), b.mul(f_cr, k6_loc)),
+                b.add(
+                    b.sub(b.scale(4, f_cr), b.mul(f_cr, k6_loc)), f_cre
+                ),
             ),
             b.sub(sp, pops_w0),
             # call row: gas at sp-1 (default); callret: success at sp-7
-            # (sp-6 on 6-arg); logext: topic 4 at sp-4
+            # (sp-6 on 6-arg); logext: topic 4 at sp-4; create row: the
+            # value at sp-1 (default); createret: address push at
+            # sp-3 (sp-4 on CREATE2)
             b.sub(
                 b.sub(b.sub(sp, one), b.mul(f["swap"], fam_n)),
-                b.sub(
-                    b.add(b.scale(6, f_cr), b.scale(3, f_lgx)),
-                    b.mul(f_cr, k6_loc),
+                b.add(
+                    b.sub(
+                        b.add(b.scale(6, f_cr), b.scale(3, f_lgx)),
+                        b.mul(f_cr, k6_loc),
+                    ),
+                    b.add(b.scale(2, f_crr), b.mul(f_crr, kc2_l)),
                 ),
             ),
         ]
@@ -4287,7 +4661,15 @@ class EvmCpuAir(Air):
         )
         slot1_bits = b.add(Bblk, b.mul(f_cdc, b.sub(Wblk, Bblk)))
         slot3_bits = b.add(
-            Ablk, b.mul(b.add(f_anycall, f_lgx), b.sub(Wblk, Ablk))
+            b.add(
+                Ablk,
+                b.mul(
+                    b.add(b.add(f_anycall, f_lgx), f_cre),
+                    b.sub(Wblk, Ablk),
+                ),
+            ),
+            # createret pushes the new address (the row's B word)
+            b.mul(f_crr, b.sub(Bblk, Ablk)),
         )
         vblks = [Ablk, slot1_bits, w0_bits, slot3_bits]
         acc_sum = None
@@ -4295,11 +4677,15 @@ class EvmCpuAir(Air):
             vcode = b.bit_block_code(vblks[s], chi, b.constant(0), 32)
             iw_s = b.constant(1 if s >= 2 else 0)
             if s == 2:
-                # third-pop READS: copies, call/callret sizes, topic 3
-                iw_s = b.sub(iw_s, b.add(b.add(f_cdc, f_anycall), f_lgx))
+                # third-pop READS: copies, call/callret sizes, topic 3,
+                # CREATE2's salt
+                iw_s = b.sub(
+                    iw_s, b.add(b.add(f_cdc, f_anycall), b.add(f_lgx, f_cre))
+                )
             if s == 3:
-                # call row's gas pop and logext's topic 4 are READS
-                iw_s = b.sub(iw_s, b.add(f_cl, f_lgx))
+                # call row's gas pop, logext's topic 4, and the create
+                # row's value pop are READS
+                iw_s = b.sub(iw_s, b.add(b.add(f_cl, f_lgx), f_cre))
             inner = b.ef_add4(b.ef_from_base4(iw_s), vcode)
             clk4 = b.add(b.scale(4, clk), b.constant(s))
             code = b.ef_add4(
@@ -4350,6 +4736,40 @@ class EvmCpuAir(Air):
         # pairing: a row is followed by a callret row iff it is a call row
         b.transition(b.sub(f_cr_n, f_cl))
         b.first_row(f["callret"])
+        # ... and by a createret row iff it is a create row
+        f_crr_n = b.next(FLAG0 + FLAG_IDX["createret"])
+        b.transition(b.sub(f_crr_n, f_cre))
+        b.first_row(f_crr)
+        # create-pair bindings: the createret row's A word re-reads the
+        # create row's popped VALUE (W), and the pushed address word (B)
+        # fits 160 bits
+        an_blk_cre = b.next_block(range(A0, A0 + 256))
+        b.transition_block(b.mul(f_cre, b.sub(an_blk_cre, Wblk)), 256)
+        bn_hi160 = b.next_block(range(B0 + 160, B0 + 256))
+        b.transition_block(b.mul(f_cre, bn_hi160), 96)
+        # all-but-1/64 forwarding: avail = the createret row's gas
+        # register; the child gets EXACTLY the cap (no gas argument, no
+        # stipend)
+        q_cre = None
+        for i in range(22):
+            tv = b.scale(1 << i, b.next(SCRATCH0 + RW_Q0 + i))
+            q_cre = tv if q_cre is None else b.add(q_cre, tv)
+        r_cre = None
+        for i in range(6):
+            tv = b.scale(1 << i, b.next(SCRATCH0 + RW_R0 + i))
+            r_cre = tv if r_cre is None else b.add(r_cre, tv)
+        gasin_cre = None
+        for i in range(28):
+            tv = b.scale(1 << i, b.next(SCRATCH0 + RW_GASIN0 + i))
+            gasin_cre = tv if gasin_cre is None else b.add(gasin_cre, tv)
+        b.transition(
+            b.mul(f_cre, b.sub(G_n, b.add(b.scale(64, q_cre), r_cre)))
+        )
+        b.transition(
+            b.mul(
+                f_cre, b.sub(gasin_cre, b.add(b.scale(63, q_cre), r_cre))
+            )
+        )
         # ... and by a logext row iff it is a log row, with the family
         # bits mirrored so the topic count carries over
         f_lg = f["log"]
@@ -4598,6 +5018,70 @@ class EvmCpuAir(Air):
         for c in range(4):
             b.transition(b.add(prodCR[c], fcl4[c]))
             b.first_row(accCR[c])
+        # --- CREATE composition: its own CALLREQ send / CALLRET receive
+        # (the tuple differs from CALL's in the address/value/cds terms;
+        # flag-selected sharing would blow the degree budget).  The new
+        # address (B_next) doubles as the callee's env address AND its
+        # code address; cds is zero; success is pinned to one (reverting
+        # initcode is uncovered).
+        lB_n16 = b.linmap(_LIMB_MAT, b.next_block(range(B0, B0 + 256)))
+        code_cq2 = lincode(
+            fid_pub,
+            [(clk, 1), (gasin_lo_n, 2), (gasin_hi_n, 3)]
+            + [(lB_n16[i], 4 + i) for i in range(10)]
+            + [(lA_n[i], 14 + i) for i in range(16)]
+            + [(caller_pub[i], 31 + i) for i in range(10)]
+            + [(cfid_w, 41), (static_pub, 42)]
+            + [(lB_n16[i], 43 + i) for i in range(10)],
+        )
+        accCQ2 = [b.aux(AUX_CQ2 + c) for c in range(4)]
+        accCQ2_n = [b.aux_next(AUX_CQ2 + c) for c in range(4)]
+        prodCQ2 = b.ef_mul4(
+            b.ef_sub4(accCQ2_n, accCQ2), b.ef_sub4(g_cq, code_cq2)
+        )
+        fcre4 = b.ef_from_base4(f_cre)
+        for c in range(4):
+            b.transition(b.sub(prodCQ2[c], fcre4[c]))
+            b.first_row(accCQ2[c])
+        code_cr2 = lincode(
+            fid_pub,
+            [
+                (clk, 1),
+                (gasret_lo_n, 2),
+                (gasret_hi_n, 3),
+                (one, 4),
+                (rds_n, 5),
+            ],
+        )
+        accCR2 = [b.aux(AUX_CR2 + c) for c in range(4)]
+        accCR2_n = [b.aux_next(AUX_CR2 + c) for c in range(4)]
+        prodCR2 = b.ef_mul4(
+            b.ef_sub4(accCR2_n, accCR2), b.ef_sub4(g_cr, code_cr2)
+        )
+        for c in range(4):
+            b.transition(b.add(prodCR2[c], fcre4[c]))
+            b.first_row(accCR2[c])
+        # initcode-bridge instancing (kind 4): the caller-memory span the
+        # child's public CODE must equal, sent when size != 0
+        code_bri = lincode(
+            fid_pub,
+            [
+                (b.add(b.scale(4, clk), one), 1),
+                (b.constant(4), 2),
+                (waddr, 3),
+                (swval, 4),
+                (cfid_w, 5),
+            ],
+        )
+        accBRI = [b.aux(AUX_BRI + c) for c in range(4)]
+        accBRI_n = [b.aux_next(AUX_BRI + c) for c in range(4)]
+        prodBRI = b.ef_mul4(
+            b.ef_sub4(accBRI_n, accBRI), b.ef_sub4(g_br, code_bri)
+        )
+        act_bri = b.ef_from_base4(b.mul(f_cre, taken))
+        for c in range(4):
+            b.transition(b.sub(prodBRI[c], act_bri[c]))
+            b.first_row(accBRI[c])
         # --- bridge instancing sends: args (kind 0), ret-write (kind 1)
         # on call rows; the callee's ret-read (kind 2) on its RETURN row
         # one accumulator carries BOTH the args-bridge tuples (call rows,
@@ -4737,7 +5221,10 @@ class EvmCpuAir(Air):
             b.transition(b.sub(prodBLR[c], actBLR[c]))
             b.first_row(accBLR[c])
         vcode_an = b.bit_block_code(an_blk, chi, b.constant(0), 32)
-        act_bl_call = b.ef_from_base4(b.mul(f_cl, b.next(TAKEN)))
+        # value transfers: plain CALL and CREATE rows both debit/credit
+        act_bl_call = b.ef_from_base4(
+            b.mul(b.add(f_cl, f_cre), b.next(TAKEN))
+        )
         code_bld = lincode(
             fid_pub,
             [(b.add(b.scale(4, clk), b.constant(2)), 1), (b.constant(2), 2)]
@@ -4752,7 +5239,12 @@ class EvmCpuAir(Air):
         code_blc = lincode(
             fid_pub,
             [(b.add(b.scale(4, clk), b.constant(3)), 1), (b.constant(3), 2)]
-            + [(lB[i], 3 + i) for i in range(10)],
+            + [
+                # credit key: the call target (local B) — or the NEW
+                # address (next-row B) on create rows
+                (b.add(lB[i], b.mul(f_cre, b.sub(lB_n16[i], lB[i]))), 3 + i)
+                for i in range(10)
+            ],
         )
         code_blc = b.ef_add4(code_blc, b.ef_mul4(chi12p, vcode_an))
         accBLC = [b.aux(AUX_BLC + c) for c in range(4)]
@@ -4851,14 +5343,23 @@ class EvmCpuAir(Air):
             b.last_row(b.sub(accAR[c], b.bus_coord(4 * BUS_AR + c)))
             b.last_row(b.sub(accCP[c], b.bus_coord(4 * BUS_CP + c)))
             b.last_row(
-                b.sub(b.add(accCQ[c], invQ[c]), b.bus_coord(4 * BUS_CQ + c))
-            )
-            b.last_row(
-                b.sub(b.add(accCR[c], invR[c]), b.bus_coord(4 * BUS_CR + c))
+                b.sub(
+                    b.add(b.add(accCQ[c], accCQ2[c]), invQ[c]),
+                    b.bus_coord(4 * BUS_CQ + c),
+                )
             )
             b.last_row(
                 b.sub(
-                    b.add(b.add(accBRA[c], accBRW[c]), accBRR[c]),
+                    b.add(b.add(accCR[c], accCR2[c]), invR[c]),
+                    b.bus_coord(4 * BUS_CR + c),
+                )
+            )
+            b.last_row(
+                b.sub(
+                    b.add(
+                        b.add(b.add(accBRA[c], accBRW[c]), accBRR[c]),
+                        accBRI[c],
+                    ),
                     b.bus_coord(4 * BUS_BR + c),
                 )
             )
@@ -5627,12 +6128,13 @@ def flatten_call_tree(root: FrameTrace) -> list[FrameTrace]:
             if site["precompile"] is not None:
                 next_fid[0] += 1
             else:
-                visit(
-                    site["callee"],
-                    1,
-                    (ft.fid, site["clk"]),
-                    1 if site["ret_sw"] else 0,
-                )
+                # create sites consume the child's returndata as the
+                # DEPLOYED code: attach its ret-read bridge whenever the
+                # child returned bytes
+                hr = 1 if site["ret_sw"] else 0
+                if site.get("create") and site.get("rds"):
+                    hr = 1
+                visit(site["callee"], 1, (ft.fid, site["clk"]), hr)
     visit(root, 0, (0, 0), 0)
     if len(frames) > MAX_FRAMES_PER_TREE or next_fid[0] > MAX_FRAMES_PER_TREE:
         raise UncoveredFrame("call tree beyond the frame budget")
@@ -5652,6 +6154,8 @@ def frame_record(ft: FrameTrace) -> dict:
                 "ret_offw": site["ret_offw"],
                 "ret_sw": site["ret_sw"],
                 "static": site.get("static", 0),
+                "create": site.get("create", 0),
+                "kc2": site.get("kc2", 0),
                 **(
                     {
                         "gas_in": site["gas_in"],
@@ -5674,6 +6178,7 @@ def frame_record(ft: FrameTrace) -> dict:
                 lr["clk"], lr["fam_n"], lr["offw"], lr["size"],
                 [hex(t) for t in lr["topics"]],
                 [hex(w) for w in lr["data_words"]],
+                lr.get("seq", 0),
             ]
             for lr in ft.log_records
         ],
@@ -5767,10 +6272,13 @@ def _frame_extra_tables(ft: FrameTrace) -> list:
                     lr["data_words"], 0, 0,
                 )
                 tables.append((br, br.trace(), br.publics()))
+    from .evm_call import KIND_INITCODE
+
     for site in ft.call_sites:
         if site["args_words"]:
+            kind_b = KIND_INITCODE if site.get("create") else KIND_ARGS
             br = MemSpanBridgeAir(
-                fid, 4 * site["clk"] + 1, KIND_ARGS, site["args_offw"],
+                fid, 4 * site["clk"] + 1, kind_b, site["args_offw"],
                 site["args_words"], 0, site["cfid"],
             )
             tables.append((br, br.trace(), br.publics()))
@@ -5896,7 +6404,7 @@ def _frame_extra_airs_from_record(rec: dict, by_fid: dict):
         from .evm_call import KIND_LOGDATA, EvmLogAir
 
         lrecs = []
-        for clk, fam, offw, size, topics, words in logs:
+        for clk, fam, offw, size, topics, words, *_seq in logs:
             fam, offw, size = int(fam), int(offw), int(size)
             tvals = [int(t, 16) for t in topics]
             wvals = [int(w, 16) for w in words]
@@ -5905,7 +6413,7 @@ def _frame_extra_airs_from_record(rec: dict, by_fid: dict):
             lrecs.append((fam, offw, size, tvals))
         airs.append(EvmLogAir(lrecs, fid))
         pubs.append([fid])
-        for clk, fam, offw, size, topics, words in logs:
+        for clk, fam, offw, size, topics, words, *_seq in logs:
             if int(size):
                 br = MemSpanBridgeAir(
                     fid, 4 * int(clk) + 1, KIND_LOGDATA, int(offw),
@@ -5934,6 +6442,25 @@ def _frame_extra_airs_from_record(rec: dict, by_fid: dict):
             ret_words = words[:ret_sw]
             if ret_sw > args_sw:
                 raise ValueError("precompile retSize beyond returndata")
+        elif int(site.get("create", 0)):
+            # CREATE: the kind-4 bridge words are the child's public
+            # CODE (the initcode the caller's memory must contain)
+            callee = by_fid.get(cfid)
+            if callee is None:
+                raise ValueError("create site without initcode frame")
+            ccode = bytes.fromhex(callee.get("code", ""))
+            if args_sw != (len(ccode) + 31) // 32:
+                raise ValueError("initcode word count mismatch")
+            if callee.get("calldata"):
+                raise ValueError("initcode frame must have empty calldata")
+            padded = ccode.ljust(32 * args_sw, b"\x00")
+            words = [
+                int.from_bytes(padded[32 * j : 32 * j + 32], "big")
+                for j in range(args_sw)
+            ]
+            if ret_sw:
+                raise ValueError("create sites have no ret buffer")
+            ret_words = []
         else:
             callee = by_fid.get(cfid)
             if callee is None:
@@ -5950,8 +6477,11 @@ def _frame_extra_airs_from_record(rec: dict, by_fid: dict):
                 raise ValueError("retSize beyond callee returndata")
             ret_words = rw[:ret_sw]
         if args_sw:
+            from .evm_call import KIND_INITCODE
+
+            kind_b = KIND_INITCODE if int(site.get("create", 0)) else KIND_ARGS
             br = MemSpanBridgeAir(
-                fid, 4 * clk + 1, KIND_ARGS, int(site["args_offw"]),
+                fid, 4 * clk + 1, kind_b, int(site["args_offw"]),
                 words, 0, cfid,
             )
             airs.append(br)

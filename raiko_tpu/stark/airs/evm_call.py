@@ -70,6 +70,7 @@ KIND_ARGS = 0
 KIND_RETWRITE = 1
 KIND_RETREAD = 2
 KIND_LOGDATA = 3
+KIND_INITCODE = 4  # CREATE: caller-memory span == the child's CODE
 
 # publics layout of MemSpanBridgeAir
 MB_FID = 0
@@ -117,6 +118,7 @@ class MemSpanBridgeAir(Air):
     ):
         assert words and kind in (
             KIND_ARGS, KIND_RETWRITE, KIND_RETREAD, KIND_LOGDATA,
+            KIND_INITCODE,
         )
         assert iw in (0, 1) and 0 <= base_waddr < (1 << 13)
         self.fid = int(fid)

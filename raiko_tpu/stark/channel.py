@@ -96,15 +96,49 @@ class Channel:
         """Prover: find a nonce whose absorption yields a challenge with
         ``bits`` leading zero bits, then leave it absorbed (queries sampled
         after the grind inherit its entropy).  Standard FRI grinding: adds
-        ``bits`` of soundness against query-grinding attacks."""
-        snapshot = (self._state.copy(), list(self._pending))
-        nonce = 0
+        ``bits`` of soundness against query-grinding attacks.
+
+        The search runs VECTORIZED: ~2^bits candidate nonces, each costing
+        a full sponge replay, made a multi-table block proof spend more
+        wall-clock grinding (scalar-python permutations) than committing.
+        The nonce lands at a fixed position of the final rate block, so
+        every prior block is nonce-independent: process them once, then
+        batch the final block + squeeze over candidate nonces with the
+        numpy permutation (bit-equal to host_permute) and take the
+        SMALLEST qualifying nonce — identical output to the scalar loop.
+        """
+        pend = list(self._pending)
+        # state after the nonce-independent full blocks
+        st = list(self._state)
+        k = len(pend)
+        full = (k // 8) * 8
+        for off in range(0, full, 8):
+            blk = pend[off : off + 8]
+            s = list(st)
+            for i, v in enumerate(blk):
+                s[i] = (s[i] + v) % bb.P
+            st = p2.host_permute(s)
+        tail = pend[full:]  # the nonce joins this block at index len(tail)
+        base_state = np.array(st, dtype=np.uint64)
+        for i, v in enumerate(tail):
+            base_state[i] = (base_state[i] + v) % bb.P
+        pos = len(tail)
+        batch = 4 << bits
+        start = 0
         while True:
-            self._state, self._pending = snapshot[0].copy(), list(snapshot[1])
-            self.absorb_elems([nonce])
-            if self.challenge() >> (31 - bits) == 0:
-                return nonce
-            nonce += 1
+            nonces = np.arange(start, start + batch, dtype=np.uint64)
+            states = np.tile(base_state, (batch, 1))
+            states[:, pos] = (states[:, pos] + nonces % np.uint64(bb.P)) % np.uint64(bb.P)
+            out = p2.host_permute_batch(states)[:, 0]
+            hits = np.nonzero((out >> np.uint64(31 - bits)) == 0)[0]
+            if hits.size:
+                nonce = int(nonces[hits[0]])
+                break
+            start += batch
+        # leave the transcript exactly as the scalar loop would
+        self.absorb_elems([nonce])
+        assert self.challenge() >> (31 - bits) == 0
+        return nonce
 
     def check_grind(self, nonce: int, bits: int) -> bool:
         """Verifier: replay the nonce absorption and check the difficulty."""

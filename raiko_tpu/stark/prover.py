@@ -361,10 +361,52 @@ def set_mesh(mesh=None, axis: str = "d") -> None:
     _MESH = (mesh, axis)
 
 
+def _table_device(air: Air, trace) -> object | None:
+    """Per-table execution-device policy (TPU-first design decision):
+    tiny tables run on the HOST CPU backend — through the remote TPU
+    relay every launch costs ~10-100 ms of fixed dispatch, which dwarfs
+    the microseconds of device time a 32-row bridge table needs, while
+    the big tables (keccak sponge chunks, containment traces, frame
+    CPUs) keep the TPU's NTT/hash throughput.  Returns a jax device to
+    pin the table's pipeline to, or None for the default placement.
+    `RAIKO_TPU_MIN_CELLS` tunes the cutoff (cells = rows x columns of
+    the committed segments); 0 disables the routing."""
+    if _MESH is not None or jax.default_backend() == "cpu":
+        return None
+    thresh = int(os.environ.get("RAIKO_TPU_MIN_CELLS", str(1 << 20)))
+    if thresh <= 0:
+        return None
+    n = trace.shape[0]
+    fixed_w = 0
+    if getattr(air, "commit_fixed", False):
+        fx = air.fixed_columns(n)
+        fixed_w = fx.shape[0] if fx is not None else 0
+    cells = n * (air.width + air.aux_width + fixed_w + 4 * air.quotient_chunks)
+    if cells >= thresh:
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def _device_ctx(dev):
+    import contextlib
+
+    return jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+
+
 def _commit_cols(cols_m: jax.Array, shift: int):
-    """Columns (K, n) Montgomery -> (coeffs, lde, merkle levels)."""
+    """Columns (K, n) Montgomery -> (coeffs, lde, merkle levels).
+
+    On a mesh, only commitments big enough to amortize the collective
+    overhead take the sharded path — sharding a 32-row bridge table
+    costs more in shard_map compiles and all-to-alls than it saves
+    (bit-exact either way; `RAIKO_DIST_MIN_CELLS` tunes the cutoff)."""
     if _DIST_COMMIT is not None:
-        return _DIST_COMMIT(cols_m, shift)
+        thresh = int(os.environ.get("RAIKO_DIST_MIN_CELLS", str(1 << 18)))
+        if cols_m.size >= thresh:
+            return _DIST_COMMIT(cols_m, shift)
     return _commit_cols_local(cols_m, shift)
 
 
@@ -648,6 +690,7 @@ def prove_tables(
                 "width": width,
                 "fixed": fixed,
                 "committed_fixed": committed_fixed,
+                "dev": _table_device(air, trace),
             }
         )
 
@@ -655,24 +698,25 @@ def prove_tables(
     # committed fixed segment's (deterministic) root follows its trace root
     _t = Measurement("stark.trace_commit")
     for c in ctxs:
-        trace_m = bb.to_mont(jnp.asarray(c["trace"].T.copy()))  # (W, n)
-        c["t_coeffs"], c["t_lde"], c["t_levels"] = _commit_cols(
-            trace_m, c["dom"].shift
-        )
-        c["t_root"] = merkle.root(c["t_levels"])
-        channel.absorb_digest(c["t_root"])
-        c["f_coeffs"] = c["f_lde"] = c["f_levels"] = None
-        c["fixed_root_std"] = []
-        if c["committed_fixed"]:
-            fixed_m = bb.to_mont(
-                jnp.asarray(np.ascontiguousarray(c["fixed"]))
+        with _device_ctx(c["dev"]):
+            trace_m = bb.to_mont(jnp.asarray(c["trace"].T.copy()))  # (W, n)
+            c["t_coeffs"], c["t_lde"], c["t_levels"] = _commit_cols(
+                trace_m, c["dom"].shift
             )
-            c["f_coeffs"], c["f_lde"], c["f_levels"] = _commit_cols(
-                fixed_m, c["dom"].shift
-            )
-            f_root = merkle.root(c["f_levels"])
-            channel.absorb_digest(f_root)
-            c["fixed_root_std"] = np.asarray(bb.from_mont(f_root)).tolist()
+            c["t_root"] = merkle.root(c["t_levels"])
+            channel.absorb_digest(c["t_root"])
+            c["f_coeffs"] = c["f_lde"] = c["f_levels"] = None
+            c["fixed_root_std"] = []
+            if c["committed_fixed"]:
+                fixed_m = bb.to_mont(
+                    jnp.asarray(np.ascontiguousarray(c["fixed"]))
+                )
+                c["f_coeffs"], c["f_lde"], c["f_levels"] = _commit_cols(
+                    fixed_m, c["dom"].shift
+                )
+                f_root = merkle.root(c["f_levels"])
+                channel.absorb_digest(f_root)
+                c["fixed_root_std"] = np.asarray(bb.from_mont(f_root)).tolist()
     _t.stop()
 
     # 2. shared challenges (AFTER all trace roots), then aux commitments
@@ -688,19 +732,21 @@ def prove_tables(
             chal_t = challenges[: air.num_aux_challenges]
             aux = air.aux_trace(c["trace"], chal_t)
             assert aux.shape == (c["trace"].shape[0], air.aux_width)
-            aux_m = bb.to_mont(jnp.asarray(aux.T.copy()))
-            c["a_coeffs"], c["a_lde"], c["a_levels"] = _commit_cols(
-                aux_m, c["dom"].shift
-            )
-            a_root = merkle.root(c["a_levels"])
-            channel.absorb_digest(a_root)
-            c["aux_root_std"] = np.asarray(bb.from_mont(a_root)).tolist()
-            coords = [x for ch in chal_t for x in ch]
-            c["chal_dev"] = jnp.asarray(
-                np.array(
-                    [(x % bb.P) * bb.R % bb.P for x in coords], dtype=np.uint32
+            with _device_ctx(c["dev"]):
+                aux_m = bb.to_mont(jnp.asarray(aux.T.copy()))
+                c["a_coeffs"], c["a_lde"], c["a_levels"] = _commit_cols(
+                    aux_m, c["dom"].shift
                 )
-            )
+                a_root = merkle.root(c["a_levels"])
+                channel.absorb_digest(a_root)
+                c["aux_root_std"] = np.asarray(bb.from_mont(a_root)).tolist()
+                coords = [x for ch in chal_t for x in ch]
+                c["chal_dev"] = jnp.asarray(
+                    np.array(
+                        [(x % bb.P) * bb.R % bb.P for x in coords],
+                        dtype=np.uint32,
+                    )
+                )
             _t.stop()
 
     # 3. bus values (challenge-dependent public EF scalars), absorbed
@@ -715,8 +761,12 @@ def prove_tables(
                 channel.absorb_ef(v)
 
     # 4+. per-table quotient / OOD / DEEP / FRI / queries on the shared
-    # channel, in table order
-    return [_finish_table(c, channel) for c in ctxs]
+    # channel, in table order (each table pinned to its chosen device)
+    out = []
+    for c in ctxs:
+        with _device_ctx(c["dev"]):
+            out.append(_finish_table(c, channel))
+    return out
 
 
 def _finish_table(c: dict, channel: Channel) -> StarkProof:

@@ -14,7 +14,25 @@ log = logging.getLogger("raiko_tpu")
 
 
 class Measurement:
-    """Wall-clock span with inplace progress reporting."""
+    """Wall-clock span with inplace progress reporting.
+
+    ``subscribe(fn)`` registers a listener called as ``fn(title,
+    seconds)`` when any span stops — the hook bench tooling uses to
+    build per-stage breakdowns (tools/bench_block.py) without parsing
+    logs.  Returns a token for ``unsubscribe``."""
+
+    _listeners: dict[int, object] = {}
+    _next_token = 0
+
+    @classmethod
+    def subscribe(cls, fn) -> int:
+        cls._next_token += 1
+        cls._listeners[cls._next_token] = fn
+        return cls._next_token
+
+    @classmethod
+    def unsubscribe(cls, token: int) -> None:
+        cls._listeners.pop(token, None)
 
     def __init__(self, title: str = ""):
         self.title = title
@@ -28,6 +46,11 @@ class Measurement:
     def stop_with(self, message: str) -> float:
         dt = time.perf_counter() - self.t0
         log.info("%s %.3fs", message, dt)
+        for fn in list(self._listeners.values()):
+            try:
+                fn(self.title, dt)
+            except Exception:
+                pass
         return dt
 
     def __enter__(self):

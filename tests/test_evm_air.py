@@ -375,6 +375,21 @@ def test_executor_covers_everything(frame, ret_frame):
     )
     assert rev.reverted == 1
     names |= {st.name for st in rev.steps}
+    # CREATE (round 5): a minimal deployment
+    initc = bytes([0x60, 0x00, 0x60, 0x00, 0xF3])  # RETURN(0, 0)
+    cre_code = (
+        bytes([0x7F]) + initc.ljust(32, b"\x00") + bytes([0x60, 0x00, 0x52])
+        + bytes([0x60, len(initc), 0x60, 0x00, 0x60, 0x00, 0xF0, 0x50, 0x00])
+    )
+    cre = ea.execute_frame(
+        cre_code,
+        ea.FrameEnv(address=0xA0, caller=0x99, origin=0x99),
+        100_000,
+        world={},
+        warm_addresses=set(),
+        nonces={0xA0: 1},
+    )
+    names |= {st.name for st in cre.steps}
     assert names == set(ea.FLAG_NAMES), set(ea.FLAG_NAMES) - names
     assert len(frame.arith_calls) == 7
     # interpreter cross-check on an arithmetic sub-program: the covered

@@ -52,12 +52,17 @@ def challenges():
 
 
 def _all_tables(root):
+    from raiko_tpu.stark.airs.evm_call import EvmBalanceAir
+
+    fts = ea.flatten_call_tree(root)
     tables = []
-    for ft in [root] + [
-        s["callee"] for s in root.call_sites if s["callee"] is not None
-    ]:
+    for ft in fts:
         tables.extend(ea.frame_tables(ft))
         tables.extend(ea._frame_extra_tables(ft))
+    groups, events = ea.balance_journal(fts)
+    if groups:
+        bal = EvmBalanceAir(groups)
+        tables.append((bal, bal.trace(events), bal.publics()))
     return tables
 
 
@@ -530,6 +535,101 @@ def test_call_variants_gas_matches_interpreter():
     kinds = [s for s in ft.call_sites]
     assert kinds[0]["ksta"] == 1 and kinds[1]["kdel"] == 1
     assert kinds[4]["callee"].reverted == 1
+
+
+def _create_fixture_code():
+    """Caller that CREATEs (value 5) then CREATE2s (value 0) a contract
+    whose initcode deploys a 10-byte runtime."""
+    runtime = bytes([0x60, 5, 0x60, 7, 0x01, 0x50, 0x00]).ljust(32, b"\x00")
+    initcode = bytes([0x7F]) + runtime + bytes(
+        [0x60, 0x00, 0x52, 0x60, 0x0A, 0x60, 0x00, 0xF3]
+    )
+    ic_words = (initcode + b"\x00" * 31)[: (len(initcode) + 31) // 32 * 32]
+    code = b""
+    for j in range(0, len(ic_words), 32):
+        code += bytes([0x7F]) + ic_words[j : j + 32] + bytes([0x60, j, 0x52])
+    code += bytes([0x60, len(initcode), 0x60, 0x00, 0x60, 0x05, 0xF0, 0x50])
+    code += bytes(
+        [0x60, 0x09, 0x60, len(initcode), 0x60, 0x00, 0x60, 0x00, 0xF5,
+         0x50, 0x00]
+    )
+    return code, initcode
+
+
+def test_create_gas_matches_interpreter_and_constraints(challenges):
+    """CREATE + CREATE2 (round 5): exact gas parity with the full
+    interpreter (32000 + EIP-3860 + hashing + all-but-1/64 + deposit),
+    and the composed tree satisfies every constraint with the global
+    bus balanced (initcode bridge, CREATE CALLREQ/CALLRET, balance
+    journal debit/credit to the NEW address)."""
+    from raiko_tpu.evm.interpreter import EVM, BlockEnv, TxEnv
+    from raiko_tpu.evm.state import AccountInfo, StateJournal
+
+    code, initcode = _create_fixture_code()
+
+    class _Db:
+        def basic(self, a):
+            if a == (0xAA).to_bytes(20, "big"):
+                return AccountInfo(nonce=1, balance=50, code=code, exists=True)
+            return None
+
+        def storage(self, a, k):
+            return 0
+
+        def block_hash(self, n):
+            return b"\x00" * 32
+
+        def code_by_hash(self, h):
+            return b""
+
+    st = StateJournal(_Db())
+    for i in range(1, 11):
+        st.access_account(bytes(19) + bytes([i]))
+    evm = EVM(
+        st,
+        BlockEnv(number=0, timestamp=0, gas_limit=30_000_000, base_fee=0,
+                 coinbase=b"\x00" * 20, chain_id=1),
+        TxEnv(origin=(0x99).to_bytes(20, "big"), gas_price=0),
+    )
+    res = evm.call(
+        (0x99).to_bytes(20, "big"), (0xAA).to_bytes(20, "big"), 0, b"",
+        400_000, transfers_value=False,
+    )
+    assert res.success
+    root = ea.execute_frame(
+        code, ENV, 400_000, world={}, warm_addresses=set(),
+        nonces={0xAA: 1}, balances={0xAA: 50},
+    )
+    assert root.gas_f == res.gas_left
+    assert len(root.call_sites) == 2
+    s0 = root.call_sites[0]
+    assert s0["create"] == 1 and s0["rds"] == 10
+    assert root.call_sites[1]["kc2"] == 1
+    # the created address got the 5 wei
+    assert root.bal_finals[s0["addr"]] == 5
+    tables = _all_tables(root)
+    for air, trace, publics in tables:
+        errs = check_constraints(air, trace, publics, challenges)
+        assert errs == [], (type(air).__name__, errs[:5])
+    totals = _bus_totals(tables, challenges)
+    assert all(t == ef.H_ZERO for t in totals), [
+        i for i, t in enumerate(totals) if t != ef.H_ZERO
+    ]
+    # a child claiming DIFFERENT initcode cannot balance the kind-4
+    # bridge + ROM channels
+    import copy
+
+    child = s0["callee"]
+    bad = copy.deepcopy(child)
+    bad.code = bytes([0x00]) + bad.code[1:]
+    swapped = (
+        ea.frame_tables(root)
+        + ea._frame_extra_tables(root)
+        + ea.frame_tables(bad)
+        + ea._frame_extra_tables(bad)
+    )
+    totals2 = _bus_totals(swapped, challenges)
+    assert any(t != ef.H_ZERO for t in totals2)
 
 
 ACCT_CODE = bytes([
