@@ -270,6 +270,66 @@ def ec_add(p: jax.Array, q: jax.Array) -> jax.Array:
     return out[:m].reshape(lead + (3, NLIMBS))
 
 
+def _fold_kernel(v_ref, pp_ref, o_ref):
+    """Horner fold  acc_b = Σ_j 2^j v_{b,j}  with the BATCH on lanes.
+
+    v_ref: (J, 3, 24, B) — each lane runs an independent Horner chain, so
+    the whole 2(J-1)-step double/add sequence is ONE kernel launch.
+    Through the XLA op path each of those tiny sequential point ops costs
+    ~0.1 ms of dispatch (the round-4 window fold alone was ~45 ms of the
+    122 ms blob MSM); in VMEM the chain is microseconds per step.
+    Lane-width-1 states break Mosaic's pad/concat lowering, hence the
+    lanes-not-grid batch layout (padded to 128 on the host side)."""
+    pcol = pp_ref[:]
+    J = v_ref.shape[0]
+    top = v_ref[J - 1]  # (3, 24, B)
+
+    def coords(blk):
+        return blk[0], blk[1], blk[2]  # three (24, B) planes
+
+    def body(i, st):
+        X, Y, Z = st
+        X, Y, Z = _ec_double_lm(X, Y, Z, pcol)
+        blk = v_ref[pl.dslice(J - 2 - i, 1)]
+        X2, Y2, Z2 = coords(blk[0])
+        return _ec_add_lm(X, Y, Z, X2, Y2, Z2, pcol)
+
+    X, Y, Z = jax.lax.fori_loop(0, J - 1, body, coords(top))
+    o_ref[:] = jnp.stack([X, Y, Z], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def ec_weighted_fold(vals: jax.Array) -> jax.Array:
+    """Σ_j 2^j · vals[..., j, :, :] for vals (..., J, 3, 24) Montgomery
+    projective — the Pippenger bucket/window recombination in ONE kernel
+    launch, batch entries on VPU lanes."""
+    assert vals.shape[-2:] == (3, NLIMBS)
+    lead = vals.shape[:-3]
+    j = vals.shape[-3]
+    v = vals.reshape((-1, j, 3, NLIMBS))
+    bsz = v.shape[0]
+    bp = max(128, -(-bsz // 128) * 128)
+    # (B, J, 3, 24) -> (J, 3, 24, B) with lanes padded to a full tile
+    vt = jnp.pad(
+        jnp.transpose(v, (1, 2, 3, 0)), ((0, 0), (0, 0), (0, 0), (0, bp - bsz))
+    )
+    out = pl.pallas_call(
+        _fold_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, NLIMBS, bp), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec(vt.shape, lambda: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NLIMBS, 1), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, NLIMBS, bp), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(vt, jnp.asarray(FP.p_limbs)[:, None])
+    return jnp.transpose(out[:, :, :bsz], (2, 0, 1)).reshape(
+        lead + (3, NLIMBS)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=())
 def ec_double(p: jax.Array) -> jax.Array:
     """Batched complete G1 doubling, bit-exact with kzg/curve.py:double."""

@@ -22,9 +22,10 @@ re-expressed as sort + segmented scan:
    CIOS kernel (ops/ec_pallas.py);
 4. segment boundaries scatter bucket sums into a dense (windows, 256)
    bucket matrix (unique keys -> well-defined scatter);
-5. the classic suffix-sum bucket reduction runs as two fori-loop
-   Hillis-Steele scans vectorized across all 32 windows at once;
-6. windows fold top-down with 8 doublings each.
+5. the bucket/window reduction expands bucket indices over their bits
+   (Σ_w 2^{8w} Σ_b b·B_{w,b} = Σ_j 2^j S'_j) — 8 levels of halving
+   batched EC adds, then ONE in-kernel 256-entry double-and-add chain
+   (ec_pallas.ec_weighted_fold).
 
 Multi-chip: points shard over the batch axis; each chip computes partial
 bucket sums and the (windows, 256) bucket matrices are combined with a
@@ -96,7 +97,7 @@ def _hs_segmented(points: jax.Array, flags: jax.Array):
     return pts, fl
 
 
-def _segmented_scan(points: jax.Array, flags: jax.Array):
+def _segmented_scan(points: jax.Array, flags: jax.Array, _depth: int = 0):
     """Segmented inclusive scan (EC-add), work-efficient 3-phase form.
 
     points: (M, 3, 24), flags: (M,) u32 with 1 marking a segment start.
@@ -118,7 +119,16 @@ def _segmented_scan(points: jax.Array, flags: jax.Array):
     big-integer EC-add body in the graph (vs 2·log2(M) for a fully
     unrolled Blelloch sweep, which XLA compiles pathologically slowly)."""
     m_orig = points.shape[0]
-    if m_orig <= 1024:
+    # recursion policy: each extra depth instantiates another set of
+    # pallas/XLA add bodies at a new shape.  On TPU (fast remote
+    # compiles) recurse down to 8192 — below that the H-S tail is ~12%
+    # of total adds, not worth another depth.  On CPU keep round-4's
+    # depth-1 shape (phase-2 tails solved by one H-S pass): XLA:CPU's
+    # LLVM codegen of the big-integer add bodies is minutes-per-shape
+    # and the CPU path only serves tests.
+    if m_orig <= 1024 or (
+        _depth >= 1 and (jax.default_backend() != "tpu" or m_orig <= 8192)
+    ):
         return _hs_segmented(points, flags)[0]
     s = _SCAN_BLOCK
     pad = (-m_orig) % s
@@ -151,9 +161,13 @@ def _segmented_scan(points: jax.Array, flags: jax.Array):
         d <<= 1
 
     # ---- phase 2: segmented scan of per-block tails (compact) ----------
+    # RECURSE into the 3-phase form instead of one Hillis-Steele pass:
+    # H-S on the (M/4) tails costs (M/4)·log2(M/4) adds — over half the
+    # scan's EC work at blob size (measured 55 of 80 ms) — while the
+    # recursion totals 3M(1 + 1/4 + ...) ≈ 4M, i.e. ~1.7x fewer adds.
     tails = v[:, s - 1]  # (NB, 3, 24): sum since last flag in the block
     bflags = fl[:, s - 1]  # OR of the block's flags
-    incl, _ = _hs_segmented(tails, bflags)
+    incl = _segmented_scan(tails, bflags, _depth + 1)
     carry = jnp.concatenate([curve.identity((1,)), incl[:-1]], axis=0)
 
     # ---- phase 3: absorb the block carry where no flag intervenes ------
@@ -218,7 +232,7 @@ def msm_multi(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
     buckets = curve.identity((dump + 1,))
     buckets = buckets.at[scatter_keys].set(scanned)
     buckets = buckets[:dump].reshape(bsz, NWINDOWS, NBUCKETS, 3, 24)
-    return jax.vmap(combine_buckets)(buckets)
+    return combine_buckets(buckets)
 
 
 def bucket_matrix(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
@@ -259,16 +273,66 @@ def bucket_matrix(points: jax.Array, scalar_limbs: jax.Array) -> jax.Array:
 
 
 def combine_buckets(buckets: jax.Array) -> jax.Array:
-    """(NWINDOWS, NBUCKETS, 3, 24) bucket sums -> final MSM point.
+    """(..., NWINDOWS, NBUCKETS, 3, 24) bucket sums -> final MSM point(s).
 
-    The classic Pippenger reduction  W_w = Σ_{b=1}^{255} b·B_b  is computed
-    as  Σ_b S_b  with suffix sums  S_b = Σ_{j>=b} B_j: an 8-level
-    Hillis-Steele suffix scan along the bucket axis (vectorized across all
-    windows, each level ONE batched EC add) followed by a log-tree
-    reduction — replacing the former 255-step sequential lax.scan whose
-    per-step (32,)-wide adds left the VPU idle.  Exposed separately so the
-    distributed MSM can psum partial buckets before reduction."""
-    # suffix inclusive scan over buckets 1..255 (bucket 0 contributes 0)
+    Round 5: bit-masked partial sums + one in-kernel Horner fold, replacing
+    the former double suffix scan + 288-step window fold.  Expanding each
+    bucket index over its bits,
+
+        Σ_w 2^{8w} Σ_b b·B_{w,b}  =  Σ_{j=0}^{255} 2^j · S'_j ,
+        S'_{8w+k} = Σ_{b: bit k of b set} B_{w,b} ,
+
+    so the whole reduction is (a) 8 levels of halving batched EC adds over
+    a (W, 8, NBUCKETS) masked selection (65k adds vs the suffix scans'
+    131k, all full-lane Pallas batches) and (b) a single 256-entry
+    double-and-add chain that runs INSIDE one Pallas kernel
+    (ec_pallas.ec_weighted_fold) — through the XLA op path that chain was
+    ~510 sequential ~0.1 ms dispatches, the top fixed cost of a blob MSM.
+    Leading batch axes are supported directly (msm_multi passes (B, W,
+    NBUCKETS, 3, 24)); exposed separately so the distributed MSM can psum
+    partial buckets before reduction."""
+    lead = buckets.shape[:-4]
+    w = buckets.shape[-4]
+    b = buckets.reshape((-1, w, NBUCKETS, 3, 24))
+    bsz = b.shape[0]
+    if jax.default_backend() != "tpu":
+        # CPU/tests: round-4's double-suffix-scan + Horner fold — one
+        # fori add body per scan (XLA:CPU compiles of per-shape
+        # big-integer adds are minutes each; see _segmented_scan note).
+        # bsz==1 skips vmap so the graph (and its compile cache entry)
+        # is bit-identical to round 4's.
+        if bsz == 1:
+            return _combine_suffix(b[0]).reshape(lead + (3, 24))
+        out = jax.vmap(_combine_suffix)(b)
+        return out.reshape(lead + (3, 24))
+    from . import ec_pallas
+
+    # masked per-bit selection: (B, W, 8, NBUCKETS, 3, 24)
+    bit = (
+        (jnp.arange(NBUCKETS, dtype=jnp.uint32)[None, :]
+         >> jnp.arange(WINDOW_BITS, dtype=jnp.uint32)[:, None]) & 1
+    ) == 1  # (8, NBUCKETS)
+    sel = curve.select(
+        jnp.broadcast_to(bit[None, None], (bsz, w, WINDOW_BITS, NBUCKETS)),
+        b[:, :, None],
+        curve.identity((bsz, w, WINDOW_BITS, NBUCKETS)),
+    )
+    arr = sel
+    while arr.shape[3] > 1:
+        half = arr.shape[3] // 2
+        lo = arr[:, :, :, :half].reshape(-1, 3, 24)
+        hi = arr[:, :, :, half:].reshape(-1, 3, 24)
+        arr = _add(lo, hi).reshape(bsz, w, WINDOW_BITS, half, 3, 24)
+    # j = 8w + k -> row-major (w, k) flatten gives S'_j at index j
+    sprime = arr[:, :, :, 0].reshape(bsz, w * WINDOW_BITS, 3, 24)
+    out = ec_pallas.ec_weighted_fold(sprime)
+    return out.reshape(lead + (3, 24))
+
+
+def _combine_suffix(buckets: jax.Array) -> jax.Array:
+    """(NWINDOWS, NBUCKETS, 3, 24) -> (3, 24): W_w = Σ_b S_b via two
+    Hillis-Steele suffix scans + sequential window fold (the round-4
+    reduction, kept as the CPU path)."""
     s0 = jnp.concatenate(
         [buckets[:, 1:], curve.identity((NWINDOWS, 1))], axis=1
     )  # (W, 256, 3, 24)
@@ -277,8 +341,6 @@ def combine_buckets(buckets: jax.Array) -> jax.Array:
     idx = jnp.arange(nb)
 
     def suffix_scan(arr):
-        """arr[k] <- Σ_{j>=k} arr[j] along axis 1, one uniform fori body."""
-
         def body(i, a):
             d = jnp.left_shift(1, i)
             src = jnp.minimum(idx + d, nb - 1)
@@ -292,11 +354,8 @@ def combine_buckets(buckets: jax.Array) -> jax.Array:
 
         return jax.lax.fori_loop(0, levels, body, arr)
 
-    # S_b = Σ_{j>=b} B_j, then acc_w = Σ_b S_b = (suffix scan of S)[0]
     acc = suffix_scan(suffix_scan(s0))[:, 0]  # (W, 3, 24)
 
-    # 5. fold windows top-down: res = 2^8 * res + W_w (lax loops keep the
-    # compiled graph to one double + one add body)
     def fold_body(i, result):
         result = jax.lax.cond(
             i == 0,

@@ -67,21 +67,39 @@ def collect_prestate_paths(collect: dict) -> dict | None:
     if stt is None or header is None:
         return None
     per_account: dict[bytes, set[int]] = {}
+    # account-record anchoring (round 5, ADVICE r4 medium): every frame
+    # code address and every EXTCODESIZE/EXTCODEHASH target also gets its
+    # parent-state ACCOUNT path (no slots), so the verifier can bind the
+    # frames' code and the AcctCtxAir code-family records to the parent
+    # state root instead of leaving them relativized publics
+    acct_only: set[bytes] = set()
+    codes: dict[bytes, bytes] = {}
     for cand in frames:
         slots = cand.get("storage") or {}
         if slots:
             ab = int(cand.get("address", 0)).to_bytes(20, "big")
             per_account.setdefault(ab, set()).update(int(s) for s in slots)
+        if cand.get("code"):
+            ab = int(cand.get("address", 0)).to_bytes(20, "big")
+            acct_only.add(ab)
+            codes[ab] = bytes(cand["code"])
         # callee frames' storage (CALL composition): the candidate's
         # world view carries per-address originals
         for addr_int, info in (cand.get("world") or {}).items():
-            wslots = info.get("storage") or {}
+            wslots = (info or {}).get("storage") or {}
+            ab = int(addr_int).to_bytes(20, "big")
             if wslots:
-                ab = int(addr_int).to_bytes(20, "big")
                 per_account.setdefault(ab, set()).update(
                     int(s) for s in wslots
                 )
-    if not per_account:
+            if (info or {}).get("code"):
+                acct_only.add(ab)
+                codes[ab] = bytes(info["code"])
+        for k in (cand.get("acct_ctx") or {}):
+            kind, key = int(k[0]), int(k[1])
+            if kind in (2, 3) and key < (1 << 160):
+                acct_only.add(key.to_bytes(20, "big"))
+    if not per_account and not acct_only:
         return None
 
     msgs: list[bytes] = []
@@ -95,8 +113,11 @@ def collect_prestate_paths(collect: dict) -> dict | None:
                 msgs.append(node)
 
     accounts: dict[str, dict] = {}
-    for ab in sorted(per_account):
-        apath = stt.proof(to_nibs(keccak256(ab)))
+    for ab in sorted(set(per_account) | acct_only):
+        try:
+            apath = stt.proof(to_nibs(keccak256(ab)))
+        except MptError:
+            continue  # partial parent trie: creation-bound addresses only
         add_path(apath)
         acct_rlp = stt.get(to_nibs(keccak256(ab)))
         storage_root = (
@@ -104,7 +125,7 @@ def collect_prestate_paths(collect: dict) -> dict | None:
         )
         slots_payload: dict[str, list[str]] = {}
         st = storage_tries.get(ab)
-        for slot in sorted(per_account[ab]):
+        for slot in sorted(per_account.get(ab, ())):
             spath: list[bytes] = []
             if st is not None and storage_root != EMPTY_ROOT:
                 spath = st.proof(
@@ -119,6 +140,7 @@ def collect_prestate_paths(collect: dict) -> dict | None:
     return {
         "parent_header": header.encode(),
         "accounts": accounts,
+        "codes": {"0x" + a.hex(): c.hex() for a, c in sorted(codes.items())},
         "messages": msgs,
     }
 
@@ -127,7 +149,7 @@ def prove_prestate(collect: dict) -> dict | None:
     """Build the prestate payload slot: paths + the batched keccak STARK
     over every path node, rooted at the parent state root."""
     data = collect_prestate_paths(collect)
-    if data is None:
+    if data is None or not data["messages"]:
         return None
     from .tpu_stark import prove_keccak_batch_public
 
@@ -137,6 +159,7 @@ def prove_prestate(collect: dict) -> dict | None:
         "kind": "prestate-v1",
         "parent_header": data["parent_header"].hex(),
         "accounts": data["accounts"],
+        "codes": data["codes"],
         "keccak": kec,
     }
 
@@ -242,6 +265,145 @@ def verify_prestate_binding(payload: dict) -> bool:
                     if orig != pre:
                         return False
                 expected[key] = int(fin_h, 16)
-        return True
+        return _verify_account_records(
+            ps, groups, frames, state_root, proven
+        )
     except (PrestateBindingError, KeyError, ValueError, TypeError):
         return False
+
+
+def _tree_creations(groups):
+    """(created address -> deployed code, per-group initcode-child id
+    sets) from the call-tree records.
+
+    Sound basis: a `create` call site's child binding (the dedicated
+    CREATE CALLREQ + kind-4 initcode bridge, stark/airs/evm_air.py) ties
+    the child frame's env address to the created address and its
+    read-bound public returndata to the deployed code — so these pairs
+    are exactly what the covered execution deployed."""
+    created: dict[int, bytes] = {}
+    init_fids: list[set] = []
+    for grp in groups:
+        recs = grp.get("frames", [])
+        by_fid = {int(fr.get("fid", -1)): fr for fr in recs}
+        fids: set = set()
+        for fr in recs:
+            for site in fr.get("calls", []):
+                if not site.get("create") or site.get("precompile"):
+                    continue
+                cfid = int(site.get("cfid", -1))
+                fids.add(cfid)
+                child = by_fid.get(cfid)
+                if child is None:
+                    continue
+                addr = int(child["env"]["address"], 16)
+                rds = int(child.get("rds", 0))
+                words = child.get("returndata_words") or []
+                code = b"".join(
+                    int(w, 16).to_bytes(32, "big") for w in words
+                )[:rds]
+                created[addr] = code
+        init_fids.append(fids)
+    return created, init_fids
+
+
+def _verify_account_records(ps, groups, frames, state_root, proven) -> bool:
+    """Round 5 (ADVICE r4 medium): bind every frame's CODE and the
+    AcctCtxAir code-family records (EXTCODESIZE kind 2 / EXTCODEHASH
+    kind 3) to the PARENT state's account records, through the same
+    proven MPT paths the storage originals use.
+
+    - each frame's public code must hash to its code address's parent
+      account code_hash (DELEGATECALL/CALLCODE bind code_addr, not the
+      storage address) — closing the "callee code is relativized" gap;
+    - kind-3 records must equal the parent account's code_hash (0 when
+      the account does not exist, per EIP-1052 + EIP-158);
+    - kind-2 records must equal len(code) for a published code preimage
+      hashing to that code_hash (ps["codes"]; empty-code accounts need
+      no preimage);
+    - addresses DEPLOYED by a covered CREATE frame bind to the creating
+      child's read-bound returndata instead (pre-creation reads may
+      still bind to the parent view: the record value is accepted
+      against either state — docs/SOUNDNESS.md);
+    - balance (kind 1) and blockhash (kind 4) records remain
+      execution-consistent relativized publics (docs/SOUNDNESS.md:
+      intra-block balance evolution includes uncovered gas/fee flows).
+    """
+    created, init_fids = _tree_creations(groups)
+    empty_hash = keccak256(b"")
+    # initcode children are exempt from the code binding: their code IS
+    # the initcode, bound in-circuit to the creator's memory span by the
+    # kind-4 bridge, not to any account record
+    skip_code = {
+        id(fr)
+        for grp, fids in zip(groups, init_fids)
+        for fr in grp.get("frames", [])
+        if int(fr.get("fid", -1)) in fids
+    }
+
+    def parent_code_hash(addr_i: int):
+        ab = addr_i.to_bytes(20, "big")
+        acct = ps["accounts"].get("0x" + ab.hex())
+        if acct is None:
+            raise PrestateBindingError("missing account path")
+        rlp_ = _walk_value(acct["path"], state_root, keccak256(ab), proven)
+        return None if rlp_ is None else Account.decode(rlp_).code_hash
+
+    for fr in frames:
+        # records without a "code" key can never pass the frame-AIR check
+        # (verify_frame_payload rebuilds from rec["code"]), so gating on
+        # its presence is not a prover opt-out — it only keeps synthetic
+        # storage-only fixtures meaningful
+        if "code" in fr and id(fr) not in skip_code:
+            ca = int(fr.get("code_addr") or fr["env"]["address"], 16)
+            code = bytes.fromhex(fr["code"])
+            if not (ca in created and code == created[ca]):
+                ch = parent_code_hash(ca)
+                if ch is None:
+                    return False  # covered frames execute nonempty code
+                if keccak256(code) != ch:
+                    return False
+        for k, key_h, v_h in fr.get("acct_ctx", []):
+            kind, key, v = int(k), int(key_h, 16), int(v_h, 16)
+            if kind == 3:
+                ok_vals = set()
+                if key in created:
+                    ok_vals.add(
+                        int.from_bytes(keccak256(created[key]), "big")
+                    )
+                try:
+                    ch = parent_code_hash(key)
+                except PrestateBindingError:
+                    if not ok_vals:  # no parent path and no creation
+                        raise
+                else:
+                    ok_vals.add(
+                        0 if ch is None else int.from_bytes(ch, "big")
+                    )
+                if v not in ok_vals:
+                    return False
+            elif kind == 2:
+                ok_lens = set()
+                if key in created:
+                    ok_lens.add(len(created[key]))
+                try:
+                    ch = parent_code_hash(key)
+                except PrestateBindingError:
+                    if not ok_lens:
+                        raise
+                    ch = empty_hash  # creation-only binding
+                if ch is None or ch == empty_hash:
+                    ok_lens.add(0)
+                else:
+                    hx = (ps.get("codes") or {}).get(
+                        "0x" + key.to_bytes(20, "big").hex()
+                    )
+                    if hx is None:
+                        return False
+                    cb = bytes.fromhex(hx)
+                    if keccak256(cb) != ch:
+                        return False
+                    ok_lens.add(len(cb))
+                if v not in ok_lens:
+                    return False
+    return True

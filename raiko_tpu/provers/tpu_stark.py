@@ -143,19 +143,26 @@ class TpuStarkProver(Prover):
             )
             if evm is not None:
                 payload["evm"] = evm
-                # bind the frames' storage originals to the parent state
-                # (provers/prestate.py); requires the chain statement for
-                # the parent-header anchor
-                if "chain" in payload and any(
-                    fr.get("storage")
-                    for grp in evm["frames"]
-                    for fr in grp.get("frames", [])
-                ):
+                # bind the frames' storage originals AND code/account
+                # records to the parent state (provers/prestate.py);
+                # requires the chain statement for the parent-header
+                # anchor.  Round 5: produced for every covered frame set
+                # (code binding), not just storage-touching ones.
+                if "chain" in payload:
                     from .prestate import prove_prestate
 
                     pre = prove_prestate(collect)
                     if pre is not None:
                         payload["prestate"] = pre
+        # whole-payload recursion seal (reference snarks.rs:92-157
+        # stark2snark): opt-in — the outer circuit pays O(width) gates
+        # per inner query, so sealing multiplies proving time
+        if config.get("seal"):
+            from .seal import prove_block_seal
+
+            payload["seal"] = prove_block_seal(
+                payload, max_tables=config.get("seal_max_tables")
+            )
         proof_cache.save_proof(config, "tpu_stark", ih, payload)
         return Proof(
             proof=json.dumps(payload),
@@ -612,9 +619,10 @@ def verify_evm_frames_payload(evm: dict) -> bool:
     return all(ea.verify_frame_payload(f) for f in frames)
 
 
-def verify_mpt_v2_payload(mpt: dict, state_root: bytes | None = None) -> bool:
-    """Verify the succinct statement from STRUCTURE + state root alone."""
-    from ..stark import verifier as sv
+def mpt_v2_group(mpt: dict, state_root: bytes | None = None):
+    """Rebuild a keccak-mpt-v2 statement's (airs, publics, proofs) from
+    the payload STRUCTURE alone; None when the structure is invalid.
+    Shared by the host verifier and the recursion seal (provers/seal.py)."""
     from ..stark.airs.containment import (
         ByteCodeAir,
         ContainAir,
@@ -624,16 +632,16 @@ def verify_mpt_v2_payload(mpt: dict, state_root: bytes | None = None) -> bool:
     from ..stark.airs.keccak_air import KeccakSpongeV2Air, _digest_bits
 
     if mpt.get("kind") != "keccak-mpt-v2":
-        return False
+        return None
     root = bytes.fromhex(mpt["state_root"])
     if state_root is not None and root != state_root:
-        return False
+        return None
     bc_chunks = mpt.get("block_counts")
     if not bc_chunks or not all(c for c in bc_chunks):
-        return False
+        return None
     flat = [c for chunk in bc_chunks for c in chunk]
     if not (0 < len(flat) <= MAX_MSGS):
-        return False
+        return None
     airs = []
     offset = 0
     for ci, counts in enumerate(bc_chunks):
@@ -648,12 +656,22 @@ def verify_mpt_v2_payload(mpt: dict, state_root: bytes | None = None) -> bool:
         airs.append(ContainAir(len(flat) - 1))
     starks = mpt.get("starks", [])
     if len(starks) != len(airs):
-        return False
+        return None
     proofs = [proof_from_dict(d) for d in starks]
-    if proofs[0].publics != _digest_bits(root):
+    pubs = [_digest_bits(root)] + [[] for _ in proofs[1:]]
+    return airs, pubs, proofs
+
+
+def verify_mpt_v2_payload(mpt: dict, state_root: bytes | None = None) -> bool:
+    """Verify the succinct statement from STRUCTURE + state root alone."""
+    from ..stark import verifier as sv
+
+    grp = mpt_v2_group(mpt, state_root)
+    if grp is None:
         return False
-    for p in proofs[1:]:
-        if p.publics:
+    airs, pubs, proofs = grp
+    for p, expect in zip(proofs, pubs):
+        if p.publics != expect:
             return False
     return sv.verify_tables(airs, proofs)
 
@@ -742,6 +760,11 @@ def verify_payload(payload: dict) -> bool:
         from .prestate import verify_prestate_binding
 
         if not verify_prestate_binding(payload):
+            return False
+    if "seal" in payload:
+        from .seal import verify_block_seal
+
+        if not verify_block_seal(payload, payload["seal"]):
             return False
     return True
 

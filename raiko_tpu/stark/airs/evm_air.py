@@ -6625,31 +6625,31 @@ def _frame_airs_from_record(rec: dict):
     return airs, pubs
 
 
-def verify_frame_payload(payload: dict) -> bool:
-    """Rebuild every frame's AIR instances from the PUBLIC call-tree
-    statement and verify the single multi-table STARK.  Cross-frame
-    consistency (CALLREQ/CALLRET linkage) is enforced by the global bus
-    balance, not by host-side equality checks."""
-    from .. import verifier as sv
+def frame_group_airs(payload: dict, with_proofs: bool = True):
+    """Rebuild a call-tree payload's (airs, publics, proofs) from the
+    PUBLIC statement; None on structural mismatch.  Shared by
+    verify_frame_payload and the recursion seal (provers/seal.py);
+    ``with_proofs=False`` rebuilds the statement alone (proofs None) for
+    stripped payload descriptors."""
     from ..serde import proof_from_dict
 
     if payload.get("kind") != "evm-call-tree-v1":
-        return False
+        return None
     try:
         frames = payload["frames"]
         if not frames or len(frames) > MAX_FRAMES_PER_TREE:
-            return False
+            return None
         fids = [int(rec.get("fid", 0)) for rec in frames]
         if len(set(fids)) != len(fids):
-            return False
+            return None
         # the root frame is not a callee; every other frame must be one
         # (floating frames rejected; the CALLREQ/CALLRET bus balance then
         # enforces the tree linkage — callee publics equal what the
         # caller's CALL row sent, gas returns match, data bridges anchor)
         if int(frames[0].get("is_callee", 0)) != 0:
-            return False
+            return None
         if any(int(rec.get("is_callee", 0)) != 1 for rec in frames[1:]):
-            return False
+            return None
         by_fid = {int(rec.get("fid", 0)): rec for rec in frames}
         airs = []
         pubs = []
@@ -6673,22 +6673,38 @@ def verify_frame_payload(payload: dict) -> bool:
             bal = EvmBalanceAir(groups)
             airs.append(bal)
             pubs.append(bal.publics())
+        if not with_proofs:
+            return airs, pubs, None
         starks = payload["starks"]
         if len(starks) != len(airs):
-            return False
+            return None
         proofs = [proof_from_dict(d) for d in starks]
     except (KeyError, ValueError, TypeError, AssertionError):
-        return False
-    for proof, expect_pub in zip(proofs, pubs):
-        if proof.publics != expect_pub:
-            return False
+        return None
     for air, proof in zip(airs, proofs):
         if hasattr(air, "num_perms"):  # the sponge sizes by permutations
             from .keccak_air import ROWS
 
             if (1 << proof.log_n) != ROWS * air.num_perms:
-                return False
+                return None
         elif hasattr(air, "n"):
             if (1 << proof.log_n) != air.n:
-                return False
+                return None
+    return airs, pubs, proofs
+
+
+def verify_frame_payload(payload: dict) -> bool:
+    """Rebuild every frame's AIR instances from the PUBLIC call-tree
+    statement and verify the single multi-table STARK.  Cross-frame
+    consistency (CALLREQ/CALLRET linkage) is enforced by the global bus
+    balance, not by host-side equality checks."""
+    from .. import verifier as sv
+
+    grp = frame_group_airs(payload)
+    if grp is None:
+        return False
+    airs, pubs, proofs = grp
+    for proof, expect_pub in zip(proofs, pubs):
+        if proof.publics != expect_pub:
+            return False
     return sv.verify_tables(airs, proofs)

@@ -496,7 +496,13 @@ def install_proof_verifier(sim, addr: bytes) -> None:
             return abi.encode(["bool"], [False])
         kind = payload.get("kind", "")
         ok = False
-        if kind == "poseidon2-transcript-sharded-recursive-v1":
+        if kind == "seal-v2-artifact":
+            # whole-payload recursion seal (provers/seal.py): the outer
+            # proof covers EVERY inner STARK of the block payload
+            from raiko_tpu.provers.seal import verify_seal_artifact
+
+            ok = verify_seal_artifact(journal, seal)
+        elif kind == "poseidon2-transcript-sharded-recursive-v1":
             from raiko_tpu.provers.tpu_shard import verify_sharded_recursive
 
             ok = verify_sharded_recursive(payload) and bytes.fromhex(

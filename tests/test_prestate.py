@@ -221,3 +221,99 @@ def test_absent_account_binds_zero(monkeypatch):
         [hex(3), hex(4), 1, 0, hex(2)]
     ]
     assert not prestate.verify_prestate_binding(payload)
+
+
+def test_code_and_account_record_binding(monkeypatch):
+    """Round 5 (ADVICE r4 medium): frame code and EXTCODESIZE /
+    EXTCODEHASH records bind to the parent accounts' code hashes."""
+    _stub_keccak(monkeypatch)
+    code = bytes.fromhex("6001600155")  # the executing contract's code
+    code2 = bytes.fromhex("30313233343536")  # EXTCODE* target's code
+    st = MptNode.null()
+    state = MptNode.null()
+    state.insert(
+        to_nibs(keccak256(ADDR)),
+        Account(
+            nonce=1, balance=100, storage_root=st.hash(),
+            code_hash=keccak256(code),
+        ).encode(),
+    )
+    state.insert(
+        to_nibs(keccak256(ADDR2)),
+        Account(
+            balance=5, storage_root=EMPTY_ROOT, code_hash=keccak256(code2)
+        ).encode(),
+    )
+    header = BlockHeader(state_root=state.hash(), number=7)
+    a2 = int.from_bytes(ADDR2, "big")
+    frames = [
+        {
+            "address": int.from_bytes(ADDR, "big"),
+            "code": code,
+            "world": {a2: {"code": code2}},
+            "acct_ctx": {(2, a2): len(code2), (3, a2): 0},
+        }
+    ]
+    ps = prestate.prove_prestate(
+        _mk_collect(state, {ADDR: st}, header, frames)
+    )
+    assert ps is not None and "0x" + ADDR2.hex() in ps["codes"]
+
+    def payload(rec):
+        return {
+            "chain": {"state_root": keccak256(header.encode()).hex()},
+            "evm": {"frames": [{"frames": [rec]}]},
+            "prestate": ps,
+        }
+
+    ch2 = int.from_bytes(keccak256(code2), "big")
+    good = {
+        "env": {"address": "0x" + ADDR.hex()},
+        "code": code.hex(),
+        "storage": [],
+        "acct_ctx": [[2, hex(a2), hex(len(code2))], [3, hex(a2), hex(ch2)]],
+    }
+    assert prestate.verify_prestate_binding(payload(good))
+    # wrong frame code
+    assert not prestate.verify_prestate_binding(
+        payload(dict(good, code=(code + b"\x00").hex()))
+    )
+    # wrong EXTCODESIZE claim
+    assert not prestate.verify_prestate_binding(
+        payload(
+            dict(good, acct_ctx=[[2, hex(a2), hex(len(code2) + 1)]])
+        )
+    )
+    # wrong EXTCODEHASH claim
+    assert not prestate.verify_prestate_binding(
+        payload(dict(good, acct_ctx=[[3, hex(a2), hex(ch2 ^ 1)]]))
+    )
+    # EXTCODEHASH of an absent account binds to zero
+    missing = b"\xdd" * 20
+    m = int.from_bytes(missing, "big")
+    frames2 = [
+        {
+            "address": int.from_bytes(ADDR, "big"),
+            "code": code,
+            "acct_ctx": {(3, m): 0},
+        }
+    ]
+    ps2 = prestate.prove_prestate(
+        _mk_collect(state, {ADDR: st}, header, frames2)
+    )
+    good2 = {
+        "env": {"address": "0x" + ADDR.hex()},
+        "code": code.hex(),
+        "storage": [],
+        "acct_ctx": [[3, hex(m), hex(0)]],
+    }
+    p2 = {
+        "chain": {"state_root": keccak256(header.encode()).hex()},
+        "evm": {"frames": [{"frames": [good2]}]},
+        "prestate": ps2,
+    }
+    assert prestate.verify_prestate_binding(p2)
+    p2["evm"]["frames"][0]["frames"][0] = dict(
+        good2, acct_ctx=[[3, hex(m), hex(5)]]
+    )
+    assert not prestate.verify_prestate_binding(p2)
