@@ -151,7 +151,19 @@ class TpuStarkProver(Prover):
                 if "chain" in payload:
                     from .prestate import prove_prestate
 
-                    pre = prove_prestate(collect)
+                    try:
+                        pre = prove_prestate(collect)
+                    except Exception as e:  # pragma: no cover
+                        # a prestate failure must not kill the block
+                        # proof; the payload stays verifiable-as-absent
+                        # (verify_prestate_binding rejects it if frames
+                        # touch storage, so this is visible, not silent)
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "prestate binding failed: %s", e
+                        )
+                        pre = None
                     if pre is not None:
                         payload["prestate"] = pre
         # whole-payload recursion seal (reference snarks.rs:92-157
