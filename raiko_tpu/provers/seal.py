@@ -190,6 +190,20 @@ def verify_block_seal(payload: dict, seal: dict) -> bool:
         return False
 
 
+def _group_count(payload: dict) -> int:
+    """Number of inner proof groups a payload declares (the sealed-seal
+    completeness check for standalone artifacts)."""
+    n = 1  # the transcript table
+    for slot in ("mpt", "tx_mpt", "receipts_mpt", "chain"):
+        if payload.get(slot) is not None:
+            n += 1
+    n += len((payload.get("evm") or {}).get("frames", []))
+    kec = (payload.get("prestate") or {}).get("keccak")
+    if kec is not None:
+        n += len(kec.get("chunk_sizes", [1]))
+    return n
+
+
 def _statement_groups(payload: dict, shapes: list):
     """Statement-only groups (no proof values): AIRs + publics from the
     payload's public part, log_n from the seal's shape vector."""
@@ -201,7 +215,10 @@ def _statement_groups(payload: dict, shapes: list):
 
     def add(tables):
         gi = len(out)
-        if gi >= len(shapes) or len(shapes[gi]) != len(tables):
+        if gi >= len(shapes):
+            return  # partial seal: groups beyond the sealed prefix are
+            # covered by the ordinary per-group verifiers instead
+        if len(shapes[gi]) != len(tables):
             raise ValueError("seal shape vector mismatch")
         out.append(
             [
@@ -297,6 +314,14 @@ def verify_seal_artifact(journal: bytes, artifact: bytes) -> bool:
             return False
         payload, seal = obj["payload"], obj["seal"]
         if bytes.fromhex(payload["instance_hash"]) != journal:
+            return False
+        # the standalone artifact carries no inner proofs, so a partial
+        # seal would leave the unsealed groups UNVERIFIED — require the
+        # shape vector to cover EVERY group the payload declares (the
+        # prover-supplied `unsealed` field is not trusted); partial
+        # seals are only meaningful inside a full payload where the
+        # per-group verifiers cover the remainder
+        if len(seal["shapes"]) != _group_count(payload):
             return False
     except (KeyError, ValueError, TypeError, zlib.error):
         return False

@@ -172,9 +172,16 @@ class TpuStarkProver(Prover):
         if config.get("seal"):
             from .seal import prove_block_seal
 
-            payload["seal"] = prove_block_seal(
-                payload, max_tables=config.get("seal_max_tables")
-            )
+            try:
+                payload["seal"] = prove_block_seal(
+                    payload, max_tables=config.get("seal_max_tables")
+                )
+            except Exception as e:  # pragma: no cover
+                # an unsealable payload (e.g. mpt_version 1) must not
+                # kill the block proof; absence of the slot is visible
+                import logging
+
+                logging.getLogger(__name__).warning("sealing failed: %s", e)
         proof_cache.save_proof(config, "tpu_stark", ih, payload)
         return Proof(
             proof=json.dumps(payload),
